@@ -1,0 +1,210 @@
+"""Base for models reducible to a (user_embeds, item_embeds) dot product.
+
+Reference parity: libreco/bases/embed_base.py:24 — post-fit embedding export
+with OOV row (:257), knn search (:415-529, nmslib replaced by exact on-device
+top-k), inference-only save of embeddings (:267). Covers SVD / SVDpp / ALS /
+BPR / TwoTower / YouTubeRetrieval / RNN4Rec / Caser / WaveNet / graph models.
+"""
+from pathlib import Path
+
+import numpy as np
+
+from .base import Base
+from ..ops.topk import topk_from_embeddings
+from ..recommendation.cold_start import popular_recommendations
+from ..recommendation.ranking import rank_recommendations
+from ..utils.misc import colorize
+
+
+class EmbedBase(Base):
+    def __init__(self, task, data_info, embed_size, lower_upper_bound=None, seed=42):
+        super().__init__(task, data_info, lower_upper_bound, seed)
+        self.embed_size = embed_size
+        self.user_embeds_np = None  # (n_users + 1, D) with trailing OOV row
+        self.item_embeds_np = None  # (n_items + 1, D)
+
+    # -------------------------------------------------------------- contract
+    def set_embeddings(self):
+        """Compute ``user_embeds_np``/``item_embeds_np`` from ``self.params``.
+
+        Implementations must produce arrays WITHOUT the OOV row; the base
+        appends it as the mean of trained rows (reference
+        ``assign_embedding_oov``, embed_base.py:257).
+        """
+        raise NotImplementedError
+
+    def post_epoch(self):
+        self.set_embeddings()
+
+    def post_fit(self):
+        self.set_embeddings()
+        self.build_default_recs()
+
+    def _append_oov(self, embeds):
+        oov = np.mean(embeds, axis=0, keepdims=True)
+        return np.vstack([embeds, oov]).astype(np.float32)
+
+    def _default_rec_source(self, num):
+        """Cold 'average' recs = top items for the OOV (mean) user."""
+        ids, _ = topk_from_embeddings(
+            self.user_embeds_np[-1], self.item_embeds_np[:-1],
+            min(num, self.n_items), filter_consumed=False,
+        )
+        return ids[0]
+
+    # ------------------------------------------------------------- inference
+    def predict(self, user, item, inner_id=False, cold_start="average"):
+        user, item = self.convert_ids(user, item, inner_id)
+        preds = np.sum(
+            self.user_embeds_np[user] * self.item_embeds_np[item], axis=1
+        )
+        if self.task == "rating":
+            preds = np.clip(preds, self.lower_bound, self.upper_bound)
+        else:
+            preds = 1.0 / (1.0 + np.exp(-preds))
+        return preds[0] if np.isscalar(user) or preds.size == 1 else preds
+
+    def recommend_user(
+        self,
+        user,
+        n_rec,
+        inner_id=False,
+        cold_start="average",
+        filter_consumed=True,
+        random_rec=False,
+    ):
+        raw_users = np.atleast_1d(np.asarray(user))
+        if cold_start not in ("average", "popular"):
+            raise ValueError(f"Unknown cold start strategy: {cold_start}")
+        inner_ids = np.empty(len(raw_users), dtype=np.int64)
+        popular_mask = np.zeros(len(raw_users), dtype=bool)
+        for i, u in enumerate(raw_users):
+            if inner_id:
+                uid = int(u) if 0 <= int(u) < self.n_users else -1
+            else:
+                uid = self.data_info.user2id.get(u, -1)
+            if uid < 0:
+                if cold_start == "popular":
+                    popular_mask[i] = True
+                    inner_ids[i] = self.n_users
+                else:
+                    inner_ids[i] = self.n_users  # OOV (average) row
+            else:
+                inner_ids[i] = uid
+
+        result = {}
+        main_idx = np.nonzero(~popular_mask)[0]
+        if main_idx.size > 0:
+            uids = inner_ids[main_idx]
+            if random_rec:
+                scores = self.user_embeds_np[uids] @ self.item_embeds_np[:-1].T
+                ids = rank_recommendations(
+                    self.task,
+                    uids,
+                    scores,
+                    n_rec,
+                    self.n_items,
+                    self.user_consumed,
+                    filter_consumed=filter_consumed,
+                    random_rec=True,
+                    np_rng=self.data_info.np_rng,
+                )
+            else:
+                ids, _ = topk_from_embeddings(
+                    self.user_embeds_np[uids],
+                    self.item_embeds_np[:-1],
+                    n_rec,
+                    user_consumed=self.user_consumed if filter_consumed else None,
+                    user_ids=uids,
+                    filter_consumed=filter_consumed,
+                )
+            for row, i in enumerate(main_idx):
+                result[_key(raw_users[i])] = ids[row]
+        for i in np.nonzero(popular_mask)[0]:
+            result[_key(raw_users[i])] = popular_recommendations(
+                self.data_info, inner_id=True, n_rec=n_rec
+            )
+        return self.finalize_rec(result, raw_users, inner_id)
+
+    # ----------------------------------------------------------- embeddings
+    def get_user_embedding(self, user=None, include_bias=False):
+        embeds = self.user_embeds_np[:-1] if user is None else self.user_embeds_np[
+            self.convert_ids(user, user, False)[0]
+        ]
+        return embeds if include_bias else embeds[..., : self.embed_size]
+
+    def get_item_embedding(self, item=None, include_bias=False):
+        embeds = self.item_embeds_np[:-1] if item is None else self.item_embeds_np[
+            self.convert_ids(item, item, False)[1]
+        ]
+        return embeds if include_bias else embeds[..., : self.embed_size]
+
+    def search_knn_users(self, user, k):
+        """k most similar users by inner product over full embeddings."""
+        uid = self.data_info.user2id.get(user)
+        if uid is None:
+            return None
+        query = self.user_embeds_np[uid]
+        sims = self.user_embeds_np[:-1] @ query
+        top = np.argsort(-sims)[: k + 1]
+        top = [int(t) for t in top if t != uid][:k]
+        return [self.data_info.id2user[t] for t in top]
+
+    def search_knn_items(self, item, k):
+        iid = self.data_info.item2id.get(item)
+        if iid is None:
+            return None
+        query = self.item_embeds_np[iid]
+        sims = self.item_embeds_np[:-1] @ query
+        top = np.argsort(-sims)[: k + 1]
+        top = [int(t) for t in top if t != iid][:k]
+        return [self.data_info.id2item[t] for t in top]
+
+    # --------------------------------------------------------- persistence
+    def save(self, path, model_name=None, inference_only=False, **kwargs):
+        if model_name is not None:
+            self.model_name = model_name
+        if inference_only:
+            Path(path).mkdir(parents=True, exist_ok=True)
+            np.savez_compressed(
+                Path(path) / f"{self.model_name}_embeddings",
+                user_embed=self.user_embeds_np,
+                item_embed=self.item_embeds_np,
+            )
+            from ..utils.save_load import save_default_recs, save_hyper_params
+
+            save_hyper_params(path, self)
+            save_default_recs(path, self)
+            self.data_info.save(path, self.model_name)
+        else:
+            super().save(path, model_name=self.model_name)
+
+    @classmethod
+    def load(cls, path, model_name, data_info=None, **kwargs):
+        embed_path = Path(path) / f"{model_name}_embeddings.npz"
+        if embed_path.exists():
+            from ..data.data_info import DataInfo
+            from ..utils.save_load import load_default_recs, load_hyper_params
+
+            if data_info is None:
+                data_info = DataInfo.load(path, model_name)
+            hparams = load_hyper_params(path, model_name)
+            hparams.pop("model_class", None)
+            model = cls(data_info=data_info, **hparams)
+            model.model_name = model_name
+            arrays = np.load(embed_path)
+            model.user_embeds_np = arrays["user_embed"]
+            model.item_embeds_np = arrays["item_embed"]
+            model.default_recs = load_default_recs(path, model_name)
+            model.loaded = True
+            return model
+        return super().load(path, model_name, data_info, **kwargs)
+
+    def post_load(self):
+        if self.params is not None:
+            self.set_embeddings()
+
+
+def _key(u):
+    """Dict keys: keep raw user hashable/scalar."""
+    return u.item() if isinstance(u, np.generic) else u

@@ -1,0 +1,299 @@
+"""Neural-net building blocks as pure init/apply function pairs.
+
+Replaces the reference's TF1 layer zoo (libreco/layers/dense.py:12,
+attention.py:5-171, transformer.py:10-147, normalization.py:7-32,
+recurrent.py:4, convolutional.py:6-31, activation.py:4-8) with a single
+pytree-parameter implementation that jit/pjit traces once with static shapes.
+
+Conventions
+-----------
+- ``init_*`` takes a PRNG key and static sizes, returns a params dict.
+- ``apply`` functions are pure; dropout takes an explicit key and a
+  ``train`` python bool (static under jit).
+- Batch-norm is replaced by layer norm: per-device batch statistics break
+  determinism under data parallelism, layer norm is the TPU-idiomatic choice
+  and keeps train/eval application identical.
+"""
+import jax
+import jax.numpy as jnp
+
+from .initializers import he_init, truncated_normal
+
+
+# ----------------------------------------------------------------- dense
+def init_dense(rng, in_dim, out_dim):
+    return {
+        "w": he_init(rng, (in_dim, out_dim), fan_in=in_dim),
+        "b": jnp.zeros((out_dim,)),
+    }
+
+
+def dense(params, x):
+    return x @ params["w"] + params["b"]
+
+
+ACTIVATIONS = {
+    "relu": jax.nn.relu,
+    "gelu": jax.nn.gelu,
+    "swish": jax.nn.swish,
+    "sigmoid": jax.nn.sigmoid,
+    "tanh": jnp.tanh,
+    "elu": jax.nn.elu,
+    "leaky_relu": jax.nn.leaky_relu,
+    None: lambda x: x,
+}
+
+
+def init_mlp(rng, in_dim, hidden_units, use_ln=False):
+    """MLP stack; reference `dense_nn` (libreco/layers/dense.py:12)."""
+    layers = []
+    dims = [in_dim, *hidden_units]
+    for i in range(len(hidden_units)):
+        rng, sub = jax.random.split(rng)
+        layer = {"dense": init_dense(sub, dims[i], dims[i + 1])}
+        if use_ln:
+            layer["ln"] = init_layer_norm(dims[i + 1])
+        layers.append(layer)
+    return {"layers": layers}
+
+
+def mlp(params, x, activation="relu", dropout_rate=0.0, train=False, rng=None,
+        final_activation=True):
+    act = ACTIVATIONS[activation]
+    n = len(params["layers"])
+    for i, layer in enumerate(params["layers"]):
+        x = dense(layer["dense"], x)
+        is_last = i == n - 1
+        if not is_last or final_activation:
+            if "ln" in layer:
+                x = layer_norm(layer["ln"], x)
+            x = act(x)
+            if train and dropout_rate > 0.0:
+                rng, sub = jax.random.split(rng)
+                x = dropout(x, dropout_rate, sub)
+    return x
+
+
+def dropout(x, rate, rng):
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(rng, keep, x.shape)
+    return jnp.where(mask, x / keep, 0.0)
+
+
+# ------------------------------------------------------------- normalization
+def init_layer_norm(dim):
+    return {"scale": jnp.ones((dim,)), "bias": jnp.zeros((dim,))}
+
+
+def layer_norm(params, x, eps=1e-6):
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.var(x, axis=-1, keepdims=True)
+    normed = (x - mean) * jax.lax.rsqrt(var + eps)
+    return normed * params["scale"] + params["bias"]
+
+
+def init_rms_norm(dim):
+    return {"scale": jnp.ones((dim,))}
+
+
+def rms_norm(params, x, eps=1e-6):
+    ms = jnp.mean(jnp.square(x), axis=-1, keepdims=True)
+    return x * jax.lax.rsqrt(ms + eps) * params["scale"]
+
+
+def l2_normalize(x, axis=-1, eps=1e-8):
+    return x / jnp.maximum(jnp.linalg.norm(x, axis=axis, keepdims=True), eps)
+
+
+# ---------------------------------------------------------------- attention
+def init_din_attention(rng, embed_dim, hidden_units=(36,)):
+    """DIN local-activation unit (paper-faithful MLP attention).
+
+    Reference: `din_attention` libreco/layers/attention.py:28 — MLP over
+    [k, q, k - q, k * q] per history position, masked softmax-free weighting.
+    """
+    in_dim = 4 * embed_dim
+    rngs = jax.random.split(rng, len(hidden_units) + 1)
+    m = init_mlp(rngs[0], in_dim, list(hidden_units))
+    out = init_dense(rngs[1], hidden_units[-1], 1)
+    return {"mlp": m, "out": out}
+
+
+def din_attention(params, queries, keys, mask):
+    """queries (B, D); keys (B, L, D); mask (B, L) bool -> (B, D)."""
+    L = keys.shape[1]
+    q = jnp.repeat(queries[:, None, :], L, axis=1)
+    feats = jnp.concatenate([keys, q, keys - q, keys * q], axis=-1)
+    h = mlp(params["mlp"], feats, activation="sigmoid")
+    logits = dense(params["out"], h)[..., 0]                      # (B, L)
+    logits = jnp.where(mask, logits, -jnp.inf)
+    weights = jax.nn.softmax(logits, axis=1)
+    weights = jnp.where(jnp.any(mask, axis=1, keepdims=True), weights, 0.0)
+    return jnp.einsum("bl,bld->bd", weights, keys)
+
+
+def init_mha(rng, embed_dim, num_heads, head_dim=None):
+    """Multi-head attention (libreco/layers/attention.py:67)."""
+    head_dim = head_dim or embed_dim // num_heads
+    inner = num_heads * head_dim
+    r = jax.random.split(rng, 4)
+    return {
+        "wq": truncated_normal(r[0], (embed_dim, inner), scale=embed_dim ** -0.5),
+        "wk": truncated_normal(r[1], (embed_dim, inner), scale=embed_dim ** -0.5),
+        "wv": truncated_normal(r[2], (embed_dim, inner), scale=embed_dim ** -0.5),
+        "wo": truncated_normal(r[3], (inner, embed_dim), scale=inner ** -0.5),
+        "num_heads": num_heads,
+    }
+
+
+def mha(params, queries, keys, mask=None, causal=False):
+    """queries (B, Lq, D); keys (B, Lk, D); mask (B, Lk) bool."""
+    H = params["num_heads"]
+    B, Lq, _ = queries.shape
+    Lk = keys.shape[1]
+    q = (queries @ params["wq"]).reshape(B, Lq, H, -1)
+    k = (keys @ params["wk"]).reshape(B, Lk, H, -1)
+    v = (keys @ params["wv"]).reshape(B, Lk, H, -1)
+    d = q.shape[-1]
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(d)
+    if mask is not None:
+        logits = jnp.where(mask[:, None, None, :], logits, -1e9)
+    if causal:
+        causal_mask = jnp.tril(jnp.ones((Lq, Lk), dtype=bool))
+        logits = jnp.where(causal_mask[None, None], logits, -1e9)
+    weights = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhqk,bkhd->bqhd", weights, v).reshape(B, Lq, -1)
+    return out @ params["wo"]
+
+
+# -------------------------------------------------------------- transformer
+def init_transformer_layer(rng, embed_dim, num_heads, ffn_dim):
+    """Pre-LN encoder layer (libreco/layers/transformer.py:10)."""
+    r = jax.random.split(rng, 3)
+    return {
+        "mha": init_mha(r[0], embed_dim, num_heads),
+        "ln1": init_layer_norm(embed_dim),
+        "ln2": init_layer_norm(embed_dim),
+        "ffn1": init_dense(r[1], embed_dim, ffn_dim),
+        "ffn2": init_dense(r[2], ffn_dim, embed_dim),
+    }
+
+
+def transformer_layer(params, x, mask=None, causal=False):
+    h = layer_norm(params["ln1"], x)
+    x = x + mha(params["mha"], h, h, mask=mask, causal=causal)
+    h = layer_norm(params["ln2"], x)
+    h = dense(params["ffn2"], jax.nn.relu(dense(params["ffn1"], h)))
+    return x + h
+
+
+def positional_encoding(seq_len, dim):
+    """Sinusoidal positions (libreco/layers/transformer.py:147)."""
+    pos = jnp.arange(seq_len)[:, None].astype(jnp.float32)
+    i = jnp.arange(dim)[None, :].astype(jnp.float32)
+    angle = pos / jnp.power(10000.0, (2.0 * jnp.floor(i / 2.0)) / dim)
+    enc = jnp.where(jnp.arange(dim)[None, :] % 2 == 0, jnp.sin(angle), jnp.cos(angle))
+    return enc
+
+
+# ---------------------------------------------------------------- recurrent
+def init_gru(rng, in_dim, hidden_dim):
+    r = jax.random.split(rng, 2)
+    scale_i = in_dim ** -0.5
+    scale_h = hidden_dim ** -0.5
+    return {
+        "wi": truncated_normal(r[0], (in_dim, 3 * hidden_dim), scale=scale_i),
+        "wh": truncated_normal(r[1], (hidden_dim, 3 * hidden_dim), scale=scale_h),
+        "b": jnp.zeros((3 * hidden_dim,)),
+    }
+
+
+def gru(params, x, mask=None, h0=None):
+    """GRU over (B, L, D_in) -> final hidden (B, H) and all states (B, L, H).
+
+    Masked positions keep the previous hidden state, so right-padded
+    sequences yield the state at their true last step. Implemented with
+    `lax.scan` (libreco/layers/recurrent.py:4 used cudnn GRU).
+    """
+    B, L, _ = x.shape
+    H = params["wh"].shape[0]
+    h_init = jnp.zeros((B, H)) if h0 is None else h0
+    xs = jnp.swapaxes(x, 0, 1)                                   # (L, B, D)
+    ms = (jnp.swapaxes(mask, 0, 1) if mask is not None
+          else jnp.ones((L, B), dtype=bool))
+
+    def step(h, inputs):
+        xt, mt = inputs
+        gates_x = xt @ params["wi"] + params["b"]
+        gates_h = h @ params["wh"]
+        xr, xz, xn = jnp.split(gates_x, 3, axis=-1)
+        hr, hz, hn = jnp.split(gates_h, 3, axis=-1)
+        r = jax.nn.sigmoid(xr + hr)
+        z = jax.nn.sigmoid(xz + hz)
+        n = jnp.tanh(xn + r * hn)
+        h_new = (1.0 - z) * n + z * h
+        h_new = jnp.where(mt[:, None], h_new, h)
+        return h_new, h_new
+
+    h_final, hs = jax.lax.scan(step, h_init, (xs, ms))
+    return h_final, jnp.swapaxes(hs, 0, 1)
+
+
+def init_lstm(rng, in_dim, hidden_dim):
+    r = jax.random.split(rng, 2)
+    return {
+        "wi": truncated_normal(r[0], (in_dim, 4 * hidden_dim), scale=in_dim ** -0.5),
+        "wh": truncated_normal(r[1], (hidden_dim, 4 * hidden_dim), scale=hidden_dim ** -0.5),
+        "b": jnp.zeros((4 * hidden_dim,)),
+    }
+
+
+def lstm(params, x, mask=None):
+    B, L, _ = x.shape
+    H = params["wh"].shape[0]
+    xs = jnp.swapaxes(x, 0, 1)
+    ms = (jnp.swapaxes(mask, 0, 1) if mask is not None
+          else jnp.ones((L, B), dtype=bool))
+
+    def step(carry, inputs):
+        h, c = carry
+        xt, mt = inputs
+        gates = xt @ params["wi"] + h @ params["wh"] + params["b"]
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        c_new = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+        h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
+        keep = mt[:, None]
+        return (jnp.where(keep, h_new, h), jnp.where(keep, c_new, c)), h_new
+
+    (h_final, _), hs = jax.lax.scan(step, (jnp.zeros((B, H)), jnp.zeros((B, H))), (xs, ms))
+    return h_final, jnp.swapaxes(hs, 0, 1)
+
+
+# ------------------------------------------------------------ convolutional
+def init_conv1d(rng, kernel_size, in_ch, out_ch):
+    fan_in = kernel_size * in_ch
+    return {
+        "w": he_init(rng, (kernel_size, in_ch, out_ch), fan_in=fan_in),
+        "b": jnp.zeros((out_ch,)),
+    }
+
+
+def conv1d(params, x, padding="VALID", dilation=1):
+    """x (B, L, C_in) -> (B, L', C_out); lowered onto the MXU by XLA."""
+    out = jax.lax.conv_general_dilated(
+        x,
+        params["w"],
+        window_strides=(1,),
+        padding=padding,
+        rhs_dilation=(dilation,),
+        dimension_numbers=("NWC", "WIO", "NWC"),
+    )
+    return out + params["b"]
+
+
+def causal_conv1d(params, x, dilation=1):
+    """Left-padded dilated conv (WaveNet, libreco/layers/convolutional.py:31)."""
+    k = params["w"].shape[0]
+    pad = dilation * (k - 1)
+    x = jnp.pad(x, ((0, 0), (pad, 0), (0, 0)))
+    return conv1d(params, x, padding="VALID", dilation=dilation)

@@ -1,0 +1,76 @@
+import numpy as np
+import pytest
+
+from librecommender_tpu.evaluation import evaluate
+from librecommender_tpu.models import SVD
+
+from tests.utils_models import ptest_preds, ptest_recommends, ptest_save_load
+
+
+@pytest.mark.parametrize("task", ["rating", "ranking"])
+def test_svd_end_to_end(pure_builds, pure_frames, task, tmp_path):
+    train_data, eval_data, test_data, data_info = pure_builds
+    neg_sampling = task == "ranking"
+    model = SVD(
+        task,
+        data_info,
+        embed_size=8,
+        n_epochs=2,
+        lr=0.01,
+        batch_size=256,
+        sampler="random",
+        num_neg=1,
+    )
+    model.fit(
+        train_data,
+        neg_sampling=neg_sampling,
+        verbose=2,
+        eval_data=eval_data,
+        metrics=(
+            ["rmse", "mae", "r2"]
+            if task == "rating"
+            else ["roc_auc", "precision", "recall", "ndcg"]
+        ),
+    )
+    ptest_preds(model, task, pure_frames)
+    ptest_recommends(model, data_info, pure_frames)
+    ptest_save_load(model, SVD, data_info, pure_frames, tmp_path)
+
+    metrics = (
+        ["rmse"] if task == "rating" else ["roc_auc", "ndcg", "map", "coverage"]
+    )
+    result = evaluate(model, test_data, neg_sampling=neg_sampling, metrics=metrics)
+    for name in metrics:
+        assert np.isfinite(result[name])
+
+
+def test_svd_training_reduces_loss(pure_builds):
+    train_data, *_, data_info = pure_builds
+    model = SVD("rating", data_info, embed_size=8, n_epochs=1, lr=0.05, batch_size=256)
+    model.fit(train_data, neg_sampling=False, verbose=0)
+    r0 = evaluate(model, train_data, neg_sampling=False, metrics=["rmse"])["rmse"]
+    model2 = SVD("rating", data_info, embed_size=8, n_epochs=8, lr=0.05, batch_size=256)
+    model2.fit(train_data, neg_sampling=False, verbose=0)
+    r1 = evaluate(model2, train_data, neg_sampling=False, metrics=["rmse"])["rmse"]
+    assert r1 < r0
+
+
+@pytest.mark.parametrize("sampler", ["random", "popular", "unconsumed"])
+def test_svd_samplers(pure_builds, sampler):
+    train_data, *_, data_info = pure_builds
+    model = SVD(
+        "ranking", data_info, embed_size=8, n_epochs=1, lr=0.01,
+        batch_size=256, sampler=sampler, num_neg=2,
+    )
+    model.fit(train_data, neg_sampling=True, verbose=0)
+    assert model.user_embeds_np is not None
+
+
+def test_svd_invalid_combos(pure_builds):
+    train_data, *_, data_info = pure_builds
+    with pytest.raises(ValueError):
+        SVD("rating", data_info).fit(train_data, neg_sampling=True, verbose=0)
+    with pytest.raises(ValueError):
+        SVD("unknown-task", data_info)
+    with pytest.raises(AssertionError):
+        SVD("ranking", data_info, loss_type="bad_loss")
