@@ -68,6 +68,10 @@ class Base(abc.ABC):
     def loss_fn(self, params, batch, rng):
         """Pure scalar loss over one batch (traced under jit)."""
 
+    def _custom_optimizer(self):
+        """Optional optax optimizer override (e.g. WideDeep's FTRL+Adam)."""
+        return None
+
     def post_epoch(self):
         """Refresh any cached inference state after an epoch (e.g. embeddings)."""
 
@@ -97,12 +101,13 @@ class Base(abc.ABC):
         trainer = Trainer(
             self,
             n_epochs=self.n_epochs,
-            lr=self.lr,
+            lr=self.lr if not isinstance(self.lr, dict) else 0.0,
             lr_decay=self.lr_decay,
             epsilon=self.epsilon,
             batch_size=self.batch_size,
             sampler=getattr(self, "sampler", "random"),
             num_neg=getattr(self, "num_neg", 1),
+            optimizer=self._custom_optimizer(),
         )
         trainer.run(
             train_data,

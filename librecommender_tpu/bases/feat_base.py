@@ -1,0 +1,295 @@
+"""Base for feature/CTR models scored by a full forward pass.
+
+Replaces the reference's TfBase (libreco/bases/tf_base.py:28): the TF1
+session/graph machinery becomes a jitted forward; full-catalog scoring for
+``recommend_user`` (tf_base.py:155,186) runs on device with a fixed
+users-per-call shape so XLA compiles the scoring program once; the
+``build_topk`` serving op (tf_base.py:355) maps to `ops.topk.topk_from_scores`.
+
+Subclasses implement ``_init_params`` and ``_forward``; feature gathering
+happens inside ``_forward`` via the device-resident FeatureTables.
+"""
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .base import Base
+from ..ops.features import FeatureTables
+from ..ops.losses import bce_loss, focal_loss, mse_loss
+from ..ops.topk import pad_consumed, topk_from_scores
+from ..recommendation.cold_start import popular_recommendations
+from ..utils.misc import colorize
+
+_PREDICT_CHUNK = 4096
+
+
+class FeatBase(Base):
+    paradigm = "pointwise"
+
+    def __init__(
+        self,
+        task,
+        data_info,
+        loss_type="cross_entropy",
+        embed_size=16,
+        n_epochs=20,
+        lr=0.001,
+        lr_decay=False,
+        epsilon=1e-5,
+        reg=None,
+        batch_size=256,
+        sampler="random",
+        num_neg=1,
+        seed=42,
+        lower_upper_bound=None,
+        multi_sparse_combiner="sqrtn",
+    ):
+        super().__init__(task, data_info, lower_upper_bound, seed)
+        if task == "ranking":
+            assert loss_type in ("cross_entropy", "focal"), loss_type
+        self.loss_type = loss_type
+        self.embed_size = embed_size
+        self.n_epochs = n_epochs
+        self.lr = lr
+        self.lr_decay = lr_decay
+        self.epsilon = epsilon
+        self.reg = reg
+        self.batch_size = batch_size
+        self.sampler = sampler
+        self.num_neg = num_neg
+        self.multi_sparse_combiner = multi_sparse_combiner
+        self.feats = None
+        self._predict_fn = None
+        self._recommend_fn = None
+        self._users_per_rec_call = None
+
+    # -------------------------------------------------------------- building
+    def build_model(self):
+        self.feats = FeatureTables(self.data_info)
+        rng = jax.random.PRNGKey(self.seed)
+        self.params = self._init_params(rng)
+
+    def _init_params(self, rng):
+        raise NotImplementedError
+
+    def _forward(self, params, users, items, train, rng):
+        """Pure forward: (B,) users + (B,) items -> (B,) logits."""
+        raise NotImplementedError
+
+    # ------------------------------------------------------- shared compute
+    @property
+    def n_fields(self):
+        """Static field count after multi-sparse combining: user + item +
+        sparse fields + dense fields."""
+        f_sparse = self.feats.n_sparse_fields
+        info = self.feats.multi_sparse_info
+        if info is not None and self.multi_sparse_combiner != "normal":
+            f_sparse = f_sparse - int(sum(info.field_len)) + len(info.field_len)
+        return 2 + f_sparse + self.feats.n_dense_fields
+
+    def _field_embeds(self, params, users, items):
+        """(B,) ids -> field embedding cube (B, n_fields, D) plus the raw
+        sparse indices / dense values used (for linear terms and reg)."""
+        from ..ops.embeddings import combine_multi_sparse, dense_embeds
+
+        fields = [
+            params["user_embed"][users][:, None, :],
+            params["item_embed"][items][:, None, :],
+        ]
+        sparse_idx, dense_vals = None, None
+        if self.feats.has_sparse:
+            sparse_idx = self.feats.sparse_for(users, items)
+            emb = params["sparse_embed"][sparse_idx]
+            emb = combine_multi_sparse(
+                emb, sparse_idx, self.feats.multi_sparse_info,
+                self.multi_sparse_combiner,
+            )
+            fields.append(emb)
+        if self.feats.has_dense:
+            dense_vals = self.feats.dense_for(users, items)
+            fields.append(dense_embeds(params["dense_embed"], dense_vals))
+        return jnp.concatenate(fields, axis=1), sparse_idx, dense_vals
+
+    def _linear_term(self, params, users, items, sparse_idx, dense_vals):
+        """First-order term shared by FM / WideDeep wide part."""
+        out = params["linear_bias"] + params["linear_user"][users] + params["linear_item"][items]
+        if sparse_idx is not None:
+            out += jnp.sum(params["linear_sparse"][sparse_idx], axis=1)
+        if dense_vals is not None:
+            out += dense_vals @ params["linear_dense"]
+        return out
+
+    def _init_linear(self, rng, u_rows, i_rows):
+        p = {
+            "linear_bias": jnp.zeros(()),
+            "linear_user": jnp.zeros((u_rows,)),
+            "linear_item": jnp.zeros((i_rows,)),
+        }
+        if self.feats.has_sparse:
+            p["linear_sparse"] = jnp.zeros((self._sparse_rows(),))
+        if self.feats.has_dense:
+            p["linear_dense"] = jnp.zeros((self.feats.n_dense_fields,))
+        return p
+
+    def _sparse_rows(self):
+        from ..parallel.mesh import aligned_rows
+
+        return aligned_rows(self.feats.sparse_vocab - 1)
+
+    # -------------------------------------------------------------- training
+    def loss_fn(self, params, batch, rng):
+        users, items, labels, weight = (
+            batch["user"], batch["item"], batch["label"], batch["weight"],
+        )
+        point_loss = mse_loss if self.task == "rating" else (
+            bce_loss if self.loss_type == "cross_entropy" else focal_loss
+        )
+        rng, r1 = jax.random.split(rng)
+        if "item_neg" in batch:
+            neg = batch["item_neg"]
+            users_all = jnp.concatenate([users, jnp.repeat(users, neg.shape[1])])
+            items_all = jnp.concatenate([items, neg.reshape(-1)])
+            labels_all = jnp.concatenate(
+                [jnp.ones_like(labels), jnp.zeros(neg.size, labels.dtype)]
+            )
+            weight_all = jnp.concatenate([weight, jnp.repeat(weight, neg.shape[1])])
+        else:
+            users_all, items_all, labels_all, weight_all = users, items, labels, weight
+        logits = self._forward(params, users_all, items_all, train=True, rng=r1)
+        loss = point_loss(logits, labels_all, weight_all)
+        if self.reg:
+            loss += self.reg * self._reg_term(params, users_all, items_all)
+        return loss
+
+    def _reg_term(self, params, users, items):
+        """L2 over the embeddings gathered for this batch."""
+        total = 0.0
+        n = users.shape[0]
+        if "user_embed" in params:
+            total += jnp.sum(jnp.square(params["user_embed"][users]))
+        if "item_embed" in params:
+            total += jnp.sum(jnp.square(params["item_embed"][items]))
+        if "sparse_embed" in params and self.feats.has_sparse:
+            idx = self.feats.sparse_for(users, items)
+            total += jnp.sum(jnp.square(params["sparse_embed"][idx]))
+        return total / n
+
+    # ------------------------------------------------------------- inference
+    def _ensure_inference_fns(self):
+        if self._predict_fn is None:
+            def predict(params, users, items):
+                return self._forward(params, users, items, train=False, rng=None)
+
+            self._predict_fn = jax.jit(predict)
+
+        if self._recommend_fn is None:
+            n_items = self.n_items
+
+            @functools.partial(jax.jit, static_argnums=(2,))
+            def score_all(params, users, n_users_call):
+                items = jnp.tile(jnp.arange(n_items, dtype=jnp.int32), n_users_call)
+                users_rep = jnp.repeat(users, n_items)
+                logits = self._forward(params, users_rep, items, train=False, rng=None)
+                return logits.reshape(n_users_call, n_items)
+
+            self._recommend_fn = score_all
+
+    def predict(self, user, item, inner_id=False, cold_start="average"):
+        self._ensure_inference_fns()
+        users, items = self.convert_ids(user, item, inner_id)
+        n = len(users)
+        pad = -n % _PREDICT_CHUNK if n > _PREDICT_CHUNK else _PREDICT_CHUNK - n
+        users_p = np.pad(users, (0, pad)).astype(np.int32)
+        items_p = np.pad(items, (0, pad)).astype(np.int32)
+        out = []
+        for start in range(0, len(users_p), _PREDICT_CHUNK):
+            out.append(
+                np.asarray(
+                    self._predict_fn(
+                        self.params,
+                        users_p[start : start + _PREDICT_CHUNK],
+                        items_p[start : start + _PREDICT_CHUNK],
+                    )
+                )
+            )
+        preds = np.concatenate(out)[:n]
+        if self.task == "rating":
+            preds = np.clip(preds, self.lower_bound, self.upper_bound)
+        else:
+            preds = 1.0 / (1.0 + np.exp(-preds))
+        return preds[0] if np.isscalar(user) or preds.size == 1 else preds
+
+    def recommend_user(
+        self,
+        user,
+        n_rec,
+        inner_id=False,
+        cold_start="average",
+        filter_consumed=True,
+        random_rec=False,
+        users_per_call=8,
+    ):
+        self._ensure_inference_fns()
+        raw_users = np.atleast_1d(np.asarray(user))
+        if cold_start not in ("average", "popular"):
+            raise ValueError(f"Unknown cold start strategy: {cold_start}")
+        inner_ids = np.empty(len(raw_users), dtype=np.int64)
+        popular_mask = np.zeros(len(raw_users), dtype=bool)
+        for i, u in enumerate(raw_users):
+            if inner_id:
+                uid = int(u) if 0 <= int(u) < self.n_users else -1
+            else:
+                uid = self.data_info.user2id.get(u, -1)
+            if uid < 0:
+                if cold_start == "popular":
+                    popular_mask[i] = True
+                inner_ids[i] = self.n_users  # OOV feature row
+            else:
+                inner_ids[i] = uid
+
+        result = {}
+        main_idx = np.nonzero(~popular_mask)[0]
+        U = users_per_call
+        for start in range(0, len(main_idx), U):
+            chunk = main_idx[start : start + U]
+            uids = inner_ids[chunk]
+            uids_p = np.pad(uids, (0, U - len(uids))).astype(np.int32)
+            scores = self._recommend_fn(self.params, uids_p, U)
+            consumed = (
+                pad_consumed(self.user_consumed, uids_p) if filter_consumed else None
+            )
+            ids, _ = topk_from_scores(scores, consumed, int(n_rec))
+            ids = np.asarray(ids)[: len(uids)]
+            for r, i in enumerate(chunk):
+                result[_key(raw_users[i])] = ids[r]
+        for i in np.nonzero(popular_mask)[0]:
+            result[_key(raw_users[i])] = popular_recommendations(
+                self.data_info, inner_id=True, n_rec=n_rec
+            )
+        return self.finalize_rec(result, raw_users, inner_id)
+
+    def _default_rec_source(self, num):
+        """Cold 'average': score the catalog through the OOV feature row."""
+        self._ensure_inference_fns()
+        uids = np.full((1,), self.n_users, np.int32)
+        scores = np.asarray(self._recommend_fn(self.params, uids, 1))[0]
+        top = np.argsort(-scores)[: min(num, self.n_items)]
+        return top
+
+    def post_fit(self):
+        self._predict_fn = None
+        self._recommend_fn = None
+        self.build_default_recs()
+
+    def post_load(self):
+        self.build_model_shell()
+
+    def build_model_shell(self):
+        """Rebuild static state (feature tables) without touching params."""
+        self.feats = FeatureTables(self.data_info)
+
+
+def _key(u):
+    return u.item() if isinstance(u, np.generic) else u

@@ -1,0 +1,73 @@
+"""NCF: neural collaborative filtering (GMF + MLP branches).
+
+Reference parity: libreco/algorithms/ncf.py:8 — separate GMF and MLP
+embedding halves; output = linear head over [u_g * v_g, MLP(u_m ++ v_m)].
+Pure id model (no features) but scored by full forward, hence FeatBase.
+"""
+import jax
+import jax.numpy as jnp
+
+from ..bases.feat_base import FeatBase
+from ..ops.initializers import truncated_normal
+from ..ops.nn import dense, init_dense, init_mlp, mlp
+from ..parallel.mesh import aligned_rows
+
+
+class NCF(FeatBase):
+    def __init__(
+        self,
+        task,
+        data_info,
+        loss_type="cross_entropy",
+        embed_size=16,
+        n_epochs=20,
+        lr=0.001,
+        lr_decay=False,
+        epsilon=1e-5,
+        reg=None,
+        batch_size=256,
+        sampler="random",
+        num_neg=1,
+        use_bn=True,
+        dropout_rate=None,
+        hidden_units=(128, 64, 32),
+        seed=42,
+        lower_upper_bound=None,
+    ):
+        self.all_args = {
+            k: v for k, v in locals().items()
+            if k not in ("self", "__class__", "data_info")
+        }
+        super().__init__(
+            task, data_info, loss_type, embed_size, n_epochs, lr, lr_decay,
+            epsilon, reg, batch_size, sampler, num_neg, seed, lower_upper_bound,
+        )
+        self.hidden_units = tuple(hidden_units)
+        self.use_bn = use_bn
+        self.dropout_rate = dropout_rate or 0.0
+
+    def _init_params(self, rng):
+        D = self.embed_size
+        u_rows, i_rows = aligned_rows(self.n_users), aligned_rows(self.n_items)
+        r = jax.random.split(rng, 4)
+        params = {
+            # first D columns = GMF half, last D = MLP half
+            "user_embed": truncated_normal(r[0], (u_rows, 2 * D)),
+            "item_embed": truncated_normal(r[1], (i_rows, 2 * D)),
+            "mlp": init_mlp(r[2], 2 * D, list(self.hidden_units), use_ln=self.use_bn),
+            "head": init_dense(r[3], D + self.hidden_units[-1], 1),
+        }
+        return params
+
+    def _forward(self, params, users, items, train, rng):
+        D = self.embed_size
+        ue, ie = params["user_embed"][users], params["item_embed"][items]
+        gmf = ue[:, :D] * ie[:, :D]
+        h = mlp(
+            params["mlp"],
+            jnp.concatenate([ue[:, D:], ie[:, D:]], axis=1),
+            dropout_rate=self.dropout_rate,
+            train=train,
+            rng=rng,
+        )
+        return dense(params["head"], jnp.concatenate([gmf, h], axis=1))[:, 0]

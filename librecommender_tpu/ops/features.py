@@ -1,0 +1,77 @@
+"""Device-resident unique feature tables + per-sample assembly.
+
+This is the TPU-first replacement for the reference's host-side collator
+feature assembly (libreco/batch/collators.py:468, tfops/features.py:239-307):
+the per-user / per-item unique feature rows (DataInfo's
+``user_sparse_unique`` etc., incl. trailing OOV row) are pushed to HBM once
+at model-build time; every train/predict/recommend step gathers them on
+device from the (user, item) id arrays. The hot loop moves only int32 ids
+over PCIe.
+"""
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.validate import sparse_feat_size
+
+
+class FeatureTables:
+    """Static feature layout + device arrays for one DataInfo."""
+
+    def __init__(self, data_info):
+        self.data_info = data_info
+        self.n_sparse_fields = len(data_info.sparse_col.name)
+        self.n_dense_fields = len(data_info.dense_col.name)
+        self.sparse_vocab = sparse_feat_size(data_info)
+        self.multi_sparse_info = data_info.multi_sparse_combine_info
+
+        # static column layout: position lists into the full field order
+        self.user_sparse_pos = list(data_info.user_sparse_col.index)
+        self.item_sparse_pos = list(data_info.item_sparse_col.index)
+        self.user_dense_pos = list(data_info.user_dense_col.index)
+        self.item_dense_pos = list(data_info.item_dense_col.index)
+
+        def _dev(arr, dtype):
+            return None if arr is None else jnp.asarray(np.asarray(arr, dtype))
+
+        self.user_sparse = _dev(data_info.user_sparse_unique, np.int32)
+        self.item_sparse = _dev(data_info.item_sparse_unique, np.int32)
+        self.user_dense = _dev(data_info.user_dense_unique, np.float32)
+        self.item_dense = _dev(data_info.item_dense_unique, np.float32)
+
+    @property
+    def has_sparse(self):
+        return self.n_sparse_fields > 0
+
+    @property
+    def has_dense(self):
+        return self.n_dense_fields > 0
+
+    def sparse_for(self, users, items):
+        """(B,) user ids + (B,) item ids -> (B, F) sparse indices in full
+        field order, or None."""
+        if not self.has_sparse:
+            return None
+        cols = [None] * self.n_sparse_fields
+        if self.user_sparse is not None:
+            rows = self.user_sparse[users]                     # (B, F_u)
+            for j, pos in enumerate(self.user_sparse_pos):
+                cols[pos] = rows[:, j]
+        if self.item_sparse is not None:
+            rows = self.item_sparse[items]
+            for j, pos in enumerate(self.item_sparse_pos):
+                cols[pos] = rows[:, j]
+        return jnp.stack(cols, axis=1)
+
+    def dense_for(self, users, items):
+        if not self.has_dense:
+            return None
+        cols = [None] * self.n_dense_fields
+        if self.user_dense is not None:
+            rows = self.user_dense[users]
+            for j, pos in enumerate(self.user_dense_pos):
+                cols[pos] = rows[:, j]
+        if self.item_dense is not None:
+            rows = self.item_dense[items]
+            for j, pos in enumerate(self.item_dense_pos):
+                cols[pos] = rows[:, j]
+        return jnp.stack(cols, axis=1)

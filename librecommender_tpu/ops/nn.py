@@ -142,13 +142,15 @@ def init_mha(rng, embed_dim, num_heads, head_dim=None):
         "wk": truncated_normal(r[1], (embed_dim, inner), scale=embed_dim ** -0.5),
         "wv": truncated_normal(r[2], (embed_dim, inner), scale=embed_dim ** -0.5),
         "wo": truncated_normal(r[3], (inner, embed_dim), scale=inner ** -0.5),
-        "num_heads": num_heads,
     }
 
 
-def mha(params, queries, keys, mask=None, causal=False):
-    """queries (B, Lq, D); keys (B, Lk, D); mask (B, Lk) bool."""
-    H = params["num_heads"]
+def mha(params, queries, keys, mask=None, causal=False, num_heads=1):
+    """queries (B, Lq, D); keys (B, Lk, D); mask (B, Lk) bool.
+
+    ``num_heads`` is static config (not stored in params: integer leaves
+    would break jax.grad over the params pytree)."""
+    H = num_heads
     B, Lq, _ = queries.shape
     Lk = keys.shape[1]
     q = (queries @ params["wq"]).reshape(B, Lq, H, -1)
@@ -179,9 +181,9 @@ def init_transformer_layer(rng, embed_dim, num_heads, ffn_dim):
     }
 
 
-def transformer_layer(params, x, mask=None, causal=False):
+def transformer_layer(params, x, mask=None, causal=False, num_heads=1):
     h = layer_norm(params["ln1"], x)
-    x = x + mha(params["mha"], h, h, mask=mask, causal=causal)
+    x = x + mha(params["mha"], h, h, mask=mask, causal=causal, num_heads=num_heads)
     h = layer_norm(params["ln2"], x)
     h = dense(params["ffn2"], jax.nn.relu(dense(params["ffn1"], h)))
     return x + h

@@ -40,16 +40,24 @@ def topk_from_embeddings(user_embeds, item_embeds, n_rec, user_consumed=None,
     item_embeds = jnp.asarray(item_embeds, dtype=jnp.float32)
     consumed = None
     if filter_consumed and user_consumed is not None and user_ids is not None:
-        lists = [np.asarray(user_consumed.get(int(u), []), dtype=np.int64)
-                 for u in np.atleast_1d(user_ids)]
-        max_len = max((len(c) for c in lists), default=0)
-        if max_len > 0:
-            consumed = np.full((len(lists), max_len), -1, dtype=np.int32)
-            for i, c in enumerate(lists):
-                consumed[i, : len(c)] = c
-            consumed = jnp.asarray(consumed)
+        consumed = pad_consumed(user_consumed, user_ids)
     ids, scores = _topk_scores(user_embeds, item_embeds, consumed, int(n_rec))
     return np.asarray(ids), np.asarray(scores)
+
+
+def pad_consumed(user_consumed, user_ids):
+    """Build a (U, C) consumed matrix padded with -1; C is rounded up to a
+    power of two so repeated calls reuse one compiled top-k program."""
+    lists = [np.asarray(user_consumed.get(int(u), []), dtype=np.int64)
+             for u in np.atleast_1d(user_ids)]
+    max_len = max((len(c) for c in lists), default=0)
+    if max_len == 0:
+        return None
+    width = 1 << (max_len - 1).bit_length()
+    consumed = np.full((len(lists), width), -1, dtype=np.int32)
+    for i, c in enumerate(lists):
+        consumed[i, : len(c)] = c
+    return jnp.asarray(consumed)
 
 
 @functools.partial(jax.jit, static_argnums=(2,))

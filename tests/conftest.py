@@ -48,7 +48,8 @@ def make_feat_interactions(n_rows=2400, n_users=60, n_items=100, seed=0):
     user_age = {u: int(rng.integers(10, 60)) for u in frame.user.unique()}
     item_genre = {i: rng.choice(["a", "b", "c", "d"]) for i in frame.item.unique()}
     frame["sex"] = frame.user.map(user_sex)
-    frame["age"] = frame.user.map(user_age).astype(np.float64)
+    # normalized like the reference's process_data expects users to do
+    frame["age"] = (frame.user.map(user_age).astype(np.float64) - 35.0) / 25.0
     frame["genre"] = frame.item.map(item_genre)
     return frame
 
