@@ -74,9 +74,15 @@ class FeatBase(Base):
     def _init_params(self, rng):
         raise NotImplementedError
 
-    def _forward(self, params, users, items, train, rng):
-        """Pure forward: (B,) users + (B,) items -> (B,) logits."""
+    def _forward(self, params, inputs, train, rng):
+        """Pure forward: inputs dict with (B,) 'user'/'item' (+ optional
+        (B, L) 'seq') -> (B,) logits."""
         raise NotImplementedError
+
+    def batch_extras(self, train_data):
+        """Row-aligned extra arrays the BatchGenerator should slice into
+        batches (e.g. per-row training sequences). Default: none."""
+        return None
 
     # ------------------------------------------------------- shared compute
     @property
@@ -149,18 +155,30 @@ class FeatBase(Base):
         rng, r1 = jax.random.split(rng)
         if "item_neg" in batch:
             neg = batch["item_neg"]
-            users_all = jnp.concatenate([users, jnp.repeat(users, neg.shape[1])])
-            items_all = jnp.concatenate([items, neg.reshape(-1)])
+            S = neg.shape[1]
+            inputs = {
+                "user": jnp.concatenate([users, jnp.repeat(users, S)]),
+                "item": jnp.concatenate([items, neg.reshape(-1)]),
+            }
+            for key in batch:
+                if key.startswith("seq"):
+                    inputs[key] = jnp.concatenate(
+                        [batch[key], jnp.repeat(batch[key], S, axis=0)]
+                    )
             labels_all = jnp.concatenate(
                 [jnp.ones_like(labels), jnp.zeros(neg.size, labels.dtype)]
             )
-            weight_all = jnp.concatenate([weight, jnp.repeat(weight, neg.shape[1])])
+            weight_all = jnp.concatenate([weight, jnp.repeat(weight, S)])
         else:
-            users_all, items_all, labels_all, weight_all = users, items, labels, weight
-        logits = self._forward(params, users_all, items_all, train=True, rng=r1)
+            inputs = {"user": users, "item": items}
+            for key in batch:
+                if key.startswith("seq"):
+                    inputs[key] = batch[key]
+            labels_all, weight_all = labels, weight
+        logits = self._forward(params, inputs, train=True, rng=r1)
         loss = point_loss(logits, labels_all, weight_all)
         if self.reg:
-            loss += self.reg * self._reg_term(params, users_all, items_all)
+            loss += self.reg * self._reg_term(params, inputs["user"], inputs["item"])
         return loss
 
     def _reg_term(self, params, users, items):
@@ -180,7 +198,9 @@ class FeatBase(Base):
     def _ensure_inference_fns(self):
         if self._predict_fn is None:
             def predict(params, users, items):
-                return self._forward(params, users, items, train=False, rng=None)
+                return self._forward(
+                    params, {"user": users, "item": items}, train=False, rng=None
+                )
 
             self._predict_fn = jax.jit(predict)
 
@@ -191,7 +211,10 @@ class FeatBase(Base):
             def score_all(params, users, n_users_call):
                 items = jnp.tile(jnp.arange(n_items, dtype=jnp.int32), n_users_call)
                 users_rep = jnp.repeat(users, n_items)
-                logits = self._forward(params, users_rep, items, train=False, rng=None)
+                logits = self._forward(
+                    params, {"user": users_rep, "item": items},
+                    train=False, rng=None,
+                )
                 return logits.reshape(n_users_call, n_items)
 
             self._recommend_fn = score_all

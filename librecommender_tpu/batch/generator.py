@@ -60,8 +60,12 @@ class BatchGenerator:
         num_neg=1,
         seed=42,
         temperature=0.75,
+        extras=None,
     ):
         assert paradigm in ("pointwise", "pairwise", "listwise")
+        # row-aligned extra arrays (e.g. per-row training sequences) sliced
+        # into every batch under their key
+        self.extras = extras or {}
         self.user_indices = np.asarray(train_data.user_indices, dtype=np.int32)
         self.item_indices = np.asarray(train_data.item_indices, dtype=np.int32)
         self.labels = np.asarray(train_data.labels, dtype=np.float32)
@@ -138,6 +142,8 @@ class BatchGenerator:
             }
             if neg_items is not None:
                 batch["item_neg"] = _pad(neg_items[start:end], bs)
+            for key, arr in self.extras.items():
+                batch[key] = _pad(arr[perm[start:end]], bs)
             yield batch
 
 

@@ -5,5 +5,16 @@ from .deepfm import DeepFM
 from .wide_deep import WideDeep
 from .autoint import AutoInt
 from .ncf import NCF
+from .youtube_ranking import YouTubeRanking
+from .din import DIN
+from .transformer import Transformer
+from .sim import SIM
+from .rnn4rec import RNN4Rec
+from .caser import Caser
+from .wave_net import WaveNet
 
-__all__ = ["SVD", "BPR", "FM", "DeepFM", "WideDeep", "AutoInt", "NCF"]
+__all__ = [
+    "SVD", "BPR", "FM", "DeepFM", "WideDeep", "AutoInt", "NCF",
+    "YouTubeRanking", "DIN", "Transformer", "SIM",
+    "RNN4Rec", "Caser", "WaveNet",
+]

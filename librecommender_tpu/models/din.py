@@ -1,19 +1,27 @@
-"""DeepFM: FM + deep MLP over the shared field embeddings.
+"""DIN: Deep Interest Network — target attention over behavior history.
 
-Reference parity: libreco/algorithms/deepfm.py:19 — the FM first/second-order
-parts and a DNN tower over the concatenated field embeddings, summed into one
-logit.
+Reference parity: libreco/algorithms/din.py:24 with the paper-faithful MLP
+local-activation unit (`din_attention`, libreco/layers/attention.py:28):
+per history position, an MLP over [key, query, key-query, key*query]
+produces attention logits; masked softmax weights pool the history.
 """
 import jax
 import jax.numpy as jnp
 
-from ..bases.feat_base import FeatBase
+from ..bases.seq_base import SeqFeatBase
 from ..ops.initializers import truncated_normal
-from ..ops.nn import dense, init_dense, init_mlp, mlp
+from ..ops.nn import (
+    dense,
+    din_attention,
+    init_dense,
+    init_din_attention,
+    init_mlp,
+    mlp,
+)
 from ..parallel.mesh import aligned_rows
 
 
-class DeepFM(FeatBase):
+class DIN(SeqFeatBase):
     def __init__(
         self,
         task,
@@ -31,6 +39,8 @@ class DeepFM(FeatBase):
         use_bn=True,
         dropout_rate=None,
         hidden_units=(128, 64, 32),
+        recent_num=10,
+        random_num=None,
         multi_sparse_combiner="sqrtn",
         seed=42,
         lower_upper_bound=None,
@@ -43,6 +53,7 @@ class DeepFM(FeatBase):
             task, data_info, loss_type, embed_size, n_epochs, lr, lr_decay,
             epsilon, reg, batch_size, sampler, num_neg, seed,
             lower_upper_bound, multi_sparse_combiner,
+            recent_num=recent_num, random_num=random_num,
         )
         self.hidden_units = tuple(hidden_units)
         self.use_bn = use_bn
@@ -55,32 +66,27 @@ class DeepFM(FeatBase):
         params = {
             "user_embed": truncated_normal(r[0], (u_rows, D)),
             "item_embed": truncated_normal(r[1], (i_rows, D)),
-            "pair_head": truncated_normal(r[2], (D,), scale=D ** -0.5),
+            "att": init_din_attention(r[2], D),
         }
-        params.update(self._init_linear(r[3], u_rows, i_rows))
         if self.feats.has_sparse:
-            params["sparse_embed"] = truncated_normal(r[4], (self._sparse_rows(), D))
+            params["sparse_embed"] = truncated_normal(r[3], (self._sparse_rows(), D))
         if self.feats.has_dense:
             params["dense_embed"] = truncated_normal(
-                r[5], (self.feats.n_dense_fields, D)
+                r[4], (self.feats.n_dense_fields, D)
             )
-        deep_in = self.n_fields * D
-        params["deep_mlp"] = init_mlp(r[6], deep_in, list(self.hidden_units),
-                                      use_ln=self.use_bn)
-        params["deep_out"] = init_dense(
-            jax.random.fold_in(rng, 11), self.hidden_units[-1], 1
-        )
+        in_dim = self.n_fields * D + D  # fields + attended history
+        params["mlp"] = init_mlp(r[5], in_dim, list(self.hidden_units),
+                                 use_ln=self.use_bn)
+        params["head"] = init_dense(r[6], self.hidden_units[-1], 1)
         return params
 
     def _forward(self, params, inputs, train, rng):
         users, items = inputs["user"], inputs["item"]
-        embeds, sparse_idx, dense_vals = self._field_embeds(params, users, items)
-        linear = self._linear_term(params, users, items, sparse_idx, dense_vals)
-        sum_sq = jnp.square(jnp.sum(embeds, axis=1))
-        sq_sum = jnp.sum(jnp.square(embeds), axis=1)
-        fm_part = 0.5 * (sum_sq - sq_sum) @ params["pair_head"]
-        flat = embeds.reshape(embeds.shape[0], -1)
-        h = mlp(params["deep_mlp"], flat, dropout_rate=self.dropout_rate,
-                train=train, rng=rng)
-        deep_part = dense(params["deep_out"], h)[:, 0]
-        return linear + fm_part + deep_part
+        embeds, _, _ = self._field_embeds(params, users, items)
+        seq = self._seq_for(inputs)
+        seq_emb, mask = self._seq_item_embeds(params, seq)
+        target = params["item_embed"][items]                    # (B, D)
+        att_out = din_attention(params["att"], target, seq_emb, mask)
+        x = jnp.concatenate([embeds.reshape(embeds.shape[0], -1), att_out], axis=1)
+        h = mlp(params["mlp"], x, dropout_rate=self.dropout_rate, train=train, rng=rng)
+        return dense(params["head"], h)[:, 0]

@@ -60,7 +60,8 @@ class FM(FeatBase):
             )
         return params
 
-    def _forward(self, params, users, items, train, rng):
+    def _forward(self, params, inputs, train, rng):
+        users, items = inputs["user"], inputs["item"]
         embeds, sparse_idx, dense_vals = self._field_embeds(params, users, items)
         linear = self._linear_term(params, users, items, sparse_idx, dense_vals)
         sum_sq = jnp.square(jnp.sum(embeds, axis=1))

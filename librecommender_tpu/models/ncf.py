@@ -59,7 +59,8 @@ class NCF(FeatBase):
         }
         return params
 
-    def _forward(self, params, users, items, train, rng):
+    def _forward(self, params, inputs, train, rng):
+        users, items = inputs["user"], inputs["item"]
         D = self.embed_size
         ue, ie = params["user_embed"][users], params["item_embed"][items]
         gmf = ue[:, :D] * ie[:, :D]

@@ -1,0 +1,169 @@
+"""SIM: two-stage long-sequence interest modeling (GSU + ESU).
+
+Reference parity: libreco/algorithms/sim.py:29,150-209 and the dual-sequence
+extraction (libreco/batch/sequence.py:94): the General Search Unit soft-
+searches the top-`search_topk` items from a `long_max_len` history by
+embedding similarity with the target (lax.top_k — static shapes, TPU-exact),
+then the Exact Search Unit runs multi-head attention over the selected items;
+a DIN-style attention covers the short recent window. GSU/ESU/short
+representations join the feature fields in one MLP head (the reference
+combines two stage outputs as alpha*first + beta*second; here both stage
+representations feed one head, which subsumes that weighting).
+"""
+import jax
+import jax.numpy as jnp
+
+from ..bases.seq_base import SeqFeatBase
+from ..batch.sequence import build_train_seqs, get_recent_seqs
+from ..ops.initializers import truncated_normal
+from ..ops.nn import (
+    dense,
+    din_attention,
+    init_dense,
+    init_din_attention,
+    init_mha,
+    init_mlp,
+    mha,
+    mlp,
+)
+from ..parallel.mesh import aligned_rows
+
+import numpy as np
+
+
+class SIM(SeqFeatBase):
+    def __init__(
+        self,
+        task,
+        data_info,
+        loss_type="cross_entropy",
+        embed_size=16,
+        n_epochs=20,
+        lr=0.001,
+        lr_decay=False,
+        epsilon=1e-5,
+        reg=None,
+        batch_size=256,
+        sampler="random",
+        num_neg=1,
+        use_bn=True,
+        dropout_rate=None,
+        hidden_units=(128, 64, 32),
+        recent_num=10,
+        random_num=None,
+        long_max_len=100,
+        search_topk=10,
+        num_heads=2,
+        multi_sparse_combiner="sqrtn",
+        seed=42,
+        lower_upper_bound=None,
+    ):
+        self.all_args = {
+            k: v for k, v in locals().items()
+            if k not in ("self", "__class__", "data_info")
+        }
+        super().__init__(
+            task, data_info, loss_type, embed_size, n_epochs, lr, lr_decay,
+            epsilon, reg, batch_size, sampler, num_neg, seed,
+            lower_upper_bound, multi_sparse_combiner,
+            recent_num=recent_num, random_num=random_num,
+        )
+        assert search_topk <= long_max_len
+        self.hidden_units = tuple(hidden_units)
+        self.use_bn = use_bn
+        self.dropout_rate = dropout_rate or 0.0
+        self.long_max_len = long_max_len
+        self.search_topk = search_topk
+        self.num_heads = num_heads
+        self.recent_long_table = None
+
+    def build_model(self):
+        seqs, _ = get_recent_seqs(
+            self.n_users, self.user_consumed, self.n_items, self.long_max_len
+        )
+        self.recent_long_table = jnp.asarray(seqs)
+        super().build_model()
+
+    def build_model_shell(self):
+        super().build_model_shell()
+        seqs, _ = get_recent_seqs(
+            self.n_users, self.user_consumed, self.n_items, self.long_max_len
+        )
+        self.recent_long_table = jnp.asarray(seqs)
+
+    def batch_extras(self, train_data):
+        users = np.asarray(train_data.user_indices)
+        items = np.asarray(train_data.item_indices)
+        short, _ = build_train_seqs(
+            users, items, self.n_items, self.max_seq_len,
+            mode=self.seq_mode, seed=self.seed,
+        )
+        long, _ = build_train_seqs(
+            users, items, self.n_items, self.long_max_len, seed=self.seed
+        )
+        return {"seq": short, "seq_long": long}
+
+    def _init_params(self, rng):
+        D = self.embed_size
+        u_rows, i_rows = aligned_rows(self.n_users), aligned_rows(self.n_items)
+        r = jax.random.split(rng, 8)
+        params = {
+            "user_embed": truncated_normal(r[0], (u_rows, D)),
+            "item_embed": truncated_normal(r[1], (i_rows, D)),
+            "short_att": init_din_attention(r[2], D),
+            "esu_mha": init_mha(r[3], D, self.num_heads),
+        }
+        if self.feats.has_sparse:
+            params["sparse_embed"] = truncated_normal(r[4], (self._sparse_rows(), D))
+        if self.feats.has_dense:
+            params["dense_embed"] = truncated_normal(
+                r[5], (self.feats.n_dense_fields, D)
+            )
+        in_dim = self.n_fields * D + 3 * D  # fields + gsu + esu + short
+        params["mlp"] = init_mlp(r[6], in_dim, list(self.hidden_units),
+                                 use_ln=self.use_bn)
+        params["head"] = init_dense(r[7], self.hidden_units[-1], 1)
+        return params
+
+    def _long_seq_for(self, inputs):
+        if "seq_long" in inputs:
+            return inputs["seq_long"]
+        return self.recent_long_table[inputs["user"]]
+
+    def _forward(self, params, inputs, train, rng):
+        users, items = inputs["user"], inputs["item"]
+        embeds, _, _ = self._field_embeds(params, users, items)
+        target = params["item_embed"][items]                    # (B, D)
+
+        # ---- GSU: soft search over the long history
+        long_seq = self._long_seq_for(inputs)
+        long_emb, long_mask = self._seq_item_embeds(params, long_seq)
+        sims = jnp.einsum("bd,bld->bl", target, long_emb)
+        sims = jnp.where(long_mask, sims, -jnp.inf)
+        top_sims, top_idx = jax.lax.top_k(sims, self.search_topk)  # (B, K)
+        b_idx = jnp.arange(long_emb.shape[0])[:, None]
+        sel_emb = long_emb[b_idx, top_idx]                      # (B, K, D)
+        sel_mask = jnp.isfinite(top_sims)
+        weights = jax.nn.softmax(jnp.where(sel_mask, top_sims, -1e9), axis=1)
+        weights = jnp.where(
+            jnp.any(sel_mask, axis=1, keepdims=True), weights, 0.0
+        )
+        gsu_repr = jnp.einsum("bk,bkd->bd", weights, sel_emb)
+
+        # ---- ESU: exact multi-head attention over the selected items
+        esu_out = mha(
+            params["esu_mha"], target[:, None, :], sel_emb,
+            mask=sel_mask, num_heads=self.num_heads,
+        )[:, 0, :]
+
+        # ---- short recent window: DIN-style target attention
+        short_seq = self._seq_for(inputs)
+        short_emb, short_mask = self._seq_item_embeds(params, short_seq)
+        short_out = din_attention(params["short_att"], target, short_emb, short_mask)
+
+        x = jnp.concatenate(
+            [embeds.reshape(embeds.shape[0], -1), gsu_repr, esu_out, short_out],
+            axis=1,
+        )
+        h = mlp(params["mlp"], x, dropout_rate=self.dropout_rate, train=train, rng=rng)
+        return dense(params["head"], h)[:, 0]

@@ -1,0 +1,114 @@
+"""Transformer (BST): behavior-sequence transformer ranking model.
+
+Reference parity: libreco/algorithms/transformer.py:35 — the target item is
+appended to the behavior sequence, sinusoidal positions added, a stack of
+encoder layers attends over the (seq + target), and the output at the target
+position joins the other feature fields in an MLP head.
+"""
+import jax
+import jax.numpy as jnp
+
+from ..bases.seq_base import SeqFeatBase
+from ..ops.initializers import truncated_normal
+from ..ops.nn import (
+    dense,
+    init_dense,
+    init_mlp,
+    init_transformer_layer,
+    mlp,
+    positional_encoding,
+    transformer_layer,
+)
+from ..parallel.mesh import aligned_rows
+
+
+class Transformer(SeqFeatBase):
+    def __init__(
+        self,
+        task,
+        data_info,
+        loss_type="cross_entropy",
+        embed_size=16,
+        n_epochs=20,
+        lr=0.001,
+        lr_decay=False,
+        epsilon=1e-5,
+        reg=None,
+        batch_size=256,
+        sampler="random",
+        num_neg=1,
+        use_bn=True,
+        dropout_rate=None,
+        hidden_units=(128, 64, 32),
+        recent_num=10,
+        random_num=None,
+        num_heads=2,
+        num_tfm_layers=1,
+        multi_sparse_combiner="sqrtn",
+        seed=42,
+        lower_upper_bound=None,
+    ):
+        self.all_args = {
+            k: v for k, v in locals().items()
+            if k not in ("self", "__class__", "data_info")
+        }
+        super().__init__(
+            task, data_info, loss_type, embed_size, n_epochs, lr, lr_decay,
+            epsilon, reg, batch_size, sampler, num_neg, seed,
+            lower_upper_bound, multi_sparse_combiner,
+            recent_num=recent_num, random_num=random_num,
+        )
+        self.hidden_units = tuple(hidden_units)
+        self.use_bn = use_bn
+        self.dropout_rate = dropout_rate or 0.0
+        self.num_heads = num_heads
+        self.num_tfm_layers = num_tfm_layers
+
+    def _init_params(self, rng):
+        D = self.embed_size
+        u_rows, i_rows = aligned_rows(self.n_users), aligned_rows(self.n_items)
+        r = jax.random.split(rng, 6 + self.num_tfm_layers)
+        params = {
+            "user_embed": truncated_normal(r[0], (u_rows, D)),
+            "item_embed": truncated_normal(r[1], (i_rows, D)),
+        }
+        if self.feats.has_sparse:
+            params["sparse_embed"] = truncated_normal(r[2], (self._sparse_rows(), D))
+        if self.feats.has_dense:
+            params["dense_embed"] = truncated_normal(
+                r[3], (self.feats.n_dense_fields, D)
+            )
+        params["tfm_layers"] = [
+            init_transformer_layer(r[4 + li], D, self.num_heads, 4 * D)
+            for li in range(self.num_tfm_layers)
+        ]
+        in_dim = self.n_fields * D + D
+        params["mlp"] = init_mlp(
+            r[4 + self.num_tfm_layers], in_dim, list(self.hidden_units),
+            use_ln=self.use_bn,
+        )
+        params["head"] = init_dense(r[5 + self.num_tfm_layers], self.hidden_units[-1], 1)
+        return params
+
+    def _forward(self, params, inputs, train, rng):
+        users, items = inputs["user"], inputs["item"]
+        embeds, _, _ = self._field_embeds(params, users, items)
+        seq = self._seq_for(inputs)
+        seq_emb, mask = self._seq_item_embeds(params, seq)
+        target = params["item_embed"][items][:, None, :]        # (B, 1, D)
+        x = jnp.concatenate([seq_emb, target], axis=1)          # (B, L+1, D)
+        full_mask = jnp.concatenate(
+            [mask, jnp.ones((mask.shape[0], 1), bool)], axis=1
+        )
+        x = x + positional_encoding(x.shape[1], x.shape[2])[None]
+        for layer in params["tfm_layers"]:
+            x = transformer_layer(
+                layer, x, mask=full_mask, num_heads=self.num_heads
+            )
+        target_out = x[:, -1, :]                                # (B, D)
+        flat = jnp.concatenate(
+            [embeds.reshape(embeds.shape[0], -1), target_out], axis=1
+        )
+        h = mlp(params["mlp"], flat, dropout_rate=self.dropout_rate,
+                train=train, rng=rng)
+        return dense(params["head"], h)[:, 0]

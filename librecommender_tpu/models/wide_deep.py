@@ -79,7 +79,8 @@ class WideDeep(FeatBase):
         )
         return params
 
-    def _forward(self, params, users, items, train, rng):
+    def _forward(self, params, inputs, train, rng):
+        users, items = inputs["user"], inputs["item"]
         embeds, sparse_idx, dense_vals = self._field_embeds(params, users, items)
         wide = self._linear_term(params, users, items, sparse_idx, dense_vals)
         flat = embeds.reshape(embeds.shape[0], -1)

@@ -76,20 +76,19 @@ def combine_multi_sparse(embeds, sparse_indices, multi_sparse_info, combiner):
     return jnp.concatenate(pieces, axis=1)
 
 
-def seq_mean_pool(item_table, seq, seq_len):
-    """Mean-pool item embeddings over a right-padded behavior sequence.
+def seq_mask(seq, pad_id):
+    """(B, L) int seq -> (B, L) bool valid mask. Sequences are right-aligned
+    and padded with ``pad_id`` (= n_items, the item OOV id)."""
+    return seq != pad_id
 
-    seq (B, L) int inner item ids (padded with the OOV id, masked by length);
-    seq_len (B,) float lengths. Reference `combine_seq_features`
+
+def seq_mean_pool(item_table, seq, pad_id):
+    """Mean-pool item embeddings over a behavior sequence, ignoring padding.
+
+    seq (B, L) int inner item ids. Reference `combine_seq_features`
     (libreco/tfops/features.py:151) + YouTubeRanking mean pooling.
     """
     embeds = item_table[seq]                                     # (B, L, D)
-    L = seq.shape[1]
-    mask = jnp.arange(L)[None, :] < seq_len[:, None]
-    summed = jnp.sum(embeds * mask[:, :, None].astype(embeds.dtype), axis=1)
-    return summed / jnp.maximum(seq_len[:, None], 1.0)
-
-
-def seq_mask(seq_len, max_len):
-    """(B,) lengths -> (B, L) bool mask for right-padded sequences."""
-    return jnp.arange(max_len)[None, :] < seq_len[:, None]
+    mask = (seq != pad_id).astype(embeds.dtype)
+    summed = jnp.sum(embeds * mask[:, :, None], axis=1)
+    return summed / jnp.maximum(jnp.sum(mask, axis=1, keepdims=True), 1.0)

@@ -119,6 +119,7 @@ class Trainer:
             sampler=self.sampler,
             num_neg=self.num_neg,
             seed=model.seed,
+            extras=getattr(model, "batch_extras", lambda d: None)(train_data),
         )
         n_batches = generator.n_batches()
         optimizer = self.optimizer or make_optimizer(
