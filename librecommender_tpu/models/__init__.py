@@ -12,9 +12,11 @@ from .sim import SIM
 from .rnn4rec import RNN4Rec
 from .caser import Caser
 from .wave_net import WaveNet
+from .two_tower import TwoTower
+from .youtube_retrieval import YouTubeRetrieval
 
 __all__ = [
     "SVD", "BPR", "FM", "DeepFM", "WideDeep", "AutoInt", "NCF",
     "YouTubeRanking", "DIN", "Transformer", "SIM",
-    "RNN4Rec", "Caser", "WaveNet",
+    "RNN4Rec", "Caser", "WaveNet", "TwoTower", "YouTubeRetrieval",
 ]

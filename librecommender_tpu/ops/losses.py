@@ -77,6 +77,10 @@ def softmax_cross_entropy_loss(
         logp = jnp.log(jnp.clip(correction_probs, 1e-8, 1.0))
         logits = logits - logp[None, :]
     n = logits.shape[0]
+    if weight is not None:
+        # padded batch-tail rows must not pollute other rows' denominators
+        col_pad = (weight <= 0.0)[None, :] & ~jnp.eye(n, dtype=bool)
+        logits = jnp.where(col_pad, -1e9, logits)
     if remove_accidental_hits and item_ids is not None:
         hit = item_ids[None, :] == item_ids[:, None]
         off_diag_hit = hit & ~jnp.eye(n, dtype=bool)

@@ -100,6 +100,13 @@ def check_neg_sampling(model, neg_sampling):
     )
     if model.task == "rating" and neg_sampling:
         raise ValueError("`rating` task should not use negative sampling")
+    if is_listwise_training(model):
+        if neg_sampling:
+            raise ValueError(
+                f"listwise loss (`{model.loss_type}`) samples negatives "
+                f"internally; use `neg_sampling=False`"
+            )
+        return
     if (
         hasattr(model, "loss_type")
         and model.loss_type in ("bpr", "max_margin")
@@ -109,6 +116,8 @@ def check_neg_sampling(model, neg_sampling):
 
 
 def check_labels(model, labels, neg_sampling):
+    if is_listwise_training(model):
+        return  # implicit positives; labels unused
     if model.task == "ranking" and not neg_sampling:
         unique_labels = np.unique(labels)
         if (
@@ -136,8 +145,4 @@ def check_eval(eval_data, k, n_items):
 
 
 def is_listwise_training(model):
-    from .constants import ListwiseModels
-
-    return model.model_name == "YouTubeRetrieval" or (
-        model.model_name == "TwoTower" and getattr(model, "loss_type", "") == "softmax"
-    )
+    return getattr(model, "paradigm", "") == "listwise"

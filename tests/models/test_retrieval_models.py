@@ -1,0 +1,83 @@
+"""Retrieval family tests: TwoTower + YouTubeRetrieval."""
+import numpy as np
+import pytest
+
+from librecommender_tpu.evaluation import evaluate
+from librecommender_tpu.models import TwoTower, YouTubeRetrieval
+
+from tests.utils_models import ptest_preds, ptest_recommends, ptest_save_load
+
+
+@pytest.mark.parametrize("loss_type", ["softmax", "cross_entropy", "max_margin"])
+def test_two_tower_end_to_end(feat_builds, feat_frames, loss_type, tmp_path):
+    train_data, eval_data, test_data, data_info = feat_builds
+    model = TwoTower(
+        "ranking", data_info, loss_type=loss_type, embed_size=8,
+        n_epochs=1, batch_size=256, hidden_units=(32, 16),
+    )
+    neg_sampling = loss_type != "softmax"
+    model.fit(train_data, neg_sampling=neg_sampling, verbose=1, eval_data=eval_data)
+    ptest_preds(model, "ranking", feat_frames)
+    ptest_recommends(model, data_info, feat_frames)
+    ptest_save_load(model, TwoTower, data_info, feat_frames, tmp_path)
+    result = evaluate(
+        model, test_data, neg_sampling=True, metrics=["roc_auc", "ndcg"]
+    )
+    assert np.isfinite(result["roc_auc"])
+
+
+def test_two_tower_softmax_rejects_neg_sampling(feat_builds):
+    train_data, *_, data_info = feat_builds
+    model = TwoTower("ranking", data_info, loss_type="softmax", n_epochs=1)
+    with pytest.raises(ValueError):
+        model.fit(train_data, neg_sampling=True, verbose=0)
+
+
+@pytest.mark.parametrize("loss_type", ["sampled_softmax", "nce"])
+def test_youtube_retrieval_end_to_end(feat_builds, feat_frames, loss_type, tmp_path):
+    train_data, eval_data, test_data, data_info = feat_builds
+    model = YouTubeRetrieval(
+        "ranking", data_info, loss_type=loss_type, embed_size=8,
+        n_epochs=1, batch_size=256, hidden_units=(32, 16), recent_num=5,
+    )
+    model.fit(train_data, neg_sampling=False, verbose=1, eval_data=eval_data)
+    ptest_preds(model, "ranking", feat_frames)
+    ptest_recommends(model, data_info, feat_frames)
+    ptest_save_load(model, YouTubeRetrieval, data_info, feat_frames, tmp_path)
+
+
+def test_two_tower_learns(feat_builds):
+    train_data, *_, data_info = feat_builds
+    model = TwoTower(
+        "ranking", data_info, loss_type="softmax", embed_size=16,
+        n_epochs=15, lr=0.02, batch_size=512, hidden_units=(32,),
+    )
+    model.fit(train_data, neg_sampling=False, verbose=0)
+    result = evaluate(model, train_data, neg_sampling=True, metrics=["roc_auc"])
+    assert result["roc_auc"] > 0.58
+
+
+def test_two_tower_dyn_user_embedding(feat_builds, feat_frames):
+    train_data, *_, data_info = feat_builds
+    train_frame = feat_frames[0]
+    model = TwoTower("ranking", data_info, loss_type="softmax", embed_size=8,
+                     n_epochs=1, batch_size=256, hidden_units=(16,))
+    model.fit(train_data, neg_sampling=False, verbose=0)
+    u = train_frame.user.iloc[0]
+    embed = model.dyn_user_embedding(u)
+    assert embed.shape == (8,)
+    assert np.all(np.isfinite(embed))
+
+
+def test_knn_search(feat_builds, feat_frames):
+    train_data, *_, data_info = feat_builds
+    train_frame = feat_frames[0]
+    model = TwoTower("ranking", data_info, loss_type="softmax", embed_size=8,
+                     n_epochs=1, batch_size=256, hidden_units=(16,))
+    model.fit(train_data, neg_sampling=False, verbose=0)
+    item = train_frame.item.iloc[0]
+    sims = model.search_knn_items(item, 5)
+    assert len(sims) == 5 and item not in sims
+    user = train_frame.user.iloc[0]
+    sims_u = model.search_knn_users(user, 5)
+    assert len(sims_u) == 5 and user not in sims_u
