@@ -14,9 +14,14 @@ from .caser import Caser
 from .wave_net import WaveNet
 from .two_tower import TwoTower
 from .youtube_retrieval import YouTubeRetrieval
+from .lightgcn import LightGCN
+from .ngcf import NGCF
+from .graphsage import GraphSage
+from .pinsage import PinSage
 
 __all__ = [
     "SVD", "BPR", "FM", "DeepFM", "WideDeep", "AutoInt", "NCF",
     "YouTubeRanking", "DIN", "Transformer", "SIM",
     "RNN4Rec", "Caser", "WaveNet", "TwoTower", "YouTubeRetrieval",
+    "LightGCN", "NGCF", "GraphSage", "PinSage",
 ]

@@ -1,0 +1,112 @@
+"""LightGCN: layer-averaged linear propagation over the normalized adjacency.
+
+Reference parity: libreco/algorithms/lightgcn.py:9 +
+torch_modules/lightgcn_module.py:7-62 — K propagation layers
+e^(k+1) = A_hat e^(k) (no weights, no nonlinearity), final embedding = mean
+of all layers, edge (node-message) dropout during training. The sparse
+matmul is expressed as gather + segment_sum over static edge arrays, which
+XLA lowers to efficient TPU scatter/gather; edge dropout is a bernoulli mask
+drawn on device.
+"""
+import jax
+import jax.numpy as jnp
+
+from ..bases.graph_base import GraphEmbedBase
+from ..graph.adjacency import build_edges
+from ..ops.initializers import truncated_normal
+from ..parallel.mesh import aligned_rows
+
+
+class LightGCN(GraphEmbedBase):
+    def __init__(
+        self,
+        task,
+        data_info,
+        loss_type="bpr",
+        embed_size=16,
+        n_epochs=20,
+        lr=0.001,
+        lr_decay=False,
+        epsilon=1e-5,
+        reg=None,
+        batch_size=256,
+        sampler="random",
+        num_neg=1,
+        n_layers=3,
+        dropout_rate=0.0,
+        seed=42,
+    ):
+        self.all_args = {
+            k: v for k, v in locals().items()
+            if k not in ("self", "__class__", "data_info")
+        }
+        if task != "ranking":
+            raise ValueError("LightGCN is only suitable for ranking")
+        assert loss_type in ("cross_entropy", "focal", "bpr", "max_margin")
+        super().__init__(task, data_info, loss_type, embed_size, None, seed)
+        self.n_epochs = n_epochs
+        self.lr = lr
+        self.lr_decay = lr_decay
+        self.epsilon = epsilon
+        self.reg = reg
+        self.batch_size = batch_size
+        self.sampler = sampler
+        self.num_neg = num_neg
+        self.n_layers = n_layers
+        self.dropout_rate = dropout_rate
+        self.edge_u = self.edge_i = self.edge_w = None
+
+    def build_model(self):
+        eu, ei, ew = build_edges(
+            self.data_info.user_consumed, self.n_users, self.n_items
+        )
+        self.edge_u = jnp.asarray(eu)
+        self.edge_i = jnp.asarray(ei)
+        self.edge_w = jnp.asarray(ew)
+        super().build_model()
+
+    def _init_params(self, rng):
+        r1, r2 = jax.random.split(rng)
+        return {
+            "user_embed": truncated_normal(
+                r1, (aligned_rows(self.n_users), self.embed_size)
+            ),
+            "item_embed": truncated_normal(
+                r2, (aligned_rows(self.n_items), self.embed_size)
+            ),
+        }
+
+    def _propagate(self, params, rng, train):
+        u_rows = params["user_embed"].shape[0]
+        i_rows = params["item_embed"].shape[0]
+        w = self.edge_w
+        if train and self.dropout_rate > 0.0:
+            keep = 1.0 - self.dropout_rate
+            mask = jax.random.bernoulli(rng, keep, w.shape)
+            w = jnp.where(mask, w / keep, 0.0)
+        eu, ei = self.edge_u, self.edge_i
+        user_h = params["user_embed"]
+        item_h = params["item_embed"]
+        user_acc, item_acc = user_h, item_h
+        for _ in range(self.n_layers):
+            msg_to_user = jax.ops.segment_sum(
+                item_h[ei] * w[:, None], eu, num_segments=u_rows
+            )
+            msg_to_item = jax.ops.segment_sum(
+                user_h[eu] * w[:, None], ei, num_segments=i_rows
+            )
+            user_h, item_h = msg_to_user, msg_to_item
+            user_acc = user_acc + user_h
+            item_acc = item_acc + item_h
+        scale = 1.0 / (self.n_layers + 1)
+        return user_acc * scale, item_acc * scale
+
+    def post_load(self):
+        eu, ei, ew = build_edges(
+            self.data_info.user_consumed, self.n_users, self.n_items
+        )
+        self.edge_u, self.edge_i, self.edge_w = (
+            jnp.asarray(eu), jnp.asarray(ei), jnp.asarray(ew),
+        )
+        if self.params is not None:
+            self.set_embeddings()

@@ -1,0 +1,110 @@
+"""PinSage: importance-weighted neighbor aggregation.
+
+Reference parity: libreco/algorithms/pinsage.py:8 (+ pinsage_dgl.py:11,
+collapsed): item neighborhoods are defined by bipartite random-walk visit
+counts with importance weights (graph/adjacency.py `pinsage_neighbor_table`,
+mirroring sampling/random_walks.py:75); aggregation is the weighted mean of
+neighbor embeddings through a dense layer. Users aggregate their consumed
+items uniformly (u2i paradigm).
+"""
+import jax
+import jax.numpy as jnp
+
+from .graphsage import GraphSage
+from ..graph.adjacency import build_neighbor_table, pinsage_neighbor_table
+from ..ops.nn import dense
+
+
+class PinSage(GraphSage):
+    def __init__(
+        self,
+        task,
+        data_info,
+        loss_type="cross_entropy",
+        embed_size=16,
+        n_epochs=20,
+        lr=0.001,
+        lr_decay=False,
+        epsilon=1e-5,
+        reg=None,
+        batch_size=256,
+        sampler="random",
+        num_neg=1,
+        num_layers=2,
+        num_neighbors=10,
+        num_walks=10,
+        termination_prob=0.5,
+        max_stored_neighbors=50,
+        seed=42,
+    ):
+        super().__init__(
+            task, data_info, loss_type, embed_size, n_epochs, lr, lr_decay,
+            epsilon, reg, batch_size, sampler, num_neg, num_layers,
+            num_neighbors, max_stored_neighbors, seed,
+        )
+        self.all_args.update(
+            num_walks=num_walks, termination_prob=termination_prob
+        )
+        self.num_walks = num_walks
+        self.termination_prob = termination_prob
+        self.item_item_nbr = None
+        self.item_item_w = None
+
+    def build_model(self):
+        nbr, w = pinsage_neighbor_table(
+            self.data_info.user_consumed,
+            self.data_info.item_consumed,
+            self.n_items,
+            num_walks=self.num_walks,
+            top_t=self.num_neighbors,
+            termination_prob=self.termination_prob,
+            seed=self.seed,
+        )
+        self.item_item_nbr = jnp.asarray(nbr)
+        self.item_item_w = jnp.asarray(w)
+        super().build_model()
+
+    def _propagate(self, params, rng, train):
+        user_h = params["user_embed"]
+        item_h = params["item_embed"]
+        n_u, n_i = self.n_users, self.n_items
+        for l in range(self.num_layers):
+            rng, r1 = jax.random.split(rng)
+            # users: uniform mean over consumed items
+            u_nbr_mean = self._sample_neighbor_mean(
+                item_h, self.user_nbr, self.user_deg, r1, train
+            )
+            # items: importance-weighted mean over walk neighborhoods
+            nbr_embeds = item_h[self.item_item_nbr]             # (n_i, T, D)
+            i_nbr_mean = jnp.einsum(
+                "ntd,nt->nd", nbr_embeds, self.item_item_w
+            )
+            u_new = jax.nn.relu(
+                dense(
+                    params["user_w"][l],
+                    jnp.concatenate([user_h[:n_u], u_nbr_mean], axis=1),
+                )
+            )
+            i_new = jax.nn.relu(
+                dense(
+                    params["item_w"][l],
+                    jnp.concatenate([item_h[:n_i], i_nbr_mean], axis=1),
+                )
+            )
+            user_h = jnp.zeros_like(user_h).at[:n_u].set(u_new)
+            item_h = jnp.zeros_like(item_h).at[:n_i].set(i_new)
+        return user_h, item_h
+
+    def post_load(self):
+        nbr, w = pinsage_neighbor_table(
+            self.data_info.user_consumed,
+            self.data_info.item_consumed,
+            self.n_items,
+            num_walks=self.num_walks,
+            top_t=self.num_neighbors,
+            termination_prob=self.termination_prob,
+            seed=self.seed,
+        )
+        self.item_item_nbr = jnp.asarray(nbr)
+        self.item_item_w = jnp.asarray(w)
+        super().post_load()
