@@ -1,0 +1,213 @@
+"""Neighborhood collaborative filtering base (UserCF / ItemCF).
+
+Reference parity: libreco/bases/cf_base.py:26 and the recfarm variant
+cf_base_rs.py:14 — cosine/pearson/jaccard top-k neighbor computation through
+the native C++ kernel (librecommender_tpu/native), rating prediction as
+sim-weighted label average, ranking aggregation over neighbor consumption,
+popular-item fallback when no neighbor information exists.
+"""
+import numpy as np
+from scipy.sparse import csr_matrix
+
+from .base import Base
+from ..recommendation.cold_start import popular_recommendations
+from ..utils.misc import colorize, time_block
+from ..utils.similarities import SIM_TYPES, topk_similarities
+from ..utils.validate import check_fitting
+
+
+class CfBase(Base):
+    cf_mode = None  # "user" or "item"
+
+    def __init__(
+        self,
+        task,
+        data_info,
+        sim_type="cosine",
+        k_sim=20,
+        store_top_k=True,
+        num_threads=0,
+        min_common=1,
+        mode=None,  # accepted for reference-API familiarity (invert/forward)
+        seed=42,
+        lower_upper_bound=None,
+    ):
+        super().__init__(task, data_info, lower_upper_bound, seed)
+        if sim_type not in SIM_TYPES:
+            raise ValueError(f"unknown sim_type: {sim_type}")
+        self.sim_type = sim_type
+        self.k_sim = k_sim
+        self.num_threads = num_threads
+        self.min_common = min_common
+        self.sim_ids = None        # (n_rows, k_sim) padded with -1
+        self.sim_vals = None
+        self.interaction = None    # user-item CSR
+        # hyperparams consumed by Base.fit are unused; CF has no SGD loop
+
+    def build_model(self):
+        pass
+
+    def loss_fn(self, params, batch, rng):  # pragma: no cover
+        raise NotImplementedError("CF models have no SGD loss")
+
+    def fit(
+        self,
+        train_data,
+        neg_sampling,
+        verbose=1,
+        shuffle=True,
+        eval_data=None,
+        metrics=None,
+        k=10,
+        eval_batch_size=8192,
+        eval_user_num=None,
+        **kwargs,
+    ):
+        check_fitting(self, train_data, eval_data, neg_sampling, k)
+        mat = train_data.sparse_interaction
+        self.interaction = csr_matrix(
+            (mat.data, mat.indices, mat.indptr),
+            shape=(self.n_users, self.n_items),
+        )
+        entity = (
+            self.interaction if self.cf_mode == "user"
+            else self.interaction.T.tocsr()
+        )
+        with time_block(f"{self.sim_type} sims", verbose):
+            self.sim_ids, self.sim_vals = topk_similarities(
+                entity, self.sim_type, self.k_sim,
+                self.min_common, self.num_threads,
+            )
+        n_with = int(np.sum(self.sim_ids[:, 0] >= 0))
+        if verbose > 0:
+            total = self.sim_ids.shape[0]
+            print(
+                colorize(
+                    f"{n_with} of {total} {self.cf_mode}s have similar neighbors",
+                    "cyan",
+                )
+            )
+        self.post_fit()
+        if verbose > 1 and eval_data is not None:
+            from ..evaluation.evaluate import print_metrics
+
+            print_metrics(
+                self,
+                eval_data=eval_data,
+                metrics=metrics,
+                eval_batch_size=eval_batch_size,
+                k=k,
+                sample_user_num=eval_user_num,
+                seed=self.seed,
+                neg_sampling=neg_sampling,
+            )
+
+    def post_fit(self):
+        self.build_default_recs()
+
+    def _default_rec_source(self, num):
+        return np.asarray(
+            [self.data_info.item2id[i] for i in self.data_info.popular_items[:num]]
+        )
+
+    # ------------------------------------------------------------- inference
+    def predict(self, user, item, inner_id=False, cold_start="average"):
+        users, items = self.convert_ids(user, item, inner_id)
+        preds = np.empty(len(users), np.float64)
+        for n, (u, i) in enumerate(zip(users, items)):
+            preds[n] = self._predict_pair(int(u), int(i))
+        if self.task == "rating":
+            preds = np.clip(preds, self.lower_bound, self.upper_bound)
+        return preds[0] if preds.size == 1 else preds
+
+    def _predict_pair(self, u, i):
+        raise NotImplementedError
+
+    def recommend_user(
+        self,
+        user,
+        n_rec,
+        inner_id=False,
+        cold_start="average",
+        filter_consumed=True,
+        random_rec=False,
+    ):
+        raw_users = np.atleast_1d(np.asarray(user))
+        if cold_start not in ("average", "popular"):
+            raise ValueError(f"Unknown cold start strategy: {cold_start}")
+        result = {}
+        for u in raw_users:
+            uid = (
+                int(u) if inner_id and 0 <= int(u) < self.n_users
+                else self.data_info.user2id.get(u, -1) if not inner_id
+                else -1
+            )
+            key = u.item() if isinstance(u, np.generic) else u
+            if uid < 0:
+                result[key] = popular_recommendations(
+                    self.data_info, inner_id=True, n_rec=n_rec
+                )
+                continue
+            scores = self._user_scores(uid)
+            if filter_consumed:
+                consumed = list(self.user_consumed.get(uid, ()))
+                scores[consumed] = -np.inf
+            top = np.argpartition(-scores, min(n_rec, self.n_items - 1))[:n_rec]
+            top = top[np.argsort(-scores[top])]
+            finite = top[np.isfinite(scores[top])]
+            if len(finite) < n_rec:  # popular fallback fill
+                pops = popular_recommendations(
+                    self.data_info, inner_id=True, n_rec=n_rec
+                )
+                fill = [p for p in pops if p not in set(finite)]
+                finite = np.concatenate([finite, fill])[:n_rec]
+            result[key] = finite.astype(np.int64)
+        return self.finalize_rec(result, raw_users, inner_id)
+
+    def _user_scores(self, uid):
+        raise NotImplementedError
+
+    # --------------------------------------------------------- persistence
+    def save(self, path, model_name=None, **kwargs):
+        from pathlib import Path
+
+        if model_name is not None:
+            self.model_name = model_name
+        Path(path).mkdir(parents=True, exist_ok=True)
+        from ..utils.save_load import save_default_recs, save_hyper_params
+
+        save_hyper_params(path, self)
+        save_default_recs(path, self)
+        np.savez_compressed(
+            Path(path) / f"{self.model_name}_cf",
+            sim_ids=self.sim_ids,
+            sim_vals=self.sim_vals,
+            inter_data=self.interaction.data,
+            inter_indices=self.interaction.indices,
+            inter_indptr=self.interaction.indptr,
+        )
+        self.data_info.save(path, self.model_name)
+
+    @classmethod
+    def load(cls, path, model_name, data_info=None, **kwargs):
+        from pathlib import Path
+
+        from ..data.data_info import DataInfo
+        from ..utils.save_load import load_default_recs, load_hyper_params
+
+        if data_info is None:
+            data_info = DataInfo.load(path, model_name)
+        hparams = load_hyper_params(path, model_name)
+        hparams.pop("model_class", None)
+        model = cls(data_info=data_info, **hparams)
+        model.model_name = model_name
+        arrays = np.load(Path(path) / f"{model_name}_cf.npz")
+        model.sim_ids = arrays["sim_ids"]
+        model.sim_vals = arrays["sim_vals"]
+        model.interaction = csr_matrix(
+            (arrays["inter_data"], arrays["inter_indices"], arrays["inter_indptr"]),
+            shape=(model.n_users, model.n_items),
+        )
+        model.default_recs = load_default_recs(path, model_name)
+        model.loaded = True
+        return model

@@ -18,10 +18,17 @@ from .lightgcn import LightGCN
 from .ngcf import NGCF
 from .graphsage import GraphSage
 from .pinsage import PinSage
+from .als import ALS
+from .item2vec import Item2Vec
+from .deepwalk import DeepWalk
+from .user_cf import UserCF
+from .item_cf import ItemCF
+from .swing import Swing
 
 __all__ = [
     "SVD", "BPR", "FM", "DeepFM", "WideDeep", "AutoInt", "NCF",
     "YouTubeRanking", "DIN", "Transformer", "SIM",
     "RNN4Rec", "Caser", "WaveNet", "TwoTower", "YouTubeRetrieval",
     "LightGCN", "NGCF", "GraphSage", "PinSage",
+    "ALS", "Item2Vec", "DeepWalk", "UserCF", "ItemCF", "Swing",
 ]

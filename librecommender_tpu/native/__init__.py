@@ -1,0 +1,118 @@
+"""ctypes loader for the native CF kernels, with a numpy/scipy fallback.
+
+The .so is compiled on first use with g++ -O3 -fopenmp and cached next to
+the source; set LIBREC_TPU_NO_NATIVE=1 to force the pure-Python fallback
+(used by tests to cross-check both paths).
+"""
+import ctypes
+import os
+import subprocess
+from pathlib import Path
+
+import numpy as np
+
+_HERE = Path(__file__).parent
+_SO = _HERE / "_similarities.so"
+_SRC = _HERE / "similarities.cpp"
+
+_lib = None
+_tried = False
+
+
+def _build():
+    cmd = [
+        "g++", "-O3", "-march=native", "-fopenmp", "-shared", "-fPIC",
+        "-std=c++17", str(_SRC), "-o", str(_SO),
+    ]
+    subprocess.run(cmd, check=True, capture_output=True, text=True)
+
+
+def get_lib():
+    """The loaded native library, or None if unavailable/disabled."""
+    global _lib, _tried
+    if os.environ.get("LIBREC_TPU_NO_NATIVE"):
+        return None
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    try:
+        if not _SO.exists() or _SO.stat().st_mtime < _SRC.stat().st_mtime:
+            _build()
+        lib = ctypes.CDLL(str(_SO))
+        lib.topk_similarities.argtypes = [
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int32, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int32,
+        ]
+        lib.swing_topk.argtypes = [
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int32,
+            ctypes.c_float, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int32,
+        ]
+        _lib = lib
+    except Exception as exc:  # pragma: no cover - env without g++
+        print(f"native kernels unavailable ({exc}); using numpy fallback")
+        _lib = None
+    return _lib
+
+
+def _ptr(arr, ctype):
+    return arr.ctypes.data_as(ctypes.POINTER(ctype))
+
+
+def topk_similarities_native(x_csr, yt_csr, n_y, x_nnz, y_nnz, k,
+                             min_common, jaccard, exclude_self, n_threads=0):
+    lib = get_lib()
+    assert lib is not None
+    n_x = x_csr.shape[0]
+    out_ids = np.empty((n_x, k), np.int32)
+    out_sims = np.empty((n_x, k), np.float32)
+    xi = np.ascontiguousarray(x_csr.indptr, np.int64)
+    xj = np.ascontiguousarray(x_csr.indices, np.int32)
+    xd = np.ascontiguousarray(x_csr.data, np.float32)
+    yi = np.ascontiguousarray(yt_csr.indptr, np.int64)
+    yj = np.ascontiguousarray(yt_csr.indices, np.int32)
+    yd = np.ascontiguousarray(yt_csr.data, np.float32)
+    xn = np.ascontiguousarray(x_nnz, np.float32)
+    yn = np.ascontiguousarray(y_nnz, np.float32)
+    lib.topk_similarities(
+        _ptr(xi, ctypes.c_int64), _ptr(xj, ctypes.c_int32),
+        _ptr(xd, ctypes.c_float), n_x,
+        _ptr(yi, ctypes.c_int64), _ptr(yj, ctypes.c_int32),
+        _ptr(yd, ctypes.c_float), x_csr.shape[1], n_y,
+        _ptr(xn, ctypes.c_float), _ptr(yn, ctypes.c_float),
+        k, min_common, int(jaccard), int(exclude_self),
+        _ptr(out_ids, ctypes.c_int32), _ptr(out_sims, ctypes.c_float),
+        n_threads,
+    )
+    return out_ids, out_sims
+
+
+def swing_topk_native(user_items_csr, item_users_csr, alpha, k, n_threads=0):
+    lib = get_lib()
+    assert lib is not None
+    n_users = user_items_csr.shape[0]
+    n_items = item_users_csr.shape[0]
+    out_ids = np.empty((n_items, k), np.int32)
+    out_sims = np.empty((n_items, k), np.float32)
+    ui = np.ascontiguousarray(user_items_csr.indptr, np.int64)
+    uj = np.ascontiguousarray(user_items_csr.indices, np.int32)
+    ii = np.ascontiguousarray(item_users_csr.indptr, np.int64)
+    ij = np.ascontiguousarray(item_users_csr.indices, np.int32)
+    lib.swing_topk(
+        _ptr(ui, ctypes.c_int64), _ptr(uj, ctypes.c_int32), n_users,
+        _ptr(ii, ctypes.c_int64), _ptr(ij, ctypes.c_int32), n_items,
+        float(alpha), k,
+        _ptr(out_ids, ctypes.c_int32), _ptr(out_sims, ctypes.c_float),
+        n_threads,
+    )
+    return out_ids, out_sims

@@ -1,0 +1,192 @@
+// Native CF kernels: blockwise top-k similarities + Swing scores.
+//
+// This is the C++ replacement for the reference's native tier:
+//   - libreco/utils/_similarities.pyx:17,73 (Cython/OpenMP cosine/pearson/
+//     jaccard, invert-index accumulation, min_common threshold)
+//   - rust/src/{user_cf.rs,item_cf.rs,similarities.rs} (recfarm rayon sims)
+//   - rust/src/graph.rs:200 (Swing user-pair scores)
+//
+// Exposed as extern "C" for ctypes (pybind11 is not available in this image).
+// Values for cosine/pearson are pre-normalized on the Python side so the
+// accumulated dot product IS the similarity; jaccard passes indicator data
+// and finalizes common/(nnz_x + nnz_y - common).
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <unordered_map>
+#include <vector>
+
+#ifdef _OPENMP
+#include <omp.h>
+#endif
+
+extern "C" {
+
+// Top-k similar rows for every row of X against rows of Y.
+// x CSR: (n_x rows over n_dim columns); yt CSR of Y^T: for each dim, the
+// y-rows containing it. out_ids/out_sims are (n_x, k), padded with -1/0.
+void topk_similarities(
+    const int64_t* x_indptr, const int32_t* x_indices, const float* x_data,
+    int32_t n_x,
+    const int64_t* yt_indptr, const int32_t* yt_indices, const float* yt_data,
+    int32_t n_dim, int32_t n_y,
+    const float* x_nnz, const float* y_nnz,
+    int32_t k, int32_t min_common, int32_t jaccard, int32_t exclude_self,
+    int32_t* out_ids, float* out_sims, int32_t n_threads) {
+#ifdef _OPENMP
+  if (n_threads > 0) omp_set_num_threads(n_threads);
+#endif
+#pragma omp parallel
+  {
+    std::vector<float> acc(n_y, 0.0f);
+    std::vector<int32_t> common(n_y, 0);
+    std::vector<int32_t> touched;
+    touched.reserve(4096);
+#pragma omp for schedule(dynamic, 16)
+    for (int32_t x = 0; x < n_x; ++x) {
+      touched.clear();
+      for (int64_t p = x_indptr[x]; p < x_indptr[x + 1]; ++p) {
+        const int32_t dim = x_indices[p];
+        const float xv = x_data[p];
+        for (int64_t q = yt_indptr[dim]; q < yt_indptr[dim + 1]; ++q) {
+          const int32_t y = yt_indices[q];
+          if (common[y] == 0) touched.push_back(y);
+          acc[y] += xv * yt_data[q];
+          common[y] += 1;
+        }
+      }
+      // score + filter
+      std::vector<std::pair<float, int32_t>> cands;
+      cands.reserve(touched.size());
+      for (const int32_t y : touched) {
+        if (common[y] >= min_common && !(exclude_self && y == x)) {
+          float sim;
+          if (jaccard) {
+            const float denom = x_nnz[x] + y_nnz[y] - (float)common[y];
+            sim = denom > 0.0f ? (float)common[y] / denom : 0.0f;
+          } else {
+            sim = acc[y];
+          }
+          cands.emplace_back(sim, y);
+        }
+        acc[y] = 0.0f;
+        common[y] = 0;
+      }
+      const int32_t take = std::min((int64_t)k, (int64_t)cands.size());
+      std::partial_sort(
+          cands.begin(), cands.begin() + take, cands.end(),
+          [](const std::pair<float, int32_t>& a,
+             const std::pair<float, int32_t>& b) {
+            return a.first > b.first || (a.first == b.first && a.second < b.second);
+          });
+      for (int32_t j = 0; j < k; ++j) {
+        if (j < take) {
+          out_ids[(int64_t)x * k + j] = cands[j].second;
+          out_sims[(int64_t)x * k + j] = cands[j].first;
+        } else {
+          out_ids[(int64_t)x * k + j] = -1;
+          out_sims[(int64_t)x * k + j] = 0.0f;
+        }
+      }
+    }
+  }
+}
+
+// Swing top-k item-item scores.
+// user_indptr/user_items: CSR of user -> sorted item lists (possibly capped).
+// item_indptr/item_users: CSR of item -> sorted user lists.
+void swing_topk(
+    const int64_t* user_indptr, const int32_t* user_items, int32_t n_users,
+    const int64_t* item_indptr, const int32_t* item_users, int32_t n_items,
+    float alpha, int32_t k,
+    int32_t* out_ids, float* out_sims, int32_t n_threads) {
+#ifdef _OPENMP
+  if (n_threads > 0) omp_set_num_threads(n_threads);
+#endif
+  // scores[i] accumulated in per-thread hash maps, merged at the end
+  const int nt =
+#ifdef _OPENMP
+      n_threads > 0 ? n_threads : omp_get_max_threads();
+#else
+      1;
+#endif
+  std::vector<std::unordered_map<int64_t, float>> partial(nt);
+
+#pragma omp parallel num_threads(nt)
+  {
+#ifdef _OPENMP
+    const int tid = omp_get_thread_num();
+#else
+    const int tid = 0;
+#endif
+    auto& scores = partial[tid];
+    std::vector<int32_t> inter;
+#pragma omp for schedule(dynamic, 64)
+    for (int32_t u = 0; u < n_users; ++u) {
+      const int64_t ub = user_indptr[u], ue = user_indptr[u + 1];
+      if (ue - ub < 2) continue;
+      // candidate partners: users sharing at least one item with u, v > u.
+      // visit each pair once: only process v when the first shared item in
+      // u's list equals the current item.
+      for (int64_t p = ub; p < ue; ++p) {
+        const int32_t i = user_items[p];
+        for (int64_t q = item_indptr[i]; q < item_indptr[i + 1]; ++q) {
+          const int32_t v = item_users[q];
+          if (v <= u) continue;
+          // intersect sorted item lists of u and v
+          inter.clear();
+          int64_t a = ub, b = user_indptr[v];
+          const int64_t aE = ue, bE = user_indptr[v + 1];
+          while (a < aE && b < bE) {
+            const int32_t ia = user_items[a], ib = user_items[b];
+            if (ia == ib) { inter.push_back(ia); ++a; ++b; }
+            else if (ia < ib) ++a;
+            else ++b;
+          }
+          if (inter.size() < 2) continue;
+          // dedup: handle the pair only at its first common item
+          if (inter[0] != i) continue;
+          const float w = 1.0f / (alpha + (float)inter.size());
+          for (size_t x1 = 0; x1 < inter.size(); ++x1)
+            for (size_t x2 = 0; x2 < inter.size(); ++x2)
+              if (x1 != x2)
+                scores[((int64_t)inter[x1] << 32) | (uint32_t)inter[x2]] += w;
+        }
+      }
+    }
+  }
+  // merge + top-k per item
+  std::unordered_map<int64_t, float> merged;
+  for (auto& m : partial)
+    for (auto& kv : m) merged[kv.first] += kv.second;
+  std::vector<std::vector<std::pair<float, int32_t>>> per_item(n_items);
+  for (auto& kv : merged) {
+    const int32_t i = (int32_t)(kv.first >> 32);
+    const int32_t j = (int32_t)(kv.first & 0xffffffff);
+    per_item[i].emplace_back(kv.second, j);
+  }
+#pragma omp parallel for schedule(dynamic, 64)
+  for (int32_t i = 0; i < n_items; ++i) {
+    auto& cands = per_item[i];
+    const int32_t take = std::min((int64_t)k, (int64_t)cands.size());
+    std::partial_sort(
+        cands.begin(), cands.begin() + take, cands.end(),
+        [](const std::pair<float, int32_t>& a,
+           const std::pair<float, int32_t>& b) {
+          return a.first > b.first || (a.first == b.first && a.second < b.second);
+        });
+    for (int32_t j = 0; j < k; ++j) {
+      if (j < take) {
+        out_ids[(int64_t)i * k + j] = cands[j].second;
+        out_sims[(int64_t)i * k + j] = cands[j].first;
+      } else {
+        out_ids[(int64_t)i * k + j] = -1;
+        out_sims[(int64_t)i * k + j] = 0.0f;
+      }
+    }
+  }
+}
+
+}  // extern "C"

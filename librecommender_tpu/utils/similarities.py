@@ -1,0 +1,84 @@
+"""Top-k similarity computation: native C++ kernel with scipy fallback.
+
+Reference parity: libreco/utils/similarities.py:32-160 (cosine / pearson /
+jaccard, invert-index accumulation, min_common threshold) — but instead of
+materializing the full sparse sim matrix and caching top-k later, the kernel
+returns the top-k neighbor lists directly (like recfarm, rust/src/user_cf.rs).
+"""
+import numpy as np
+from scipy.sparse import csr_matrix
+
+from ..native import get_lib, topk_similarities_native
+
+SIM_TYPES = ("cosine", "pearson", "jaccard")
+
+
+def _preprocess(X, kind):
+    """Row-transform so that dot(X, X.T) is the similarity (cosine/pearson)
+    or raw indicator counts (jaccard)."""
+    X = X.tocsr().astype(np.float32)
+    if kind == "jaccard":
+        X = X.copy()
+        X.data = np.ones_like(X.data)
+        return X
+    X = X.copy()
+    if kind == "pearson":
+        # center each row's nonzeros by the row mean
+        row_means = np.asarray(X.sum(axis=1)).ravel() / np.maximum(
+            np.diff(X.indptr), 1
+        )
+        X.data = X.data - np.repeat(row_means, np.diff(X.indptr)).astype(np.float32)
+    norms = np.sqrt(np.asarray(X.multiply(X).sum(axis=1)).ravel())
+    inv = 1.0 / np.maximum(norms, 1e-10)
+    X.data = X.data * np.repeat(inv, np.diff(X.indptr)).astype(np.float32)
+    return X
+
+
+def topk_similarities(interaction, kind, k, min_common=1, n_threads=0):
+    """interaction: CSR (n_rows, n_dims); rows are the entities compared.
+
+    Returns (ids (n_rows, k) padded with -1, sims (n_rows, k)).
+    """
+    assert kind in SIM_TYPES, kind
+    X = _preprocess(interaction, kind)
+    n_rows = X.shape[0]
+    nnz = np.diff(X.indptr).astype(np.float32)
+    if get_lib() is not None:
+        yt = X.T.tocsr()
+        return topk_similarities_native(
+            X, yt, n_rows, nnz, nnz, k,
+            min_common, kind == "jaccard", True, n_threads,
+        )
+    return _topk_fallback(X, nnz, k, min_common, kind == "jaccard")
+
+
+def _topk_fallback(X, nnz, k, min_common, jaccard, block=1024):
+    """Blockwise scipy implementation (also the test cross-check)."""
+    n = X.shape[0]
+    Xb = X.copy()
+    Xb.data = np.ones_like(Xb.data)
+    ids = np.full((n, k), -1, np.int32)
+    sims = np.zeros((n, k), np.float32)
+    for start in range(0, n, block):
+        end = min(start + block, n)
+        dot = (X[start:end] @ X.T).toarray()
+        common = (Xb[start:end] @ Xb.T).toarray()
+        if jaccard:
+            denom = nnz[start:end, None] + nnz[None, :] - common
+            vals = np.where(denom > 0, common / np.maximum(denom, 1e-10), 0.0)
+        else:
+            vals = dot
+        vals = np.where(common >= min_common, vals, -np.inf)
+        rows = np.arange(start, end)
+        vals[np.arange(end - start), rows] = -np.inf  # exclude self
+        take = min(k, n - 1)
+        top = np.argpartition(-vals, take - 1, axis=1)[:, :take]
+        r = np.arange(end - start)[:, None]
+        topv = vals[r, top]
+        order = np.argsort(-topv, axis=1, kind="stable")
+        top = top[r, order]
+        topv = topv[r, order]
+        valid = np.isfinite(topv)
+        ids[start:end, :take] = np.where(valid, top, -1)
+        sims[start:end, :take] = np.where(valid, topv, 0.0)
+    return ids, sims
