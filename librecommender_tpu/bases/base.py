@@ -8,6 +8,7 @@ JAX trainer (replacing the reference's per-backend trainer classes).
 import abc
 import time
 
+import jax
 import numpy as np
 
 from ..evaluation.evaluate import print_metrics
@@ -186,6 +187,35 @@ class Base(abc.ABC):
     def _default_rec_source(self, num):
         raise NotImplementedError
 
+    # ------------------------------------------------------------- retrain
+    def rebuild_model(self, path, model_name=None):
+        """Graft a previously-saved model's weights (and optimizer state)
+        into this instance built against an enlarged vocabulary
+        (reference: tfops/rebuild.py:12, torchops/rebuild.py:13). Call after
+        ``merge_trainset`` produced the new DataInfo, then ``fit`` to
+        continue training."""
+        import pickle
+        from pathlib import Path
+
+        from ..training.rebuild import graft_opt_state, graft_params
+        from ..utils.save_load import load_params
+
+        assert self.data_info.old_info is not None, (
+            "rebuild_model requires a DataInfo produced by merge_trainset"
+        )
+        if model_name is not None:
+            self.model_name = model_name
+        if self.params is None:
+            self.build_model()
+        old_params = load_params(path, self.model_name)
+        self.params = graft_params(old_params, self.params, self.data_info)
+        opt_path = Path(path) / f"{self.model_name}_opt_state.pkl"
+        if opt_path.exists():
+            with open(opt_path, "rb") as f:
+                old_opt = pickle.load(f)
+            self._initial_opt_state = ("graft", old_opt)
+        return self
+
     # --------------------------------------------------------- persistence
     def save(self, path, model_name=None, **kwargs):
         if model_name is not None and model_name != self.model_name:
@@ -193,6 +223,13 @@ class Base(abc.ABC):
         save_hyper_params(path, self)
         save_params(path, self)
         save_default_recs(path, self)
+        trainer = getattr(self, "trainer", None)
+        if trainer is not None and getattr(trainer, "opt_state", None) is not None:
+            import pickle
+            from pathlib import Path
+
+            with open(Path(path) / f"{self.model_name}_opt_state.pkl", "wb") as f:
+                pickle.dump(jax.device_get(trainer.opt_state), f)
         self.data_info.save(path, self.model_name)
 
     @classmethod

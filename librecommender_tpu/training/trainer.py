@@ -128,6 +128,13 @@ class Trainer:
         )
         params = model.params
         opt_state = optimizer.init(params)
+        initial = getattr(model, "_initial_opt_state", None)
+        if initial is not None:
+            from .rebuild import graft_opt_state
+
+            kind, old_opt = initial
+            opt_state = graft_opt_state(old_opt, opt_state, params, model.data_info)
+            model._initial_opt_state = None
         train_step = self._build_train_step(
             optimizer,
             generator.device_side_sampling,

@@ -1,0 +1,130 @@
+"""Retrain flows: save -> merge_trainset -> rebuild_model -> refit ->
+prediction consistency (mirrors the reference's tests/retrain/)."""
+import numpy as np
+import pandas as pd
+import pytest
+
+from librecommender_tpu.data import DatasetFeat, DatasetPure
+from librecommender_tpu.models import BPR, FM, SVD, LightGCN, UserCF
+
+from tests.conftest import make_feat_interactions, make_interactions
+
+
+def _new_data(frame, n_new_users=5, n_new_items=8, seed=7):
+    """Second-period data: some old users/items + genuinely new ids."""
+    rng = np.random.default_rng(seed)
+    extra = frame.sample(frac=0.3, random_state=seed).copy()
+    new_users = rng.integers(5000, 5000 + n_new_users, len(extra) // 2)
+    extra.iloc[: len(new_users), extra.columns.get_loc("user")] = new_users
+    new_items = rng.integers(9000, 9000 + n_new_items, len(extra) // 3)
+    extra.iloc[: len(new_items), extra.columns.get_loc("item")] = new_items
+    return extra.drop_duplicates(subset=["user", "item"]).reset_index(drop=True)
+
+
+@pytest.mark.parametrize("cls", [SVD, BPR, LightGCN])
+def test_pure_retrain_flow(cls, tmp_path):
+    frame = make_interactions()
+    train_data, data_info = DatasetPure.build_trainset(frame)
+    model = cls("ranking", data_info, embed_size=8, n_epochs=1, batch_size=256)
+    model.fit(train_data, neg_sampling=True, verbose=0)
+    path = str(tmp_path / "retrain")
+    model.save(path, cls.__name__)
+
+    new_frame = _new_data(frame)
+    new_train, new_info = DatasetPure.merge_trainset(new_frame, data_info)
+    assert new_info.old_info is not None
+    assert new_info.n_users > data_info.n_users
+    assert new_info.n_items > data_info.n_items
+
+    model2 = cls("ranking", new_info, embed_size=8, n_epochs=1, batch_size=256)
+    model2.rebuild_model(path, cls.__name__)
+    # old user rows must have been grafted
+    old_u = np.asarray(model.params["user_embed"])[: data_info.n_users]
+    new_u = np.asarray(model2.params["user_embed"])[: data_info.n_users]
+    np.testing.assert_allclose(old_u, new_u, rtol=1e-6)
+    model2.fit(new_train, neg_sampling=True, verbose=0)
+    # old and new users both get recommendations
+    old_user = frame.user.iloc[0]
+    new_user = new_frame.user.iloc[0]
+    recs = model2.recommend_user(user=[old_user, new_user], n_rec=5)
+    assert len(recs[old_user]) == 5 and len(recs[new_user]) == 5
+
+
+def test_feat_retrain_flow(tmp_path):
+    frame = make_feat_interactions()
+    train_data, data_info = DatasetFeat.build_trainset(
+        frame,
+        user_col=["sex", "age"],
+        item_col=["genre"],
+        sparse_col=["sex", "genre"],
+        dense_col=["age"],
+    )
+    model = FM("ranking", data_info, embed_size=8, n_epochs=1, batch_size=256)
+    model.fit(train_data, neg_sampling=True, verbose=0)
+    path = str(tmp_path / "retrain_feat")
+    model.save(path, "FM")
+
+    new_frame = _new_data(frame)
+    new_frame["genre"] = new_frame["genre"].astype(object)
+    # introduce a brand-new sparse value -> sparse vocab grows
+    new_frame.iloc[:10, new_frame.columns.get_loc("genre")] = "e"
+    new_train, new_info = DatasetFeat.merge_trainset(new_frame, data_info)
+    sp_old = data_info.sparse_offset
+    sp_new = new_info.sparse_offset
+    assert sp_new[-1] >= sp_old[-1]
+
+    model2 = FM("ranking", new_info, embed_size=8, n_epochs=1, batch_size=256)
+    model2.rebuild_model(path, "FM")
+    # per-field sparse blocks moved to the new offsets
+    old_sp = np.asarray(model.params["sparse_embed"])
+    new_sp = np.asarray(model2.params["sparse_embed"])
+    old_layout_off = 0
+    for col_idx, length in enumerate(new_info.old_info.sparse_len):
+        if length == -1:
+            continue
+        n_off = int(new_info.sparse_offset[col_idx])
+        np.testing.assert_allclose(
+            old_sp[old_layout_off : old_layout_off + length],
+            new_sp[n_off : n_off + length],
+            rtol=1e-6,
+        )
+        old_layout_off += length + 1
+    model2.fit(new_train, neg_sampling=True, verbose=0)
+    recs = model2.recommend_user(user=frame.user.iloc[0], n_rec=5)
+    assert len(recs[frame.user.iloc[0]]) == 5
+
+
+def test_cf_retrain_flow(tmp_path):
+    frame = make_interactions()
+    train_data, data_info = DatasetPure.build_trainset(frame)
+    model = UserCF("ranking", data_info, k_sim=10)
+    model.fit(train_data, neg_sampling=True, verbose=0)
+    path = str(tmp_path / "retrain_cf")
+    model.save(path, "UserCF")
+
+    new_frame = _new_data(frame)
+    new_train, new_info = DatasetPure.merge_trainset(new_frame, data_info)
+    model2 = UserCF("ranking", new_info, k_sim=10)
+    model2.fit(new_train, neg_sampling=True, verbose=0)
+    recs = model2.recommend_user(user=new_frame.user.iloc[0], n_rec=5)
+    assert len(recs[new_frame.user.iloc[0]]) == 5
+
+
+def test_optimizer_state_grafted(tmp_path):
+    """Adam mu/nu for old rows survive the rebuild."""
+    frame = make_interactions()
+    train_data, data_info = DatasetPure.build_trainset(frame)
+    model = SVD("ranking", data_info, embed_size=8, n_epochs=2, batch_size=256)
+    model.fit(train_data, neg_sampling=True, verbose=0)
+    path = str(tmp_path / "opt_graft")
+    model.save(path, "SVD")
+    old_mu = np.asarray(
+        model.trainer.opt_state[0].mu["user_embed"]
+    )[: data_info.n_users]
+    assert np.any(old_mu != 0)
+
+    new_frame = _new_data(frame)
+    new_train, new_info = DatasetPure.merge_trainset(new_frame, data_info)
+    model2 = SVD("ranking", new_info, embed_size=8, n_epochs=1, batch_size=256)
+    model2.rebuild_model(path, "SVD")
+    assert model2._initial_opt_state is not None
