@@ -91,8 +91,14 @@ class Base(abc.ABC):
         eval_batch_size=8192,
         eval_user_num=None,
         num_workers=0,
+        mesh=None,
     ):
-        """Train the model on transformed train data."""
+        """Train the model on transformed train data.
+
+        ``mesh``: optional ``jax.sharding.Mesh(('data', 'model'))`` (see
+        ``parallel.build_mesh``) — batches shard over `data`, embedding
+        tables row-shard over `model`.
+        """
         if verbose > 0:
             start = time.strftime("%Y-%m-%d %H:%M:%S", time.localtime())
             print(f"Training start time: {colorize(start, 'magenta')}")
@@ -109,6 +115,7 @@ class Base(abc.ABC):
             sampler=getattr(self, "sampler", "random"),
             num_neg=getattr(self, "num_neg", 1),
             optimizer=self._custom_optimizer(),
+            mesh=mesh,
         )
         trainer.run(
             train_data,

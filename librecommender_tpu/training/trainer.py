@@ -62,8 +62,10 @@ class Trainer:
         num_neg,
         lr_schedule="exponential",
         optimizer=None,
+        mesh=None,
     ):
         self.model = model
+        self.mesh = mesh
         self.n_epochs = n_epochs
         self.lr = lr
         self.lr_decay = lr_decay
@@ -92,7 +94,38 @@ class Trainer:
             params = optax.apply_updates(params, updates)
             return params, opt_state, loss
 
-        return jax.jit(step, donate_argnums=(0, 1))
+        if self.mesh is None:
+            return jax.jit(step, donate_argnums=(0, 1))
+
+        from ..parallel.mesh import batch_shardings, params_shardings
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        p_shard = params_shardings(self.model.params, self.mesh)
+        data_shard = NamedSharding(self.mesh, P("data"))
+
+        def batch_in_shardings(batch):
+            return {k: data_shard for k in batch}
+
+        self._p_shard = p_shard
+        self._data_shard = data_shard
+        # in_shardings for batch are resolved lazily at first call (the key
+        # set varies by paradigm); jit once per key set
+        self._sharded_steps = {}
+
+        def sharded_step(params, opt_state, batch, rng):
+            key = tuple(sorted(batch))
+            if key not in self._sharded_steps:
+                self._sharded_steps[key] = jax.jit(
+                    step,
+                    in_shardings=(
+                        p_shard, None, {k: data_shard for k in batch}, None
+                    ),
+                    out_shardings=(p_shard, None, None),
+                    donate_argnums=(0, 1),
+                )
+            return self._sharded_steps[key](params, opt_state, batch, rng)
+
+        return sharded_step
 
     def run(
         self,
@@ -126,6 +159,15 @@ class Trainer:
             self.lr, self.lr_decay, self.epsilon, n_batches, self.n_epochs,
             self.lr_schedule,
         )
+        if self.mesh is not None:
+            from ..parallel.mesh import shard_params
+
+            dp = self.mesh.shape["data"]
+            assert self.batch_size % dp == 0, (
+                f"batch_size {self.batch_size} must divide by data-parallel "
+                f"size {dp}"
+            )
+            model.params = shard_params(model.params, self.mesh)
         params = model.params
         opt_state = optimizer.init(params)
         initial = getattr(model, "_initial_opt_state", None)
