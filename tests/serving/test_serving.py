@@ -1,0 +1,116 @@
+"""Serving tests: serialization artifacts + the four aiohttp endpoint
+families against a DictStore (mirrors the reference's tests/serving/ with
+Redis + sanic subprocesses; here the apps run in-process via
+aiohttp.test_utils)."""
+import asyncio
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+from aiohttp.test_utils import TestClient, TestServer
+
+from librecommender_tpu.models import BPR, DIN, ItemCF, RNN4Rec, UserCF
+from librecommender_tpu.serving import (
+    DictStore,
+    embed2store,
+    knn2store,
+    online2store,
+    save_embed,
+    save_knn,
+    save_online,
+)
+from librecommender_tpu.serving.app import create_app
+
+
+def _post(app, url, payload):
+    async def go():
+        client = TestClient(TestServer(app))
+        await client.start_server()
+        try:
+            resp = await client.post(url, json=payload)
+            assert resp.status == 200, await resp.text()
+            return await resp.json()
+        finally:
+            await client.close()
+
+    return asyncio.run(go())
+
+
+def test_knn_serving(pure_builds, pure_frames, tmp_path):
+    train_data, *_, data_info = pure_builds
+    model = UserCF("ranking", data_info, k_sim=10)
+    model.fit(train_data, neg_sampling=True, verbose=0)
+    path = save_knn(tmp_path / "knn", model)
+    assert (path / "model_meta.json").exists()
+    store = DictStore()
+    meta = knn2store(path, store)
+    assert meta["model_name"] == "UserCF"
+    user = pure_frames[0].user.iloc[0]
+    out = _post(create_app("knn", store), "/knn/recommend",
+                {"user": int(user), "n_rec": 5})
+    assert len(out["rec_list"]) == 5
+    # parity with the in-process model
+    recs = model.recommend_user(user=user, n_rec=5)[user]
+    assert set(map(int, out["rec_list"])) == set(map(int, recs))
+
+
+def test_embed_serving(pure_builds, pure_frames, tmp_path):
+    train_data, *_, data_info = pure_builds
+    model = BPR("ranking", data_info, embed_size=8, n_epochs=1, batch_size=256)
+    model.fit(train_data, neg_sampling=True, verbose=0)
+    path = save_embed(tmp_path / "embed", model)
+    store = DictStore()
+    embed2store(path, store)
+    user = pure_frames[0].user.iloc[0]
+    out = _post(create_app("embed", store), "/embed/recommend",
+                {"user": int(user), "n_rec": 5})
+    recs = model.recommend_user(user=user, n_rec=5)[user]
+    assert list(map(int, out["rec_list"])) == list(map(int, recs))
+
+
+def test_model_serving(feat_builds, feat_frames, tmp_path):
+    train_data, *_, data_info = feat_builds
+    model = DIN("ranking", data_info, embed_size=8, n_epochs=1,
+                batch_size=256, recent_num=5)
+    model.fit(train_data, neg_sampling=True, verbose=0)
+    path = save_online(tmp_path / "model", model)
+    store = DictStore()
+    online2store(path, store)
+    user = feat_frames[0].user.iloc[0]
+    out = _post(create_app("model", store), "/model/recommend",
+                {"user": int(user), "n_rec": 5})
+    recs = model.recommend_user(user=user, n_rec=5)[user]
+    assert list(map(int, out["rec_list"])) == list(map(int, recs))
+
+
+def test_online_serving_dynamic_seq(pure_builds, pure_frames, tmp_path):
+    train_data, *_, data_info = pure_builds
+    model = RNN4Rec("ranking", data_info, embed_size=8, n_epochs=1, batch_size=256)
+    model.fit(train_data, neg_sampling=True, verbose=0)
+    path = save_online(tmp_path / "online", model)
+    store = DictStore()
+    online2store(path, store)
+    frame = pure_frames[0]
+    user = frame.user.iloc[0]
+    seq = [int(i) for i in frame.item.iloc[:5]]
+    app = create_app("online", store)
+    out = _post(app, "/online/recommend",
+                {"user": int(user), "n_rec": 5, "seq": seq})
+    assert len(out["rec_list"]) == 5
+    # dynamic state must match direct model call
+    recs = model.recommend_user(user=user, n_rec=5, seq=seq)[user]
+    assert list(map(int, out["rec_list"])) == list(map(int, recs))
+
+
+def test_item_cf_knn_serving(pure_builds, pure_frames, tmp_path):
+    train_data, *_, data_info = pure_builds
+    model = ItemCF("ranking", data_info, k_sim=10)
+    model.fit(train_data, neg_sampling=True, verbose=0)
+    path = save_knn(tmp_path / "knn_item", model)
+    store = DictStore()
+    knn2store(path, store)
+    user = pure_frames[0].user.iloc[0]
+    out = _post(create_app("knn", store), "/knn/recommend",
+                {"user": int(user), "n_rec": 5})
+    assert len(out["rec_list"]) == 5
