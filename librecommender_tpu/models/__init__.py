@@ -1,4 +1,5 @@
 from .svd import SVD
+from .svdpp import SVDpp
 from .bpr import BPR
 from .fm import FM
 from .deepfm import DeepFM
@@ -26,7 +27,7 @@ from .item_cf import ItemCF
 from .swing import Swing
 
 __all__ = [
-    "SVD", "BPR", "FM", "DeepFM", "WideDeep", "AutoInt", "NCF",
+    "SVD", "SVDpp", "BPR", "FM", "DeepFM", "WideDeep", "AutoInt", "NCF",
     "YouTubeRanking", "DIN", "Transformer", "SIM",
     "RNN4Rec", "Caser", "WaveNet", "TwoTower", "YouTubeRetrieval",
     "LightGCN", "NGCF", "GraphSage", "PinSage",

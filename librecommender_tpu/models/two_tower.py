@@ -47,6 +47,9 @@ class TwoTower(EmbedBase):
         use_correction=True,
         temperature=1.0,
         remove_accidental_hits=True,
+        ssl_pattern=None,
+        ssl_alpha=0.2,
+        ssl_temperature=0.1,
         multi_sparse_combiner="sqrtn",
         seed=42,
     ):
@@ -74,6 +77,12 @@ class TwoTower(EmbedBase):
         self.use_correction = use_correction
         self.temperature = temperature
         self.remove_accidental_hits = remove_accidental_hits
+        if ssl_pattern is not None:
+            assert ssl_pattern in ("rfm", "rfm-complementary", "cfm"), ssl_pattern
+            assert loss_type == "softmax", "SSL requires softmax loss"
+        self.ssl_pattern = ssl_pattern
+        self.ssl_alpha = ssl_alpha
+        self.ssl_temperature = ssl_temperature
         self.multi_sparse_combiner = multi_sparse_combiner
         self.feats = None
         self.item_probs = None
@@ -89,8 +98,34 @@ class TwoTower(EmbedBase):
         for i, users in self.data_info.item_consumed.items():
             counts[int(i)] += len(set(users))
         self.item_probs = jnp.asarray(counts / counts.sum(), jnp.float32)
+        if self.ssl_pattern is not None:
+            self._build_ssl_state()
         rng = jax.random.PRNGKey(self.seed)
         self.params = self._init_params(rng)
+
+    def _build_ssl_state(self):
+        """Per-item-field OOV indices + (for cfm) mutual-information field
+        ordering (reference feature/ssl.py:6,43)."""
+        feats = self.feats
+        positions = feats.item_sparse_pos
+        assert positions, "SSL requires item sparse features"
+        self.item_field_oov = jnp.asarray(
+            np.asarray(self.data_info.sparse_oov)[positions], jnp.int32
+        )
+        if self.ssl_pattern == "cfm":
+            from sklearn.metrics import mutual_info_score
+
+            table = np.asarray(self.data_info.item_sparse_unique)[:, : len(positions)]
+            F = len(positions)
+            mi = np.zeros((F, F))
+            for a in range(F):
+                for b in range(F):
+                    if a != b:
+                        mi[a, b] = mutual_info_score(table[:, a], table[:, b])
+            # for each seed field: other fields ordered by MI desc
+            self.cfm_order = jnp.asarray(
+                np.argsort(-mi, axis=1).astype(np.int32)
+            )
 
     def _n_tower_fields(self, is_user):
         feats = self.feats
@@ -145,11 +180,11 @@ class TwoTower(EmbedBase):
                   train=train, rng=rng, final_activation=False)
         return l2_normalize(out) if self.norm_embed else out
 
-    def item_tower(self, params, items, train=False, rng=None):
+    def item_tower(self, params, items, train=False, rng=None, sparse_rows=None):
         feats = self.feats
         pieces = [params["item_embed"][items]]
         if feats.item_sparse is not None:
-            idx = feats.item_sparse[items]
+            idx = feats.item_sparse[items] if sparse_rows is None else sparse_rows
             pieces.append(
                 params["sparse_embed"][idx].reshape(idx.shape[0], -1)
             )
@@ -169,7 +204,7 @@ class TwoTower(EmbedBase):
         u = self.user_tower(params, users, train=True, rng=r1)
         if self.loss_type == "softmax":
             v = self.item_tower(params, items, train=True, rng=r2)
-            return softmax_cross_entropy_loss(
+            loss = softmax_cross_entropy_loss(
                 u,
                 v,
                 weight=weight,
@@ -180,6 +215,9 @@ class TwoTower(EmbedBase):
                 temperature=self.temperature,
                 remove_accidental_hits=self.remove_accidental_hits,
             )
+            if self.ssl_pattern is not None:
+                loss += self.ssl_alpha * self._ssl_term(params, items, rng)
+            return loss
         neg = batch["item_neg"]                                # (B, S)
         S = neg.shape[1]
         v_pos = self.item_tower(params, items, train=True, rng=r2)
@@ -199,6 +237,36 @@ class TwoTower(EmbedBase):
         )
         w = jnp.concatenate([weight, jnp.repeat(weight, S)])
         return bce_loss(logits, labels, w)
+
+    def _ssl_term(self, params, items, rng):
+        """Contrastive loss between two masked item-feature views
+        (reference two_tower.py:189-203, feature/ssl.py)."""
+        from ..ops.losses import ssl_loss
+
+        feats = self.feats
+        idx = feats.item_sparse[items]                          # (B, F)
+        F = idx.shape[1]
+        half = F // 2 if F > 1 else 1
+        r1, r2, r3 = jax.random.split(rng, 3)
+        if self.ssl_pattern == "cfm":
+            seed_field = jax.random.randint(r1, (), 0, F)
+            order = self.cfm_order[seed_field]                  # fields by MI
+            in_view1 = jnp.zeros((F,), bool).at[order[:half]].set(True)
+            in_view1 = in_view1.at[seed_field].set(True)
+        else:
+            perm = jax.random.permutation(r1, F)
+            in_view1 = jnp.zeros((F,), bool).at[perm[:half]].set(True)
+        if self.ssl_pattern == "rfm":
+            perm2 = jax.random.permutation(r2, F)
+            in_view2 = jnp.zeros((F,), bool).at[perm2[:half]].set(True)
+        else:  # complementary masking
+            in_view2 = ~in_view1
+        oov = self.item_field_oov[None, :]
+        view1 = jnp.where(in_view1[None, :], oov, idx)
+        view2 = jnp.where(in_view2[None, :], oov, idx)
+        v1 = self.item_tower(params, items, train=True, rng=r3, sparse_rows=view1)
+        v2 = self.item_tower(params, items, train=True, rng=r3, sparse_rows=view2)
+        return ssl_loss(v1, v2, temperature=self.ssl_temperature)
 
     # ----------------------------------------------------------- embeddings
     def set_embeddings(self):
@@ -234,6 +302,8 @@ class TwoTower(EmbedBase):
         for i, users in self.data_info.item_consumed.items():
             counts[int(i)] += len(set(users))
         self.item_probs = jnp.asarray(counts / counts.sum(), jnp.float32)
+        if self.ssl_pattern is not None:
+            self._build_ssl_state()
         if self.params is not None:
             self.set_embeddings()
 

@@ -81,3 +81,21 @@ def test_knn_search(feat_builds, feat_frames):
     user = train_frame.user.iloc[0]
     sims_u = model.search_knn_users(user, 5)
     assert len(sims_u) == 5 and user not in sims_u
+
+
+@pytest.mark.parametrize("ssl_pattern", ["rfm", "rfm-complementary", "cfm"])
+def test_two_tower_ssl(feat_builds, ssl_pattern):
+    train_data, *_, data_info = feat_builds
+    model = TwoTower(
+        "ranking", data_info, loss_type="softmax", embed_size=8,
+        n_epochs=1, batch_size=256, hidden_units=(16,),
+        ssl_pattern=ssl_pattern, ssl_alpha=0.3,
+    )
+    model.fit(train_data, neg_sampling=False, verbose=1)
+    assert np.all(np.isfinite(model.item_embeds_np))
+
+
+def test_two_tower_ssl_requires_softmax(feat_builds):
+    *_, data_info = feat_builds
+    with pytest.raises(AssertionError):
+        TwoTower("ranking", data_info, loss_type="cross_entropy", ssl_pattern="rfm")

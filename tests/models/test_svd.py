@@ -74,3 +74,15 @@ def test_svd_invalid_combos(pure_builds):
         SVD("unknown-task", data_info)
     with pytest.raises(AssertionError):
         SVD("ranking", data_info, loss_type="bad_loss")
+
+
+def test_svdpp_end_to_end(pure_builds, pure_frames, tmp_path):
+    from librecommender_tpu.models import SVDpp
+
+    train_data, eval_data, _, data_info = pure_builds
+    for task in ("rating", "ranking"):
+        model = SVDpp(task, data_info, embed_size=8, n_epochs=1, batch_size=256)
+        model.fit(train_data, neg_sampling=task == "ranking", verbose=0)
+        ptest_preds(model, task, pure_frames)
+        ptest_recommends(model, data_info, pure_frames)
+    ptest_save_load(model, SVDpp, data_info, pure_frames, tmp_path)
