@@ -95,18 +95,23 @@ class FeatBase(Base):
             f_sparse = f_sparse - int(sum(info.field_len)) + len(info.field_len)
         return 2 + f_sparse + self.feats.n_dense_fields
 
-    def _field_embeds(self, params, users, items):
-        """(B,) ids -> field embedding cube (B, n_fields, D) plus the raw
-        sparse indices / dense values used (for linear terms and reg)."""
+    def _field_embeds(self, params, inputs):
+        """inputs dict -> field embedding cube (B, n_fields, D) plus the raw
+        sparse indices / dense values used (for linear terms and reg).
+        Optional "user_sparse_row"/"user_dense_row" entries override the
+        stored feature tables (request-time temporary features)."""
         from ..ops.embeddings import combine_multi_sparse, dense_embeds
 
+        users, items = inputs["user"], inputs["item"]
         fields = [
             params["user_embed"][users][:, None, :],
             params["item_embed"][items][:, None, :],
         ]
+        u_sp = inputs.get("user_sparse_row")
+        u_ds = inputs.get("user_dense_row")
         sparse_idx, dense_vals = None, None
         if self.feats.has_sparse:
-            sparse_idx = self.feats.sparse_for(users, items)
+            sparse_idx = self.feats.sparse_for(users, items, user_rows=u_sp)
             emb = params["sparse_embed"][sparse_idx]
             emb = combine_multi_sparse(
                 emb, sparse_idx, self.feats.multi_sparse_info,
@@ -114,7 +119,7 @@ class FeatBase(Base):
             )
             fields.append(emb)
         if self.feats.has_dense:
-            dense_vals = self.feats.dense_for(users, items)
+            dense_vals = self.feats.dense_for(users, items, user_rows=u_ds)
             fields.append(dense_embeds(params["dense_embed"], dense_vals))
         return jnp.concatenate(fields, axis=1), sparse_idx, dense_vals
 
@@ -253,7 +258,13 @@ class FeatBase(Base):
         filter_consumed=True,
         random_rec=False,
         users_per_call=8,
+        user_feats=None,
+        seq=None,
     ):
+        if user_feats is not None or seq is not None:
+            return self._recommend_dynamic(
+                user, n_rec, inner_id, filter_consumed, user_feats, seq
+            )
         self._ensure_inference_fns()
         raw_users = np.atleast_1d(np.asarray(user))
         if cold_start not in ("average", "popular"):
@@ -292,6 +303,66 @@ class FeatBase(Base):
                 self.data_info, inner_id=True, n_rec=n_rec
             )
         return self.finalize_rec(result, raw_users, inner_id)
+
+    def _recommend_dynamic(self, user, n_rec, inner_id, filter_consumed,
+                           user_feats, seq):
+        """Score the catalog for ONE user with request-time feature/sequence
+        overrides (reference recommend_tf_feat with user_feats/seq,
+        recommendation/preprocess.py:38,110)."""
+        users = np.atleast_1d(np.asarray(user))
+        assert len(users) == 1, "dynamic recommendation supports one user"
+        uid = (
+            int(users[0]) if inner_id and 0 <= int(users[0]) < self.n_users
+            else self.data_info.user2id.get(users[0], self.n_users)
+            if not inner_id else self.n_users
+        )
+        n_items = self.n_items
+        inputs = {
+            "user": jnp.full((n_items,), uid, jnp.int32),
+            "item": jnp.arange(n_items, dtype=jnp.int32),
+        }
+        if user_feats is not None:
+            if self.feats.user_sparse is not None:
+                row = self.feats.build_user_sparse_row(uid, user_feats)
+                inputs["user_sparse_row"] = jnp.tile(
+                    jnp.asarray(row, jnp.int32)[None, :], (n_items, 1)
+                )
+            if self.feats.user_dense is not None:
+                row = self.feats.build_user_dense_row(uid, user_feats)
+                inputs["user_dense_row"] = jnp.tile(
+                    jnp.asarray(row, jnp.float32)[None, :], (n_items, 1)
+                )
+        if seq is not None:
+            seq_arr = self._convert_request_seq(seq, inner_id)
+            inputs["seq"] = jnp.tile(
+                jnp.asarray(seq_arr, jnp.int32)[None, :], (n_items, 1)
+            )
+        scores = np.asarray(
+            self._forward(self.params, inputs, train=False, rng=None)
+        )[None, :]
+        consumed = (
+            pad_consumed(self.user_consumed, np.asarray([uid]))
+            if filter_consumed else None
+        )
+        ids, _ = topk_from_scores(jnp.asarray(scores), consumed, int(n_rec))
+        key = users[0].item() if isinstance(users[0], np.generic) else users[0]
+        return self.finalize_rec({key: np.asarray(ids)[0]}, users, inner_id)
+
+    def _convert_request_seq(self, seq, inner_id):
+        """Raw item list -> right-aligned padded inner-id array."""
+        L = getattr(self, "max_seq_len", len(seq))
+        if inner_id:
+            ids = [int(i) for i in seq if 0 <= int(i) < self.n_items]
+        else:
+            ids = [
+                self.data_info.item2id[i] for i in seq
+                if i in self.data_info.item2id
+            ]
+        ids = ids[-L:]
+        out = np.full(L, self.n_items, np.int64)
+        if ids:
+            out[L - len(ids):] = ids
+        return out
 
     def _default_rec_source(self, num):
         """Cold 'average': score the catalog through the OOV feature row."""

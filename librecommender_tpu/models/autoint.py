@@ -81,7 +81,7 @@ class AutoInt(FeatBase):
         return params
 
     def _forward(self, params, inputs, train, rng):
-        x, _, _ = self._field_embeds(params, inputs["user"], inputs["item"])  # (B, F, D)
+        x, _, _ = self._field_embeds(params, inputs)  # (B, F, D)
         for layer in params["att_layers"]:
             att = mha(layer["mha"], x, x, num_heads=self.num_heads)
             if self.use_residual:

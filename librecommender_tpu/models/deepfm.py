@@ -74,7 +74,7 @@ class DeepFM(FeatBase):
 
     def _forward(self, params, inputs, train, rng):
         users, items = inputs["user"], inputs["item"]
-        embeds, sparse_idx, dense_vals = self._field_embeds(params, users, items)
+        embeds, sparse_idx, dense_vals = self._field_embeds(params, inputs)
         linear = self._linear_term(params, users, items, sparse_idx, dense_vals)
         sum_sq = jnp.square(jnp.sum(embeds, axis=1))
         sq_sum = jnp.sum(jnp.square(embeds), axis=1)

@@ -82,7 +82,7 @@ class DIN(SeqFeatBase):
 
     def _forward(self, params, inputs, train, rng):
         users, items = inputs["user"], inputs["item"]
-        embeds, _, _ = self._field_embeds(params, users, items)
+        embeds, _, _ = self._field_embeds(params, inputs)
         seq = self._seq_for(inputs)
         seq_emb, mask = self._seq_item_embeds(params, seq)
         target = params["item_embed"][items]                    # (B, D)

@@ -132,7 +132,7 @@ class SIM(SeqFeatBase):
 
     def _forward(self, params, inputs, train, rng):
         users, items = inputs["user"], inputs["item"]
-        embeds, _, _ = self._field_embeds(params, users, items)
+        embeds, _, _ = self._field_embeds(params, inputs)
         target = params["item_embed"][items]                    # (B, D)
 
         # ---- GSU: soft search over the long history

@@ -81,7 +81,7 @@ class WideDeep(FeatBase):
 
     def _forward(self, params, inputs, train, rng):
         users, items = inputs["user"], inputs["item"]
-        embeds, sparse_idx, dense_vals = self._field_embeds(params, users, items)
+        embeds, sparse_idx, dense_vals = self._field_embeds(params, inputs)
         wide = self._linear_term(params, users, items, sparse_idx, dense_vals)
         flat = embeds.reshape(embeds.shape[0], -1)
         h = mlp(params["deep_mlp"], flat, dropout_rate=self.dropout_rate,

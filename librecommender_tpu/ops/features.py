@@ -46,32 +46,71 @@ class FeatureTables:
     def has_dense(self):
         return self.n_dense_fields > 0
 
-    def sparse_for(self, users, items):
+    def sparse_for(self, users, items, user_rows=None, item_rows=None):
         """(B,) user ids + (B,) item ids -> (B, F) sparse indices in full
-        field order, or None."""
+        field order, or None. ``user_rows``/``item_rows`` override the
+        table gather with explicit (B, F_u)/(B, F_i) rows (request-time
+        temporary features, reference recommendation/preprocess.py
+        `set_temp_feats`)."""
         if not self.has_sparse:
             return None
         cols = [None] * self.n_sparse_fields
-        if self.user_sparse is not None:
-            rows = self.user_sparse[users]                     # (B, F_u)
+        if self.user_sparse is not None or user_rows is not None:
+            rows = user_rows if user_rows is not None else self.user_sparse[users]
             for j, pos in enumerate(self.user_sparse_pos):
                 cols[pos] = rows[:, j]
-        if self.item_sparse is not None:
-            rows = self.item_sparse[items]
+        if self.item_sparse is not None or item_rows is not None:
+            rows = item_rows if item_rows is not None else self.item_sparse[items]
             for j, pos in enumerate(self.item_sparse_pos):
                 cols[pos] = rows[:, j]
         return jnp.stack(cols, axis=1)
 
-    def dense_for(self, users, items):
+    def dense_for(self, users, items, user_rows=None, item_rows=None):
         if not self.has_dense:
             return None
         cols = [None] * self.n_dense_fields
-        if self.user_dense is not None:
-            rows = self.user_dense[users]
+        if self.user_dense is not None or user_rows is not None:
+            rows = user_rows if user_rows is not None else self.user_dense[users]
             for j, pos in enumerate(self.user_dense_pos):
                 cols[pos] = rows[:, j]
-        if self.item_dense is not None:
-            rows = self.item_dense[items]
+        if self.item_dense is not None or item_rows is not None:
+            rows = item_rows if item_rows is not None else self.item_dense[items]
             for j, pos in enumerate(self.item_dense_pos):
                 cols[pos] = rows[:, j]
         return jnp.stack(cols, axis=1)
+
+    def build_user_sparse_row(self, uid, user_feats):
+        """Host-side: the stored user sparse row with named overrides
+        applied; values map through sparse_idx_mapping + offsets, unknown
+        values fall to the column OOV."""
+        import numpy as np
+
+        data_info = self.data_info
+        row = np.array(np.asarray(data_info.user_sparse_unique)[uid])
+        name_to_j = {
+            name: j for j, name in enumerate(data_info.user_sparse_col.name)
+        }
+        for name, value in (user_feats or {}).items():
+            if name not in name_to_j:
+                continue
+            j = name_to_j[name]
+            col_pos = data_info.user_sparse_col.index[j]
+            mapping = (data_info.sparse_idx_mapping or {}).get(name, {})
+            if value in mapping:
+                row[j] = data_info.sparse_offset[col_pos] + mapping[value]
+            else:
+                row[j] = data_info.sparse_oov[col_pos]
+        return row
+
+    def build_user_dense_row(self, uid, user_feats):
+        import numpy as np
+
+        data_info = self.data_info
+        row = np.array(np.asarray(data_info.user_dense_unique)[uid])
+        name_to_j = {
+            name: j for j, name in enumerate(data_info.user_dense_col.name)
+        }
+        for name, value in (user_feats or {}).items():
+            if name in name_to_j:
+                row[name_to_j[name]] = float(value)
+        return row

@@ -106,9 +106,11 @@ async def online_recommend(request):
     kwargs = {}
     if body.get("seq") is not None:
         kwargs["seq"] = body["seq"]
+    if body.get("user_feats") is not None:
+        kwargs["user_feats"] = body["user_feats"]
     try:
         recs = model.recommend_user(user=user, n_rec=n_rec, **kwargs)
-    except TypeError:  # model family without dynamic seq support
+    except TypeError:  # model family without dynamic-state support
         recs = model.recommend_user(user=user, n_rec=n_rec)
     key = next(iter(recs))
     return web.json_response({"rec_list": [_json_safe(i) for i in recs[key]]})

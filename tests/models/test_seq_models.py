@@ -123,3 +123,24 @@ def test_train_seq_construction():
     np.testing.assert_array_equal(seqs[3], [100, 100, 100])
     np.testing.assert_array_equal(seqs[4], [100, 100, 20])
     np.testing.assert_array_equal(lens, [0, 1, 2, 0, 1])
+
+
+def test_feat_dynamic_recommend(feat_builds, feat_frames):
+    """Request-time user_feats and seq overrides change scores and work for
+    unknown users (reference online path)."""
+    train_data, *_, data_info = feat_builds
+    frame = feat_frames[0]
+    model = DIN("ranking", data_info, embed_size=8, n_epochs=1,
+                batch_size=256, recent_num=5)
+    model.fit(train_data, neg_sampling=True, verbose=0)
+    user = frame.user.iloc[0]
+    items = [i for i in frame.item.iloc[:6]]
+    recs_seq = model.recommend_user(user=user, n_rec=5, seq=items)
+    assert len(recs_seq[user]) == 5
+    recs_feats = model.recommend_user(
+        user=user, n_rec=5, user_feats={"sex": "m", "age": 0.5}
+    )
+    assert len(recs_feats[user]) == 5
+    # unknown user with dynamic state still gets recommendations
+    recs_cold = model.recommend_user(user=-3210, n_rec=5, seq=items)
+    assert len(recs_cold[-3210]) == 5
