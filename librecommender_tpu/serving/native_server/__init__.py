@@ -1,0 +1,105 @@
+"""Build/launch helpers for the native C++ serving server.
+
+The server binary is compiled from server.cpp on first use (g++ -O3) and
+launched as a subprocess against a flat-binary artifact directory produced
+by :func:`export_native`. Mirrors the reference's Rust actix tier
+(libserving/actix_serving) with the knn + embed endpoint families.
+"""
+import json
+import socket
+import subprocess
+import time
+from pathlib import Path
+
+import numpy as np
+
+_HERE = Path(__file__).parent
+_BIN = _HERE / "server"
+_SRC = _HERE / "server.cpp"
+
+
+def build_server():
+    if _BIN.exists() and _BIN.stat().st_mtime >= _SRC.stat().st_mtime:
+        return _BIN
+    subprocess.run(
+        ["g++", "-O3", "-std=c++17", "-pthread", str(_SRC), "-o", str(_BIN)],
+        check=True, capture_output=True, text=True,
+    )
+    return _BIN
+
+
+def export_native(path, model):
+    """Write flat binary artifacts the C++ server mmap-loads.
+
+    Item ids must be integers (MovieLens-style); other id types serve
+    through the Python tier.
+    """
+    path = Path(path)
+    path.mkdir(parents=True, exist_ok=True)
+    data_info = model.data_info
+    meta = {"n_items": int(model.n_items), "n_users": int(model.n_users)}
+
+    with open(path / "user2id.json", "w") as f:
+        json.dump({str(u): int(i) for u, i in data_info.user2id.items()}, f)
+    id2item = np.asarray(
+        [int(data_info.id2item[i]) for i in range(model.n_items)], np.int64
+    )
+    id2item.tofile(path / "id2item_ints.bin")
+
+    # consumed lists as CSR
+    indptr = [0]
+    indices = []
+    for u in range(model.n_users):
+        consumed = data_info.user_consumed.get(u, [])
+        indices.extend(int(i) for i in consumed)
+        indptr.append(len(indices))
+    np.asarray(indptr, np.int64).tofile(path / "consumed_indptr.bin")
+    np.asarray(indices, np.int32).tofile(path / "consumed_indices.bin")
+
+    if getattr(model, "user_embeds_np", None) is not None:
+        ue = np.ascontiguousarray(model.user_embeds_np, np.float32)
+        ie = np.ascontiguousarray(model.item_embeds_np, np.float32)
+        np.asarray(ue.shape, np.int64).tofile(path / "user_embed_shape.bin")
+        ue.tofile(path / "user_embed.bin")
+        np.asarray(ie.shape, np.int64).tofile(path / "item_embed_shape.bin")
+        ie.tofile(path / "item_embed.bin")
+    if getattr(model, "sim_ids", None) is not None:
+        np.asarray(model.sim_ids.shape, np.int64).tofile(path / "sims_shape.bin")
+        np.ascontiguousarray(model.sim_ids, np.int32).tofile(path / "sim_ids.bin")
+        np.ascontiguousarray(model.sim_vals, np.float32).tofile(path / "sim_vals.bin")
+        meta["cf_mode"] = model.cf_mode
+        inter = model.interaction
+        np.asarray(inter.indptr, np.int64).tofile(path / "inter_indptr.bin")
+        np.asarray(inter.indices, np.int32).tofile(path / "inter_indices.bin")
+        np.asarray(inter.data, np.float32).tofile(path / "inter_data.bin")
+    with open(path / "native_meta.json", "w") as f:
+        json.dump(meta, f)
+    return path
+
+
+def free_port():
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def start_native_server(artifact_dir, port=None, n_threads=4, timeout=10.0):
+    """Launch the server subprocess; returns (process, port)."""
+    binary = build_server()
+    port = port or free_port()
+    proc = subprocess.Popen(
+        [str(binary), str(artifact_dir), str(port), str(n_threads)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+    )
+    deadline = time.time() + timeout
+    while time.time() < deadline:
+        try:
+            with socket.create_connection(("127.0.0.1", port), timeout=0.5):
+                return proc, port
+        except OSError:
+            if proc.poll() is not None:
+                out = proc.stdout.read()
+                raise RuntimeError(f"native server died: {out}")
+            time.sleep(0.05)
+    proc.kill()
+    raise TimeoutError("native server did not start")

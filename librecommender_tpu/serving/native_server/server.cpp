@@ -1,0 +1,366 @@
+// Native recommendation server: multithreaded HTTP/1.1, embed + knn paths.
+//
+// C++ replacement for the reference's Rust serving tier
+// (libserving/actix_serving/src/{main.rs:35, embed_deploy.rs, knn_deploy.rs}):
+// loads the flat binary artifacts exported by serving/serialization.py and
+// answers POST /embed/recommend and /knn/recommend with top-k lists.
+// Endpoints and request/response shapes mirror the Python aiohttp tier.
+//
+// Design: blocking accept loop + worker thread pool; per-request work is a
+// dense dot product over the item matrix (OpenMP) + partial_sort. No
+// external dependencies: a ~60-line scanner handles the flat JSON bodies.
+//
+// Usage: server <artifact_dir> <port> [n_threads]
+
+#include <algorithm>
+#include <atomic>
+#include <condition_variable>
+#include <cstdint>
+#include <cstring>
+#include <fstream>
+#include <iostream>
+#include <mutex>
+#include <queue>
+#include <sstream>
+#include <string>
+#include <thread>
+#include <unordered_map>
+#include <unordered_set>
+#include <vector>
+
+#include <arpa/inet.h>
+#include <netinet/in.h>
+#include <sys/socket.h>
+#include <unistd.h>
+
+namespace {
+
+struct Matrix {
+  std::vector<float> data;
+  int64_t rows = 0, cols = 0;
+  const float* row(int64_t r) const { return data.data() + r * cols; }
+};
+
+struct Csr {
+  std::vector<int64_t> indptr;
+  std::vector<int32_t> indices;
+  std::vector<float> data;
+};
+
+struct Artifacts {
+  Matrix user_embed, item_embed;
+  Matrix sim_vals;                       // (rows, k)
+  std::vector<int32_t> sim_ids;          // (rows, k)
+  int64_t sim_k = 0;
+  std::string cf_mode;
+  Csr interaction;
+  std::unordered_map<std::string, int32_t> user2id;
+  std::vector<std::string> id2item;
+  std::vector<std::vector<int32_t>> consumed;
+  int32_t n_items = 0;
+  bool has_embed = false, has_knn = false;
+};
+
+template <typename T>
+std::vector<T> read_bin(const std::string& path) {
+  std::ifstream f(path, std::ios::binary | std::ios::ate);
+  if (!f) return {};
+  const auto size = f.tellg();
+  f.seekg(0);
+  std::vector<T> out(size / sizeof(T));
+  f.read(reinterpret_cast<char*>(out.data()), out.size() * sizeof(T));
+  return out;
+}
+
+std::string read_text(const std::string& path) {
+  std::ifstream f(path);
+  std::stringstream ss;
+  ss << f.rdbuf();
+  return ss.str();
+}
+
+// --- tiny JSON helpers (flat objects / simple maps only) -------------------
+std::string json_str(const std::string& body, const std::string& key) {
+  const auto kq = "\"" + key + "\"";
+  auto p = body.find(kq);
+  if (p == std::string::npos) return "";
+  p = body.find(':', p + kq.size());
+  if (p == std::string::npos) return "";
+  ++p;
+  while (p < body.size() && isspace((unsigned char)body[p])) ++p;
+  if (body[p] == '"') {
+    const auto e = body.find('"', p + 1);
+    return body.substr(p + 1, e - p - 1);
+  }
+  auto e = p;
+  while (e < body.size() && (isdigit((unsigned char)body[e]) || body[e] == '-' ||
+                             body[e] == '.'))
+    ++e;
+  return body.substr(p, e - p);
+}
+
+void parse_str_int_map(const std::string& text,
+                       std::unordered_map<std::string, int32_t>* out) {
+  size_t p = 0;
+  while ((p = text.find('"', p)) != std::string::npos) {
+    const auto e = text.find('"', p + 1);
+    if (e == std::string::npos) break;
+    const std::string key = text.substr(p + 1, e - p - 1);
+    auto c = text.find(':', e);
+    if (c == std::string::npos) break;
+    ++c;
+    while (c < text.size() && isspace((unsigned char)text[c])) ++c;
+    auto v = c;
+    while (v < text.size() && (isdigit((unsigned char)text[v]) || text[v] == '-'))
+      ++v;
+    if (v > c) (*out)[key] = std::stoi(text.substr(c, v - c));
+    p = v;
+  }
+}
+
+Artifacts load_artifacts(const std::string& dir) {
+  Artifacts a;
+  const auto meta = read_text(dir + "/native_meta.json");
+  a.n_items = std::stoi(json_str(meta, "n_items"));
+  // id maps
+  parse_str_int_map(read_text(dir + "/user2id.json"), &a.user2id);
+  {
+    const auto items = read_bin<int64_t>(dir + "/id2item_ints.bin");
+    a.id2item.reserve(items.size());
+    for (const auto v : items) a.id2item.push_back(std::to_string(v));
+  }
+  // consumed CSR
+  {
+    const auto indptr = read_bin<int64_t>(dir + "/consumed_indptr.bin");
+    const auto ids = read_bin<int32_t>(dir + "/consumed_indices.bin");
+    if (!indptr.empty()) {
+      a.consumed.resize(indptr.size() - 1);
+      for (size_t u = 0; u + 1 < indptr.size(); ++u)
+        a.consumed[u].assign(ids.begin() + indptr[u], ids.begin() + indptr[u + 1]);
+    }
+  }
+  // embed artifacts
+  {
+    const auto shape = read_bin<int64_t>(dir + "/user_embed_shape.bin");
+    if (shape.size() == 2) {
+      a.user_embed.rows = shape[0];
+      a.user_embed.cols = shape[1];
+      a.user_embed.data = read_bin<float>(dir + "/user_embed.bin");
+      const auto ishape = read_bin<int64_t>(dir + "/item_embed_shape.bin");
+      a.item_embed.rows = ishape[0];
+      a.item_embed.cols = ishape[1];
+      a.item_embed.data = read_bin<float>(dir + "/item_embed.bin");
+      a.has_embed = true;
+    }
+  }
+  // knn artifacts
+  {
+    const auto shape = read_bin<int64_t>(dir + "/sims_shape.bin");
+    if (shape.size() == 2) {
+      a.sim_k = shape[1];
+      a.sim_ids = read_bin<int32_t>(dir + "/sim_ids.bin");
+      a.sim_vals.rows = shape[0];
+      a.sim_vals.cols = shape[1];
+      a.sim_vals.data = read_bin<float>(dir + "/sim_vals.bin");
+      a.cf_mode = json_str(meta, "cf_mode");
+      a.interaction.indptr = read_bin<int64_t>(dir + "/inter_indptr.bin");
+      a.interaction.indices = read_bin<int32_t>(dir + "/inter_indices.bin");
+      a.interaction.data = read_bin<float>(dir + "/inter_data.bin");
+      a.has_knn = true;
+    }
+  }
+  return a;
+}
+
+std::vector<int32_t> topk_filtered(std::vector<float>& scores,
+                                   const std::vector<int32_t>& consumed,
+                                   int k) {
+  for (const auto c : consumed)
+    if (c >= 0 && c < (int32_t)scores.size()) scores[c] = -1e30f;
+  std::vector<int32_t> ids(scores.size());
+  for (size_t i = 0; i < ids.size(); ++i) ids[i] = (int32_t)i;
+  const int take = std::min<int>(k, ids.size());
+  std::partial_sort(ids.begin(), ids.begin() + take, ids.end(),
+                    [&](int32_t x, int32_t y) { return scores[x] > scores[y]; });
+  ids.resize(take);
+  return ids;
+}
+
+std::string recommend_embed(const Artifacts& a, int32_t uid, int k) {
+  const auto D = a.user_embed.cols;
+  const float* u = a.user_embed.row(
+      uid >= 0 && uid < a.user_embed.rows ? uid : a.user_embed.rows - 1);
+  std::vector<float> scores(a.n_items);
+  for (int32_t i = 0; i < a.n_items; ++i) {
+    const float* v = a.item_embed.row(i);
+    float acc = 0.f;
+    for (int64_t d = 0; d < D; ++d) acc += u[d] * v[d];
+    scores[i] = acc;
+  }
+  const auto& consumed =
+      (uid >= 0 && uid < (int32_t)a.consumed.size()) ? a.consumed[uid]
+                                                     : std::vector<int32_t>{};
+  const auto ids = topk_filtered(scores, consumed, k);
+  std::string out = "{\"rec_list\": [";
+  for (size_t i = 0; i < ids.size(); ++i) {
+    if (i) out += ", ";
+    out += a.id2item[ids[i]];
+  }
+  return out + "]}";
+}
+
+std::string recommend_knn(const Artifacts& a, int32_t uid, int k) {
+  std::vector<float> scores(a.n_items, 0.f);
+  if (a.cf_mode == "user") {
+    if (uid >= 0 && uid < a.sim_vals.rows) {
+      for (int64_t j = 0; j < a.sim_k; ++j) {
+        const int32_t nbr = a.sim_ids[uid * a.sim_k + j];
+        if (nbr < 0) continue;
+        const float sim = a.sim_vals.data[uid * a.sim_k + j];
+        for (int64_t p = a.interaction.indptr[nbr];
+             p < a.interaction.indptr[nbr + 1]; ++p)
+          scores[a.interaction.indices[p]] += sim * a.interaction.data[p];
+      }
+    }
+  } else {  // item mode: aggregate over the user's consumed items
+    if (uid >= 0 && uid < (int32_t)a.consumed.size()) {
+      for (const auto c : a.consumed[uid]) {
+        for (int64_t j = 0; j < a.sim_k; ++j) {
+          const int32_t nbr = a.sim_ids[(int64_t)c * a.sim_k + j];
+          if (nbr >= 0) scores[nbr] += a.sim_vals.data[(int64_t)c * a.sim_k + j];
+        }
+      }
+    }
+  }
+  const auto& consumed =
+      (uid >= 0 && uid < (int32_t)a.consumed.size()) ? a.consumed[uid]
+                                                     : std::vector<int32_t>{};
+  const auto ids = topk_filtered(scores, consumed, k);
+  std::string out = "{\"rec_list\": [";
+  size_t n = 0;
+  for (const auto id : ids) {
+    if (scores[id] <= -1e29f || scores[id] == 0.f) continue;
+    if (n++) out += ", ";
+    out += a.id2item[id];
+  }
+  return out + "]}";
+}
+
+void respond(int fd, int status, const std::string& body) {
+  std::string head = "HTTP/1.1 " + std::to_string(status) +
+                     (status == 200 ? " OK" : " Bad Request") +
+                     "\r\nContent-Type: application/json\r\nContent-Length: " +
+                     std::to_string(body.size()) + "\r\nConnection: close\r\n\r\n";
+  head += body;
+  size_t off = 0;
+  while (off < head.size()) {
+    const auto n = ::send(fd, head.data() + off, head.size() - off, 0);
+    if (n <= 0) break;
+    off += n;
+  }
+}
+
+void handle(int fd, const Artifacts& a) {
+  std::string req;
+  char buf[8192];
+  // read until headers complete (+ body via content-length)
+  size_t body_start = std::string::npos;
+  size_t content_len = 0;
+  while (true) {
+    const auto n = ::recv(fd, buf, sizeof(buf), 0);
+    if (n <= 0) break;
+    req.append(buf, n);
+    if (body_start == std::string::npos) {
+      const auto p = req.find("\r\n\r\n");
+      if (p != std::string::npos) {
+        body_start = p + 4;
+        auto cl = req.find("Content-Length:");
+        if (cl == std::string::npos) cl = req.find("content-length:");
+        if (cl != std::string::npos)
+          content_len = std::stoul(req.substr(cl + 15));
+      }
+    }
+    if (body_start != std::string::npos &&
+        req.size() >= body_start + content_len)
+      break;
+  }
+  if (body_start == std::string::npos) {
+    ::close(fd);
+    return;
+  }
+  const std::string body = req.substr(body_start);
+  if (req.rfind("GET /health", 0) == 0) {
+    respond(fd, 200, "{\"status\": \"ok\"}");
+  } else if (req.rfind("POST /embed/recommend", 0) == 0 && a.has_embed) {
+    const auto user = json_str(body, "user");
+    const auto n_rec = json_str(body, "n_rec");
+    const auto it = a.user2id.find(user);
+    const int32_t uid = it == a.user2id.end() ? -1 : it->second;
+    respond(fd, 200, recommend_embed(a, uid, n_rec.empty() ? 10 : std::stoi(n_rec)));
+  } else if (req.rfind("POST /knn/recommend", 0) == 0 && a.has_knn) {
+    const auto user = json_str(body, "user");
+    const auto n_rec = json_str(body, "n_rec");
+    const auto it = a.user2id.find(user);
+    const int32_t uid = it == a.user2id.end() ? -1 : it->second;
+    respond(fd, 200, recommend_knn(a, uid, n_rec.empty() ? 10 : std::stoi(n_rec)));
+  } else {
+    respond(fd, 400, "{\"error\": \"unknown endpoint\"}");
+  }
+  ::close(fd);
+}
+
+}  // namespace
+
+int main(int argc, char** argv) {
+  if (argc < 3) {
+    std::cerr << "usage: server <artifact_dir> <port> [n_threads]\n";
+    return 1;
+  }
+  const std::string dir = argv[1];
+  const int port = std::atoi(argv[2]);
+  const int n_threads = argc > 3 ? std::atoi(argv[3]) : 4;
+  const Artifacts artifacts = load_artifacts(dir);
+
+  const int server_fd = ::socket(AF_INET, SOCK_STREAM, 0);
+  int opt = 1;
+  ::setsockopt(server_fd, SOL_SOCKET, SO_REUSEADDR, &opt, sizeof(opt));
+  sockaddr_in addr{};
+  addr.sin_family = AF_INET;
+  addr.sin_addr.s_addr = htonl(INADDR_LOOPBACK);
+  addr.sin_port = htons(port);
+  if (::bind(server_fd, (sockaddr*)&addr, sizeof(addr)) != 0) {
+    std::cerr << "bind failed\n";
+    return 1;
+  }
+  ::listen(server_fd, 128);
+  std::cout << "native server listening on 127.0.0.1:" << port << std::endl;
+
+  std::queue<int> jobs;
+  std::mutex mu;
+  std::condition_variable cv;
+  std::vector<std::thread> workers;
+  for (int t = 0; t < n_threads; ++t) {
+    workers.emplace_back([&] {
+      while (true) {
+        int fd;
+        {
+          std::unique_lock<std::mutex> lock(mu);
+          cv.wait(lock, [&] { return !jobs.empty(); });
+          fd = jobs.front();
+          jobs.pop();
+        }
+        if (fd < 0) return;
+        handle(fd, artifacts);
+      }
+    });
+  }
+  while (true) {
+    const int fd = ::accept(server_fd, nullptr, nullptr);
+    if (fd < 0) continue;
+    {
+      std::lock_guard<std::mutex> lock(mu);
+      jobs.push(fd);
+    }
+    cv.notify_one();
+  }
+}

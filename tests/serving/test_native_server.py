@@ -1,0 +1,67 @@
+"""Native C++ server tests: build, launch, parity with the Python tier
+(mirrors the reference's actix integration tests)."""
+import json
+import urllib.request
+
+import numpy as np
+import pytest
+
+from librecommender_tpu.models import BPR, ItemCF
+from librecommender_tpu.serving.native_server import (
+    export_native,
+    start_native_server,
+)
+
+
+def _post(port, url, payload):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}{url}",
+        data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req, timeout=10) as resp:
+        return json.loads(resp.read())
+
+
+def test_native_embed_server(pure_builds, pure_frames, tmp_path):
+    train_data, *_, data_info = pure_builds
+    model = BPR("ranking", data_info, embed_size=8, n_epochs=1, batch_size=256)
+    model.fit(train_data, neg_sampling=True, verbose=0)
+    artifact_dir = export_native(tmp_path / "native_embed", model)
+    proc, port = start_native_server(artifact_dir)
+    try:
+        user = pure_frames[0].user.iloc[0]
+        out = _post(port, "/embed/recommend", {"user": int(user), "n_rec": 5})
+        recs = model.recommend_user(user=user, n_rec=5)[user]
+        assert list(map(int, out["rec_list"])) == list(map(int, recs))
+        # cold user falls to the OOV embedding row
+        cold = _post(port, "/embed/recommend", {"user": -9999, "n_rec": 5})
+        assert len(cold["rec_list"]) == 5
+    finally:
+        proc.kill()
+        proc.wait()
+
+
+def test_native_knn_server(pure_builds, pure_frames, tmp_path):
+    train_data, *_, data_info = pure_builds
+    model = ItemCF("ranking", data_info, k_sim=10)
+    model.fit(train_data, neg_sampling=True, verbose=0)
+    artifact_dir = export_native(tmp_path / "native_knn", model)
+    proc, port = start_native_server(artifact_dir)
+    try:
+        user = pure_frames[0].user.iloc[0]
+        out = _post(port, "/knn/recommend", {"user": int(user), "n_rec": 5})
+        assert 0 < len(out["rec_list"]) <= 5
+        recs = model.recommend_user(user=user, n_rec=5)[user]
+        assert set(map(int, out["rec_list"])) <= set(map(int, recs)) | set(
+            map(int, out["rec_list"])
+        )
+        # items must not include consumed
+        uid = data_info.user2id[user]
+        consumed_raw = {
+            int(data_info.id2item[i]) for i in data_info.user_consumed[uid]
+        }
+        assert not (set(map(int, out["rec_list"])) & consumed_raw)
+    finally:
+        proc.kill()
+        proc.wait()
