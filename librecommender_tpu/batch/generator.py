@@ -114,6 +114,33 @@ class BatchGenerator:
             )
         return negatives_from_random(self.rng, self.n_items, items_pos, self.num_neg)
 
+    # ------------------------------------------------------ epoch-level API
+    def epoch_arrays(self):
+        """Row-aligned arrays for the device-resident epoch path, padded to
+        n_batches * batch_size (pad rows carry weight 0). Uploaded to HBM
+        once per fit; per-epoch shuffling happens on device via a permutation
+        (see Trainer's scan path)."""
+        total = self.n_batches() * self.batch_size
+        out = {
+            "user": _pad(self.user_indices, total),
+            "item": _pad(self.item_indices, total),
+            "label": _pad(self.labels, total),
+            "weight": _pad(np.ones(self.n_samples, np.float32), total),
+        }
+        for key, arr in self.extras.items():
+            out[key] = _pad(np.asarray(arr), total)
+        return out
+
+    def epoch_negatives(self):
+        """Per-epoch host-sampled negatives (popular/unconsumed samplers),
+        padded like epoch_arrays; None when sampling is device-side or off."""
+        if not self.neg_sampling or self.device_side_sampling:
+            return None
+        total = self.n_batches() * self.batch_size
+        negs = self._sample_negatives(self.item_indices, self.user_indices)
+        negs = negs.reshape(-1, self.num_neg).astype(np.int32)
+        return _pad(negs, total)
+
     def __call__(self, shuffle=True):
         """One epoch of batches."""
         perm = (
