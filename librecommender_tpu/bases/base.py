@@ -92,12 +92,15 @@ class Base(abc.ABC):
         eval_user_num=None,
         num_workers=0,
         mesh=None,
+        profile_dir=None,
     ):
         """Train the model on transformed train data.
 
         ``mesh``: optional ``jax.sharding.Mesh(('data', 'model'))`` (see
         ``parallel.build_mesh``) — batches shard over `data`, embedding
         tables row-shard over `model`.
+        ``profile_dir``: write a ``jax.profiler`` trace of one steady-state
+        epoch for tensorboard/xprof.
         """
         if verbose > 0:
             start = time.strftime("%Y-%m-%d %H:%M:%S", time.localtime())
@@ -127,6 +130,7 @@ class Base(abc.ABC):
             k=k,
             eval_batch_size=eval_batch_size,
             eval_user_num=eval_user_num,
+            profile_dir=profile_dir,
         )
         self.trainer = trainer
         self.post_fit()

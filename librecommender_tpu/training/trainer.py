@@ -151,6 +151,7 @@ class Trainer:
         k=10,
         eval_batch_size=8192,
         eval_user_num=None,
+        profile_dir=None,
         **kwargs,
     ):
         from ..batch import BatchGenerator
@@ -234,11 +235,20 @@ class Trainer:
                     if host_negs is not None
                     else jnp.zeros((), jnp.int32)
                 )
+                # profile the first post-compile epoch (xplane trace for
+                # tensorboard / xprof; reference had only wall-clock timing)
+                do_profile = profile_dir is not None and epoch == 2
+                if do_profile:
+                    jax.profiler.start_trace(profile_dir)
                 params, opt_state, losses = epoch_fn(
                     params, opt_state, data_dev, host_negs, perm,
                     jax.random.fold_in(base_rng, epoch),
                 )
                 jax.block_until_ready(losses)
+                if do_profile:
+                    jax.profiler.stop_trace()
+                    if verbose > 0:
+                        print(colorize(f"profile written to {profile_dir}", "cyan"))
                 self.epoch_times.append(time.perf_counter() - epoch_start)
                 if verbose > 0:
                     print(f"\t train_loss: {float(jnp.mean(losses)):.4f}")
