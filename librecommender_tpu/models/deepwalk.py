@@ -20,7 +20,7 @@ class DeepWalk(W2VBase):
         walk_length=10,
         window_size=5,
         n_epochs=5,
-        learning_rate=0.025,
+        learning_rate=0.005,
         batch_size=10000,
         num_neg=5,
         seed=42,

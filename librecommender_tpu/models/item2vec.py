@@ -15,7 +15,7 @@ class Item2Vec(W2VBase):
         norm_embed=False,
         window_size=None,
         n_epochs=5,
-        learning_rate=0.025,
+        learning_rate=0.005,
         batch_size=10000,
         num_neg=5,
         seed=42,
