@@ -291,11 +291,27 @@ class FeatBase(Base):
             uids = inner_ids[chunk]
             uids_p = np.pad(uids, (0, U - len(uids))).astype(np.int32)
             scores = self._recommend_fn(self.params, uids_p, U)
-            consumed = (
-                pad_consumed(self.user_consumed, uids_p) if filter_consumed else None
-            )
-            ids, _ = topk_from_scores(scores, consumed, int(n_rec))
-            ids = np.asarray(ids)[: len(uids)]
+            if random_rec:
+                from ..recommendation.ranking import rank_recommendations
+
+                ids = rank_recommendations(
+                    self.task,
+                    uids,
+                    np.asarray(scores)[: len(uids)],
+                    n_rec,
+                    self.n_items,
+                    self.user_consumed,
+                    filter_consumed=filter_consumed,
+                    random_rec=True,
+                    np_rng=self.data_info.np_rng,
+                )
+            else:
+                consumed = (
+                    pad_consumed(self.user_consumed, uids_p)
+                    if filter_consumed else None
+                )
+                ids, _ = topk_from_scores(scores, consumed, int(n_rec))
+                ids = np.asarray(ids)[: len(uids)]
             for r, i in enumerate(chunk):
                 result[_key(raw_users[i])] = ids[r]
         for i in np.nonzero(popular_mask)[0]:
