@@ -93,6 +93,8 @@ class Base(abc.ABC):
         num_workers=0,
         mesh=None,
         profile_dir=None,
+        checkpoint_dir=None,
+        checkpoint_every=1,
     ):
         """Train the model on transformed train data.
 
@@ -131,6 +133,8 @@ class Base(abc.ABC):
             eval_batch_size=eval_batch_size,
             eval_user_num=eval_user_num,
             profile_dir=profile_dir,
+            checkpoint_dir=checkpoint_dir,
+            checkpoint_every=checkpoint_every,
         )
         self.trainer = trainer
         self.post_fit()
@@ -226,6 +230,22 @@ class Base(abc.ABC):
                 old_opt = pickle.load(f)
             self._initial_opt_state = ("graft", old_opt)
         return self
+
+    def load_checkpoint(self, checkpoint_dir):
+        """Resume from a mid-training checkpoint written by
+        ``fit(checkpoint_dir=...)``; returns the epoch it was taken at."""
+        import pickle
+        from pathlib import Path
+
+        import jax.numpy as jnp
+
+        with open(Path(checkpoint_dir) / "checkpoint.pkl", "rb") as f:
+            state = pickle.load(f)
+        if self.params is None:
+            self.build_model()
+        self.params = jax.tree.map(jnp.asarray, state["params"])
+        self._initial_opt_state = ("restore", state["opt_state"])
+        return state["epoch"]
 
     # --------------------------------------------------------- persistence
     def save(self, path, model_name=None, **kwargs):

@@ -224,7 +224,31 @@ class FeatBase(Base):
 
             self._recommend_fn = score_all
 
-    def predict(self, user, item, inner_id=False, cold_start="average"):
+    def predict(self, user, item, inner_id=False, cold_start="average",
+                feats=None):
+        """``feats``: optional {col: value} overrides for the user side of a
+        SINGLE pair (reference `predict_data_with_feats`,
+        libreco/prediction/predict.py:95)."""
+        if feats is not None:
+            users, items = self.convert_ids(user, item, inner_id)
+            assert len(users) == 1, "`feats` prediction supports one pair"
+            uid = int(users[0])
+            inputs = {
+                "user": jnp.asarray(users, jnp.int32),
+                "item": jnp.asarray(items, jnp.int32),
+            }
+            if self.feats.user_sparse is not None:
+                row = self.feats.build_user_sparse_row(uid, feats)
+                inputs["user_sparse_row"] = jnp.asarray(row, jnp.int32)[None, :]
+            if self.feats.user_dense is not None:
+                row = self.feats.build_user_dense_row(uid, feats)
+                inputs["user_dense_row"] = jnp.asarray(row, jnp.float32)[None, :]
+            logit = float(
+                np.asarray(self._forward(self.params, inputs, False, None))[0]
+            )
+            if self.task == "rating":
+                return float(np.clip(logit, self.lower_bound, self.upper_bound))
+            return float(1.0 / (1.0 + np.exp(-logit)))
         self._ensure_inference_fns()
         users, items = self.convert_ids(user, item, inner_id)
         n = len(users)

@@ -152,6 +152,8 @@ class Trainer:
         eval_batch_size=8192,
         eval_user_num=None,
         profile_dir=None,
+        checkpoint_dir=None,
+        checkpoint_every=1,
         **kwargs,
     ):
         from ..batch import BatchGenerator
@@ -186,10 +188,15 @@ class Trainer:
         opt_state = optimizer.init(params)
         initial = getattr(model, "_initial_opt_state", None)
         if initial is not None:
-            from .rebuild import graft_opt_state
-
             kind, old_opt = initial
-            opt_state = graft_opt_state(old_opt, opt_state, params, model.data_info)
+            if kind == "restore":  # same-shape checkpoint resume
+                opt_state = jax.tree.map(jnp.asarray, old_opt)
+            else:  # "graft": enlarged-vocab retrain
+                from .rebuild import graft_opt_state
+
+                opt_state = graft_opt_state(
+                    old_opt, opt_state, params, model.data_info
+                )
             model._initial_opt_state = None
         self._optimizer = optimizer
 
@@ -252,6 +259,24 @@ class Trainer:
                 self.epoch_times.append(time.perf_counter() - epoch_start)
                 if verbose > 0:
                     print(f"\t train_loss: {float(jnp.mean(losses)):.4f}")
+
+            if checkpoint_dir is not None and epoch % checkpoint_every == 0:
+                # periodic mid-training checkpoint (params + opt state); the
+                # reference had none (SURVEY §5 failure-recovery gap)
+                import pickle
+                from pathlib import Path
+
+                ckpt = Path(checkpoint_dir)
+                ckpt.mkdir(parents=True, exist_ok=True)
+                with open(ckpt / "checkpoint.pkl", "wb") as f:
+                    pickle.dump(
+                        {
+                            "epoch": epoch,
+                            "params": jax.device_get(params),
+                            "opt_state": jax.device_get(opt_state),
+                        },
+                        f,
+                    )
 
             if verbose > 1:
                 model.params = params

@@ -128,3 +128,23 @@ def test_optimizer_state_grafted(tmp_path):
     model2 = SVD("ranking", new_info, embed_size=8, n_epochs=1, batch_size=256)
     model2.rebuild_model(path, "SVD")
     assert model2._initial_opt_state is not None
+
+
+def test_checkpoint_resume(tmp_path):
+    """Mid-training checkpoints restore params + optimizer state."""
+    frame = make_interactions()
+    train_data, data_info = DatasetPure.build_trainset(frame)
+    ckpt = str(tmp_path / "ckpt")
+    model = SVD("ranking", data_info, embed_size=8, n_epochs=3, batch_size=256)
+    model.fit(train_data, neg_sampling=True, verbose=0, checkpoint_dir=ckpt)
+
+    model2 = SVD("ranking", data_info, embed_size=8, n_epochs=1, batch_size=256)
+    epoch = model2.load_checkpoint(ckpt)
+    assert epoch == 3
+    np.testing.assert_allclose(
+        np.asarray(model.params["user_embed"]),
+        np.asarray(model2.params["user_embed"]),
+    )
+    # continues training with restored optimizer state
+    model2.fit(train_data, neg_sampling=True, verbose=0)
+    assert model2.user_embeds_np is not None
