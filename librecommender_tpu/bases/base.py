@@ -212,7 +212,7 @@ class Base(abc.ABC):
         import pickle
         from pathlib import Path
 
-        from ..training.rebuild import graft_opt_state, graft_params
+        from ..training.rebuild import graft_params
         from ..utils.save_load import load_params
 
         assert self.data_info.old_info is not None, (

@@ -7,8 +7,6 @@ history user embeddings are cached like EmbedBase, but ``predict`` /
 ``recommend_user`` accept an explicit ``seq`` (raw item ids) to embed an
 arbitrary state at request time (dyn_embed_base.py:74, ~:200).
 """
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np

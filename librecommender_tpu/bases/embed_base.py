@@ -13,7 +13,6 @@ from .base import Base
 from ..ops.topk import topk_from_embeddings
 from ..recommendation.cold_start import popular_recommendations
 from ..recommendation.ranking import rank_recommendations
-from ..utils.misc import colorize
 
 
 class EmbedBase(Base):

@@ -20,7 +20,6 @@ from ..ops.features import FeatureTables
 from ..ops.losses import bce_loss, focal_loss, mse_loss
 from ..ops.topk import pad_consumed, topk_from_scores
 from ..recommendation.cold_start import popular_recommendations
-from ..utils.misc import colorize
 
 _PREDICT_CHUNK = 4096
 

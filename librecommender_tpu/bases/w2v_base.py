@@ -48,7 +48,7 @@ class W2VBase(EmbedBase):
         """List of item-id sequences (consumption lists or walks)."""
         raise NotImplementedError
 
-    def _skipgram_pairs(self, corpus, rng):
+    def _skipgram_pairs(self, corpus, rng, max_pairs=20_000_000):
         centers, contexts = [], []
         W = self.window_size
         for sent in corpus:
@@ -65,10 +65,14 @@ class W2VBase(EmbedBase):
                     if ctx != pos:
                         centers.append(sent[pos])
                         contexts.append(sent[ctx])
-        return (
-            np.asarray(centers, np.int32),
-            np.asarray(contexts, np.int32),
-        )
+        centers = np.asarray(centers, np.int32)
+        contexts = np.asarray(contexts, np.int32)
+        if len(centers) > max_pairs:
+            # whole-list windows (Item2Vec) are O(len^2) per user; cap the
+            # epoch size for power users
+            take = rng.choice(len(centers), max_pairs, replace=False)
+            centers, contexts = centers[take], contexts[take]
+        return centers, contexts
 
     def build_model(self):
         rng = jax.random.PRNGKey(self.seed)

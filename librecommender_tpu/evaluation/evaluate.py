@@ -3,14 +3,12 @@
 Reference parity: libreco/evaluation/evaluate.py:62 (`evaluate`), :158
 (`print_metrics`) and computation helpers (evaluation/computation.py:10-52).
 """
-import math
 import numbers
 
 import numpy as np
 
 from . import metrics as m
 from ..data.transformed import TransformedEvalSet, TransformedSet
-from ..utils.misc import colorize
 
 
 def _check_metrics(task, metric_names, k):

@@ -16,7 +16,7 @@ import numpy as np
 from ..bases.embed_base import EmbedBase
 from ..evaluation.evaluate import print_metrics
 from ..ops.initializers import truncated_normal
-from ..utils.misc import colorize, time_block
+from ..utils.misc import time_block
 from ..utils.validate import check_fitting
 
 

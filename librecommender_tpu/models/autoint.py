@@ -5,7 +5,6 @@ layers (multi-head self-attention over the field axis with a residual
 projection), flattened into a final linear head.
 """
 import jax
-import jax.numpy as jnp
 
 from ..bases.feat_base import FeatBase
 from ..ops.initializers import truncated_normal

@@ -10,7 +10,6 @@ loop free of host work.
 """
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..bases.graph_base import GraphEmbedBase
 from ..graph.adjacency import build_neighbor_table

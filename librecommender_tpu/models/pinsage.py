@@ -11,7 +11,7 @@ import jax
 import jax.numpy as jnp
 
 from .graphsage import GraphSage
-from ..graph.adjacency import build_neighbor_table, pinsage_neighbor_table
+from ..graph.adjacency import pinsage_neighbor_table
 from ..ops.nn import dense
 
 

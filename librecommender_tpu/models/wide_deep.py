@@ -7,7 +7,6 @@ MLP over the field embeddings trained with Adam. Implemented with
 `optax.multi_transform` over a params-label pytree.
 """
 import jax
-import jax.numpy as jnp
 import optax
 
 from ..bases.feat_base import FeatBase

@@ -9,7 +9,6 @@ via jax.random — no host round trip).
 """
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..bases.dyn_embed_base import DynEmbedBase
 from ..ops.features import FeatureTables

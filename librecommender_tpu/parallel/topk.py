@@ -7,12 +7,9 @@ all-gathered (k per shard, not the full catalog), and the global top-k is the
 merge — the standard sharded-retrieval recipe, expressed with `shard_map` so
 the collective rides ICI.
 """
-import functools
-
 import jax
 import jax.numpy as jnp
-import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import PartitionSpec as P
 
 shard_map = jax.shard_map
 

@@ -7,8 +7,6 @@ store abstracted behind store.py (Redis in production, DictStore in tests).
 The `model` app is the TF-Serving-path analog: it drives the full jitted
 model; `online` additionally accepts dynamic "user_feats"/"seq".
 """
-import json
-
 import numpy as np
 from aiohttp import web
 

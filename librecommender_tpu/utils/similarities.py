@@ -6,7 +6,6 @@ materializing the full sparse sim matrix and caching top-k later, the kernel
 returns the top-k neighbor lists directly (like recfarm, rust/src/user_cf.rs).
 """
 import numpy as np
-from scipy.sparse import csr_matrix
 
 from ..native import get_lib, topk_similarities_native
 

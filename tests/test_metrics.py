@@ -1,0 +1,63 @@
+"""Metric unit tests against hand-computed values (reference:
+tests/test_rank_reco.py style)."""
+import numpy as np
+import pytest
+
+from librecommender_tpu.evaluation import metrics as m
+
+
+def test_listwise_metrics_hand_computed():
+    y_true = [1, 2, 3, 4]
+    y_reco = [2, 9, 1, 8, 7]
+    # precision@5: 2 hits / 5
+    assert m.precision_at_k(y_true, y_reco, 5) == pytest.approx(0.4)
+    # recall@5: 2 hits / 4 relevant
+    assert m.recall_at_k(y_true, y_reco, 5) == pytest.approx(0.5)
+    # AP@5: hits at ranks 1 and 3 -> (1/1 + 2/3) / min(4,5)
+    assert m.average_precision_at_k(y_true, y_reco, 5) == pytest.approx(
+        (1.0 + 2.0 / 3.0) / 4.0
+    )
+    # NDCG@5: DCG = 1/log2(2) + 1/log2(4); IDCG = sum over 4 ideal ranks
+    dcg = 1.0 / np.log2(2) + 1.0 / np.log2(4)
+    idcg = sum(1.0 / np.log2(r + 2) for r in range(4))
+    assert m.ndcg_at_k(y_true, y_reco, 5) == pytest.approx(dcg / idcg)
+
+
+def test_listwise_edge_cases():
+    assert m.recall_at_k([], [1, 2], 2) == 0.0
+    assert m.ndcg_at_k([5], [1, 2], 2) == 0.0
+    assert m.average_precision_at_k([5], [1, 2], 2) == 0.0
+
+
+def test_coverage():
+    recos = {0: [1, 2], 1: [2, 3]}
+    assert m.coverage(np.arange(10), recos, [0, 1]) == pytest.approx(0.3)
+
+
+def test_roc_gauc_weighted_by_user():
+    users = np.array([0, 0, 0, 1, 1, 1, 1])
+    labels = np.array([1, 0, 0, 1, 1, 0, 0])
+    # user 0: perfect ordering; user 1: perfect ordering
+    probs = np.array([0.9, 0.2, 0.1, 0.8, 0.7, 0.3, 0.2])
+    assert m.roc_gauc(labels, probs, users) == pytest.approx(1.0)
+    # single-class users are skipped
+    users2 = np.array([0, 0, 1])
+    labels2 = np.array([1, 0, 1])
+    probs2 = np.array([0.2, 0.9, 0.5])
+    assert m.roc_gauc(labels2, probs2, users2) == pytest.approx(0.0)
+
+
+def test_rank_recommendations_random_rec_valid():
+    from librecommender_tpu.recommendation.ranking import rank_recommendations
+
+    rng = np.random.default_rng(0)
+    scores = rng.normal(size=(2, 20))
+    consumed = {0: [0, 1, 2], 1: [5]}
+    ids = rank_recommendations(
+        "ranking", [0, 1], scores, 5, 20, consumed,
+        filter_consumed=True, random_rec=True, np_rng=rng,
+    )
+    assert ids.shape == (2, 5)
+    assert not (set(ids[0]) & {0, 1, 2})
+    assert 5 not in set(ids[1])
+    assert len(set(ids[0])) == 5  # no duplicates
