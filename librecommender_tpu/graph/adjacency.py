@@ -14,7 +14,9 @@ import numpy as np
 
 def build_edges(user_consumed, n_users, n_items):
     """Edge arrays from the consumed dict: (edge_u, edge_i, edge_w) where
-    edge_w = 1/sqrt(deg_u * deg_i) (symmetric normalization)."""
+    edge_w = 1/sqrt(deg_u * deg_i) (symmetric normalization). Edges are
+    sorted by user id (ties by item) so user-side segment reductions can
+    declare ``indices_are_sorted``."""
     us, its = [], []
     for u, items in user_consumed.items():
         uniq = np.unique(np.asarray(items, dtype=np.int64))
@@ -22,12 +24,30 @@ def build_edges(user_consumed, n_users, n_items):
         its.append(uniq.astype(np.int32))
     edge_u = np.concatenate(us) if us else np.zeros(0, np.int32)
     edge_i = np.concatenate(its) if its else np.zeros(0, np.int32)
+    order = np.lexsort((edge_i, edge_u))
+    edge_u, edge_i = edge_u[order], edge_i[order]
     deg_u = np.bincount(edge_u, minlength=n_users).astype(np.float32)
     deg_i = np.bincount(edge_i, minlength=n_items).astype(np.float32)
     w = 1.0 / np.sqrt(
         np.maximum(deg_u[edge_u], 1.0) * np.maximum(deg_i[edge_i], 1.0)
     )
     return edge_u, edge_i, w.astype(np.float32)
+
+
+def build_dense_adjacency(user_consumed, n_users, n_items, u_rows, i_rows):
+    """Dense symmetric-normalized adjacency (u_rows, i_rows) f32, zero-padded
+    to the aligned table row counts.
+
+    The TPU-idiomatic formulation of GCN propagation at recommender scale:
+    one layer is two dense matmuls (A @ item_h, A.T @ user_h) on the MXU —
+    orders of magnitude faster than scatter-add segment sums for random
+    indices. Memory is u_rows * i_rows * 4 bytes; callers fall back to the
+    edge-list path when that exceeds their budget.
+    """
+    eu, ei, w = build_edges(user_consumed, n_users, n_items)
+    A = np.zeros((u_rows, i_rows), np.float32)
+    A[eu, ei] = w
+    return A
 
 
 def build_neighbor_table(consumed, n_rows, max_neighbors, pad):

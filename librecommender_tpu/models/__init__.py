@@ -25,6 +25,7 @@ from .deepwalk import DeepWalk
 from .user_cf import UserCF
 from .item_cf import ItemCF
 from .swing import Swing
+from .aliases import GraphSageDGL, PinSageDGL, RsItemCF, RsUserCF
 
 __all__ = [
     "SVD", "SVDpp", "BPR", "FM", "DeepFM", "WideDeep", "AutoInt", "NCF",
@@ -32,4 +33,5 @@ __all__ = [
     "RNN4Rec", "Caser", "WaveNet", "TwoTower", "YouTubeRetrieval",
     "LightGCN", "NGCF", "GraphSage", "PinSage",
     "ALS", "Item2Vec", "DeepWalk", "UserCF", "ItemCF", "Swing",
+    "GraphSageDGL", "PinSageDGL", "RsUserCF", "RsItemCF",
 ]

@@ -34,6 +34,7 @@ class LightGCN(GraphEmbedBase):
         num_neg=1,
         n_layers=3,
         dropout_rate=0.0,
+        dense_adj_limit=200_000_000,
         seed=42,
     ):
         self.all_args = {
@@ -54,15 +55,33 @@ class LightGCN(GraphEmbedBase):
         self.num_neg = num_neg
         self.n_layers = n_layers
         self.dropout_rate = dropout_rate
+        self.dense_adj_limit = dense_adj_limit
         self.edge_u = self.edge_i = self.edge_w = None
+        self.adj = None  # dense (u_rows, i_rows) when within the limit
+
+    def _build_graph(self):
+        from ..graph.adjacency import build_dense_adjacency
+        from ..parallel.mesh import aligned_rows
+
+        u_rows, i_rows = aligned_rows(self.n_users), aligned_rows(self.n_items)
+        if u_rows * i_rows <= self.dense_adj_limit:
+            # MXU path: propagation = two dense matmuls per layer
+            self.adj = jnp.asarray(
+                build_dense_adjacency(
+                    self.data_info.user_consumed, self.n_users, self.n_items,
+                    u_rows, i_rows,
+                )
+            )
+        else:
+            eu, ei, ew = build_edges(
+                self.data_info.user_consumed, self.n_users, self.n_items
+            )
+            self.edge_u = jnp.asarray(eu)
+            self.edge_i = jnp.asarray(ei)
+            self.edge_w = jnp.asarray(ew)
 
     def build_model(self):
-        eu, ei, ew = build_edges(
-            self.data_info.user_consumed, self.n_users, self.n_items
-        )
-        self.edge_u = jnp.asarray(eu)
-        self.edge_i = jnp.asarray(ei)
-        self.edge_w = jnp.asarray(ew)
+        self._build_graph()
         super().build_model()
 
     def _init_params(self, rng):
@@ -77,36 +96,45 @@ class LightGCN(GraphEmbedBase):
         }
 
     def _propagate(self, params, rng, train):
-        u_rows = params["user_embed"].shape[0]
-        i_rows = params["item_embed"].shape[0]
-        w = self.edge_w
-        if train and self.dropout_rate > 0.0:
-            keep = 1.0 - self.dropout_rate
-            mask = jax.random.bernoulli(rng, keep, w.shape)
-            w = jnp.where(mask, w / keep, 0.0)
-        eu, ei = self.edge_u, self.edge_i
         user_h = params["user_embed"]
         item_h = params["item_embed"]
         user_acc, item_acc = user_h, item_h
-        for _ in range(self.n_layers):
-            msg_to_user = jax.ops.segment_sum(
-                item_h[ei] * w[:, None], eu, num_segments=u_rows
-            )
-            msg_to_item = jax.ops.segment_sum(
-                user_h[eu] * w[:, None], ei, num_segments=i_rows
-            )
-            user_h, item_h = msg_to_user, msg_to_item
-            user_acc = user_acc + user_h
-            item_acc = item_acc + item_h
+        if self.adj is not None:
+            A = self.adj
+            if train and self.dropout_rate > 0.0:
+                keep = 1.0 - self.dropout_rate
+                mask = jax.random.bernoulli(rng, keep, A.shape)
+                A = jnp.where(mask, A / keep, 0.0)
+            for _ in range(self.n_layers):
+                msg_to_user = A @ item_h
+                msg_to_item = A.T @ user_h
+                user_h, item_h = msg_to_user, msg_to_item
+                user_acc = user_acc + user_h
+                item_acc = item_acc + item_h
+        else:
+            u_rows = params["user_embed"].shape[0]
+            i_rows = params["item_embed"].shape[0]
+            w = self.edge_w
+            if train and self.dropout_rate > 0.0:
+                keep = 1.0 - self.dropout_rate
+                mask = jax.random.bernoulli(rng, keep, w.shape)
+                w = jnp.where(mask, w / keep, 0.0)
+            eu, ei = self.edge_u, self.edge_i
+            for _ in range(self.n_layers):
+                msg_to_user = jax.ops.segment_sum(
+                    item_h[ei] * w[:, None], eu, num_segments=u_rows,
+                    indices_are_sorted=True,
+                )
+                msg_to_item = jax.ops.segment_sum(
+                    user_h[eu] * w[:, None], ei, num_segments=i_rows,
+                )
+                user_h, item_h = msg_to_user, msg_to_item
+                user_acc = user_acc + user_h
+                item_acc = item_acc + item_h
         scale = 1.0 / (self.n_layers + 1)
         return user_acc * scale, item_acc * scale
 
     def post_load(self):
-        eu, ei, ew = build_edges(
-            self.data_info.user_consumed, self.n_users, self.n_items
-        )
-        self.edge_u, self.edge_i, self.edge_w = (
-            jnp.asarray(eu), jnp.asarray(ei), jnp.asarray(ew),
-        )
+        self._build_graph()
         if self.params is not None:
             self.set_embeddings()

@@ -32,6 +32,7 @@ class NGCF(GraphEmbedBase):
         hidden_units=(64, 64, 64),
         node_dropout=0.0,
         message_dropout=0.0,
+        dense_adj_limit=200_000_000,
         seed=42,
     ):
         self.all_args = {
@@ -52,15 +53,32 @@ class NGCF(GraphEmbedBase):
         self.hidden_units = tuple(hidden_units)
         self.node_dropout = node_dropout
         self.message_dropout = message_dropout
+        self.dense_adj_limit = dense_adj_limit
         self.edge_u = self.edge_i = self.edge_w = None
+        self.adj = None
+
+    def _build_graph(self):
+        from ..graph.adjacency import build_dense_adjacency
+        from ..parallel.mesh import aligned_rows
+
+        u_rows, i_rows = aligned_rows(self.n_users), aligned_rows(self.n_items)
+        if u_rows * i_rows <= self.dense_adj_limit:
+            self.adj = jnp.asarray(
+                build_dense_adjacency(
+                    self.data_info.user_consumed, self.n_users, self.n_items,
+                    u_rows, i_rows,
+                )
+            )
+        else:
+            eu, ei, ew = build_edges(
+                self.data_info.user_consumed, self.n_users, self.n_items
+            )
+            self.edge_u = jnp.asarray(eu)
+            self.edge_i = jnp.asarray(ei)
+            self.edge_w = jnp.asarray(ew)
 
     def build_model(self):
-        eu, ei, ew = build_edges(
-            self.data_info.user_consumed, self.n_users, self.n_items
-        )
-        self.edge_u = jnp.asarray(eu)
-        self.edge_i = jnp.asarray(ei)
-        self.edge_w = jnp.asarray(ew)
+        self._build_graph()
         super().build_model()
 
     def _init_params(self, rng):
@@ -88,24 +106,43 @@ class NGCF(GraphEmbedBase):
     def _propagate(self, params, rng, train):
         u_rows = params["user_embed"].shape[0]
         i_rows = params["item_embed"].shape[0]
-        w = self.edge_w
         r1, r2 = jax.random.split(rng)
-        if train and self.node_dropout > 0.0:
-            keep = 1.0 - self.node_dropout
-            mask = jax.random.bernoulli(r1, keep, w.shape)
-            w = jnp.where(mask, w / keep, 0.0)
-        eu, ei = self.edge_u, self.edge_i
         user_h, item_h = params["user_embed"], params["item_embed"]
         user_layers, item_layers = [user_h], [item_h]
+        dense = self.adj is not None
+        if dense:
+            A = self.adj
+            if train and self.node_dropout > 0.0:
+                keep = 1.0 - self.node_dropout
+                mask = jax.random.bernoulli(r1, keep, A.shape)
+                A = jnp.where(mask, A / keep, 0.0)
+        else:
+            w = self.edge_w
+            if train and self.node_dropout > 0.0:
+                keep = 1.0 - self.node_dropout
+                mask = jax.random.bernoulli(r1, keep, w.shape)
+                w = jnp.where(mask, w / keep, 0.0)
+            eu, ei = self.edge_u, self.edge_i
         for li, (w1, w2) in enumerate(zip(params["w1"], params["w2"])):
-            # messages item -> user
-            i_msg = item_h[ei] @ w1 + (item_h[ei] * user_h[eu]) @ w2
-            u_agg = jax.ops.segment_sum(i_msg * w[:, None], eu, num_segments=u_rows)
+            if dense:
+                # the per-edge interaction term factors through the dense
+                # matmul: sum_i w_ui (h_i ⊙ h_u) = (A @ h_i) ⊙ h_u
+                agg_i = A @ item_h                            # (u_rows, d)
+                u_agg = agg_i @ w1 + (agg_i * user_h) @ w2
+                agg_u = A.T @ user_h
+                i_agg = agg_u @ w1 + (agg_u * item_h) @ w2
+            else:
+                i_msg = item_h[ei] @ w1 + (item_h[ei] * user_h[eu]) @ w2
+                u_agg = jax.ops.segment_sum(
+                    i_msg * w[:, None], eu, num_segments=u_rows,
+                    indices_are_sorted=True,
+                )
+                u_msg = user_h[eu] @ w1 + (user_h[eu] * item_h[ei]) @ w2
+                i_agg = jax.ops.segment_sum(
+                    u_msg * w[:, None], ei, num_segments=i_rows
+                )
             u_self = user_h @ w1
             u_new = jax.nn.leaky_relu(u_self + u_agg, negative_slope=0.2)
-            # messages user -> item
-            u_msg = user_h[eu] @ w1 + (user_h[eu] * item_h[ei]) @ w2
-            i_agg = jax.ops.segment_sum(u_msg * w[:, None], ei, num_segments=i_rows)
             i_self = item_h @ w1
             i_new = jax.nn.leaky_relu(i_self + i_agg, negative_slope=0.2)
             if train and self.message_dropout > 0.0:
@@ -126,11 +163,6 @@ class NGCF(GraphEmbedBase):
         )
 
     def post_load(self):
-        eu, ei, ew = build_edges(
-            self.data_info.user_consumed, self.n_users, self.n_items
-        )
-        self.edge_u, self.edge_i, self.edge_w = (
-            jnp.asarray(eu), jnp.asarray(ei), jnp.asarray(ew),
-        )
+        self._build_graph()
         if self.params is not None:
             self.set_embeddings()

@@ -114,3 +114,21 @@ def test_swing_native_matches_fallback(pure_builds):
     ids_n, sims_n = swing_topk_native(ui, iu, 1.0, 5)
     ids_f, sims_f = _swing_fallback(ui, iu, 1.0, 5)
     np.testing.assert_allclose(sims_n, sims_f, rtol=1e-4, atol=1e-5)
+
+
+def test_reference_name_aliases(pure_builds):
+    """The reference's DGL/Rust class names resolve to native implementations."""
+    from librecommender_tpu.models import (
+        GraphSageDGL,
+        PinSageDGL,
+        RsItemCF,
+        RsUserCF,
+    )
+
+    train_data, *_, data_info = pure_builds
+    model = RsItemCF("ranking", data_info, k_sim=5)
+    model.fit(train_data, neg_sampling=True, verbose=0)
+    uid = list(data_info.user2id)[0]
+    assert len(model.recommend_user(user=uid, n_rec=3)[uid]) == 3
+    assert issubclass(GraphSageDGL, object) and issubclass(PinSageDGL, object)
+    assert RsUserCF.cf_mode == "user"

@@ -73,3 +73,23 @@ def test_lightgcn_propagation_matches_dense():
     np.testing.assert_allclose(
         np.asarray(user_out)[:n_u], expect_u, rtol=1e-4, atol=1e-5
     )
+
+
+@pytest.mark.parametrize("cls", [LightGCN, NGCF])
+def test_dense_adjacency_matches_edge_list(pure_builds, cls):
+    """The MXU dense-adjacency propagation equals the segment_sum path."""
+    import jax
+
+    train_data, *_, data_info = pure_builds
+    kw = {"n_layers": 2} if cls is LightGCN else {"hidden_units": (8, 8)}
+    dense_m = cls("ranking", data_info, embed_size=8, **kw)
+    dense_m.build_model()
+    assert dense_m.adj is not None
+    sparse_m = cls("ranking", data_info, embed_size=8, dense_adj_limit=0, **kw)
+    sparse_m.build_model()
+    assert sparse_m.adj is None
+    sparse_m.params = dense_m.params
+    u1, i1 = dense_m._propagate(dense_m.params, jax.random.PRNGKey(0), False)
+    u2, i2 = sparse_m._propagate(sparse_m.params, jax.random.PRNGKey(0), False)
+    np.testing.assert_allclose(np.asarray(u1), np.asarray(u2), rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(i1), np.asarray(i2), rtol=2e-4, atol=2e-5)

@@ -114,3 +114,31 @@ def test_item_cf_knn_serving(pure_builds, pure_frames, tmp_path):
     out = _post(create_app("knn", store), "/knn/recommend",
                 {"user": int(user), "n_rec": 5})
     assert len(out["rec_list"]) == 5
+
+
+def test_latency_benchmark_tool(pure_builds, pure_frames, tmp_path):
+    """The load-test tool runs against a live app and reports percentiles."""
+    from librecommender_tpu.serving.benchmark import run_benchmark
+
+    train_data, *_, data_info = pure_builds
+    model = BPR("ranking", data_info, embed_size=8, n_epochs=1, batch_size=256)
+    model.fit(train_data, neg_sampling=True, verbose=0)
+    path = save_embed(tmp_path / "bench_embed", model)
+    store = DictStore()
+    embed2store(path, store)
+
+    async def go():
+        from aiohttp.test_utils import TestServer
+
+        server = TestServer(create_app("embed", store))
+        await server.start_server()
+        try:
+            url = str(server.make_url("/embed/recommend"))
+            user = int(pure_frames[0].user.iloc[0])
+            return await run_benchmark(url, [{"user": user, "n_rec": 5}], 40, 4)
+        finally:
+            await server.close()
+
+    result = asyncio.run(go())
+    assert result["requests"] == 40
+    assert result["p95_ms"] > 0
