@@ -142,3 +142,33 @@ def test_latency_benchmark_tool(pure_builds, pure_frames, tmp_path):
     result = asyncio.run(go())
     assert result["requests"] == 40
     assert result["p95_ms"] > 0
+
+
+def test_grpc_online_serving(pure_builds, pure_frames):
+    """gRPC endpoint parity with direct model calls (reference
+    online_deploy_grpc.rs analog)."""
+    import socket
+
+    from librecommender_tpu.serving.grpc_server import recommend_client, serve
+    from librecommender_tpu.models import RNN4Rec
+
+    train_data, *_, data_info = pure_builds
+    model = RNN4Rec("ranking", data_info, embed_size=8, n_epochs=1, batch_size=256)
+    model.fit(train_data, neg_sampling=True, verbose=0)
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    server = serve(model, port=port)
+    try:
+        frame = pure_frames[0]
+        user = int(frame.user.iloc[0])
+        out = recommend_client(port, user, n_rec=5)
+        recs = model.recommend_user(user=user, n_rec=5)[user]
+        assert list(map(int, out["rec_list"])) == list(map(int, recs))
+        # dynamic sequence through gRPC
+        seq = [int(i) for i in frame.item.iloc[:4]]
+        out_seq = recommend_client(port, user, n_rec=5, seq=seq)
+        recs_seq = model.recommend_user(user=user, n_rec=5, seq=seq)[user]
+        assert list(map(int, out_seq["rec_list"])) == list(map(int, recs_seq))
+    finally:
+        server.stop(0)
