@@ -148,3 +148,52 @@ def test_checkpoint_resume(tmp_path):
     # continues training with restored optimizer state
     model2.fit(train_data, neg_sampling=True, verbose=0)
     assert model2.user_embeds_np is not None
+
+
+@pytest.mark.parametrize("cls_name", ["DIN", "TwoTower", "RNN4Rec"])
+def test_seq_and_tower_retrain(cls_name, tmp_path):
+    """Retrain flows for sequence/tower families (reference tests/retrain/
+    test_two_tower_retrain.py etc.)."""
+    from librecommender_tpu.models import DIN, RNN4Rec, TwoTower
+
+    cls = {"DIN": DIN, "TwoTower": TwoTower, "RNN4Rec": RNN4Rec}[cls_name]
+    frame = make_feat_interactions()
+    train_data, data_info = DatasetFeat.build_trainset(
+        frame, user_col=["sex", "age"], item_col=["genre"],
+        sparse_col=["sex", "genre"], dense_col=["age"],
+    )
+    kwargs = dict(embed_size=8, n_epochs=1, batch_size=256)
+    if cls is TwoTower:
+        model = cls("ranking", data_info, loss_type="softmax",
+                    hidden_units=(16,), **kwargs)
+        neg = False
+    elif cls is DIN:
+        model = cls("ranking", data_info, recent_num=5,
+                    hidden_units=(16,), **kwargs)
+        neg = True
+    else:
+        model = cls("ranking", data_info, **kwargs)
+        neg = True
+    model.fit(train_data, neg_sampling=neg, verbose=0)
+    path = str(tmp_path / f"retrain_{cls_name}")
+    model.save(path, cls_name)
+
+    new_frame = _new_data(frame)
+    new_frame.loc[new_frame.index[:5], "genre"] = "zz"  # new sparse value
+    new_train, new_info = DatasetFeat.merge_trainset(new_frame, data_info)
+    model2_kwargs = dict(kwargs)
+    if cls is TwoTower:
+        model2 = cls("ranking", new_info, loss_type="softmax",
+                     hidden_units=(16,), **model2_kwargs)
+    elif cls is DIN:
+        model2 = cls("ranking", new_info, recent_num=5,
+                     hidden_units=(16,), **model2_kwargs)
+    else:
+        model2 = cls("ranking", new_info, **model2_kwargs)
+    model2.rebuild_model(path, cls_name)
+    old_rows = np.asarray(model.params["item_embed"])[: data_info.n_items]
+    new_rows = np.asarray(model2.params["item_embed"])[: data_info.n_items]
+    np.testing.assert_allclose(old_rows, new_rows, rtol=1e-6)
+    model2.fit(new_train, neg_sampling=neg, verbose=0)
+    u_new = new_frame.user.iloc[0]
+    assert len(model2.recommend_user(user=u_new, n_rec=5)[u_new]) == 5
