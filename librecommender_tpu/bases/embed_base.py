@@ -21,6 +21,8 @@ class EmbedBase(Base):
         self.embed_size = embed_size
         self.user_embeds_np = None  # (n_users + 1, D) with trailing OOV row
         self.item_embeds_np = None  # (n_items + 1, D)
+        self.ann = None             # optional IVF index (init_ann)
+        self.ann_n_probe = 8
 
     # -------------------------------------------------------------- contract
     def set_embeddings(self):
@@ -95,7 +97,9 @@ class EmbedBase(Base):
         main_idx = np.nonzero(~popular_mask)[0]
         if main_idx.size > 0:
             uids = inner_ids[main_idx]
-            if random_rec:
+            if self.ann is not None and not random_rec:
+                ids = self._ann_recommend(uids, n_rec, filter_consumed)
+            elif random_rec:
                 scores = self.user_embeds_np[uids] @ self.item_embeds_np[:-1].T
                 ids = rank_recommendations(
                     self.task,
@@ -124,6 +128,45 @@ class EmbedBase(Base):
                 self.data_info, inner_id=True, n_rec=n_rec
             )
         return self.finalize_rec(result, raw_users, inner_id)
+
+    # ------------------------------------------------------------------ ANN
+    def init_ann(self, n_clusters=None, n_probe=8, iters=20):
+        """Build an approximate (IVF) index over the item embeddings
+        (reference `init_knn(approximate=True)` via nmslib,
+        embed_base.py:415, and the faiss IVF serving index). Subsequent
+        ``recommend_user`` calls search the index (over-fetching to cover
+        consumed filtering) instead of scoring the full catalog."""
+        from ..retrieval.ivf import IVFIndex
+
+        assert self.item_embeds_np is not None, "fit or load the model first"
+        self.ann = IVFIndex.build(
+            self.item_embeds_np[:-1], n_clusters=n_clusters, iters=iters,
+            seed=self.seed,
+        )
+        self.ann_n_probe = n_probe
+        return self.ann
+
+    def _ann_recommend(self, uids, n_rec, filter_consumed):
+        max_consumed = max(
+            (len(self.user_consumed.get(int(u), ())) for u in uids), default=0
+        )
+        fetch = n_rec + (max_consumed if filter_consumed else 0)
+        ids, _ = self.ann.search(
+            self.user_embeds_np[uids], fetch, n_probe=self.ann_n_probe
+        )
+        out = np.empty((len(uids), n_rec), np.int64)
+        for r, u in enumerate(uids):
+            consumed = (
+                set(self.user_consumed.get(int(u), ())) if filter_consumed else ()
+            )
+            picked = [i for i in ids[r] if i >= 0 and i not in consumed][:n_rec]
+            if len(picked) < n_rec:  # popular fallback fill
+                pops = popular_recommendations(
+                    self.data_info, inner_id=True, n_rec=n_rec + len(picked)
+                )
+                picked.extend(p for p in pops if p not in set(picked))
+            out[r] = picked[:n_rec]
+        return out
 
     # ----------------------------------------------------------- embeddings
     def get_user_embedding(self, user=None, include_bias=False):

@@ -91,6 +91,22 @@ def save_embed(path, model):
     return path
 
 
+def save_ivf_index(path, model, n_clusters=None, n_probe=8):
+    """Build + export the IVF ANN index over the item embeddings
+    (reference `save_faiss_index`, serialization/embed.py:42)."""
+    from ..retrieval.ivf import IVFIndex
+
+    path = Path(path)
+    path.mkdir(parents=True, exist_ok=True)
+    index = IVFIndex.build(
+        model.item_embeds_np[:-1], n_clusters=n_clusters, seed=model.seed
+    )
+    index.save(path)
+    with open(path / "ivf_config.json", "w") as f:
+        json.dump({"n_probe": n_probe}, f)
+    return index
+
+
 def save_online(path, model):
     """Export the full model for online dynamic scoring
     (reference serialization/online.py:23 + tfmodel.py:17)."""
