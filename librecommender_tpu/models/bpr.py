@@ -31,6 +31,7 @@ class BPR(EmbedBase):
         sampler="random",
         num_neg=1,
         use_tf=None,  # accepted for API familiarity; ignored
+        sparse_optimizer=False,
         seed=42,
     ):
         self.all_args = {
@@ -51,6 +52,19 @@ class BPR(EmbedBase):
         self.batch_size = batch_size
         self.sampler = sampler
         self.num_neg = num_neg
+        # row-sparse LazyAdam for huge vocab tables (docs/implementation_details.md)
+        self.sparse_optimizer = sparse_optimizer
+        self.sparse_tables = ("user_embed", "item_embed", "item_bias")
+
+    def touched_indices(self, batch):
+        items = batch["item"]
+        if "item_neg" in batch:
+            items = jnp.concatenate([items, batch["item_neg"].reshape(-1)])
+        return {
+            "user_embed": batch["user"],
+            "item_embed": items,
+            "item_bias": items,
+        }
 
     def build_model(self):
         from ..parallel.mesh import aligned_rows

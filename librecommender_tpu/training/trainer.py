@@ -88,8 +88,17 @@ class Trainer:
         its batch rows through a device-side permutation, samples negatives
         in-kernel (sampler="random"), and applies the optax update — the
         host dispatches ONE program per epoch instead of one per step.
+
+        When the model opts into ``sparse_optimizer`` (huge vocab tables),
+        its ``sparse_tables`` leaves update through row-sparse LazyAdam
+        (training/sparse_optim.py) while the rest keep the dense optimizer.
         """
         loss_fn = self.model.loss_fn
+        sparse_tables = ()
+        if getattr(self.model, "sparse_optimizer", False) and self.mesh is None:
+            sparse_tables = tuple(getattr(self.model, "sparse_tables", ()))
+        touched_fn = getattr(self.model, "touched_indices", None)
+        sparse_lr = self.lr if not isinstance(self.lr, dict) else 1e-3
 
         def epoch_fn(params, opt_state, data, host_negs, perm, base_rng):
             def body(carry, idx):
@@ -109,8 +118,35 @@ class Trainer:
                 elif has_host_negs:
                     batch["item_neg"] = host_negs[rows]
                 loss, grads = jax.value_and_grad(loss_fn)(params, batch, rng)
-                updates, opt_state = optimizer.update(grads, opt_state, params)
-                params = optax.apply_updates(params, updates)
+                if sparse_tables:
+                    from .sparse_optim import lazy_adam_update
+
+                    opt_rest, table_state = opt_state
+                    touched = {
+                        k: v for k, v in touched_fn(batch).items()
+                        if k in sparse_tables
+                    }
+                    table_params, table_state = lazy_adam_update(
+                        params, grads, table_state, touched, sparse_lr,
+                        eps=self.epsilon,
+                    )
+                    rest_params = {
+                        k: v for k, v in params.items() if k not in sparse_tables
+                    }
+                    rest_grads = {
+                        k: v for k, v in grads.items() if k not in sparse_tables
+                    }
+                    updates, opt_rest = optimizer.update(
+                        rest_grads, opt_rest, rest_params
+                    )
+                    rest_params = optax.apply_updates(rest_params, updates)
+                    params = {**rest_params, **{
+                        k: table_params.get(k, params[k]) for k in sparse_tables
+                    }}
+                    opt_state = (opt_rest, table_state)
+                else:
+                    updates, opt_state = optimizer.update(grads, opt_state, params)
+                    params = optax.apply_updates(params, updates)
                 return (params, opt_state), loss
 
             (params, opt_state), losses = jax.lax.scan(
@@ -185,7 +221,14 @@ class Trainer:
             )
             model.params = shard_params(model.params, self.mesh)
         params = model.params
-        opt_state = optimizer.init(params)
+        if getattr(model, "sparse_optimizer", False) and self.mesh is None:
+            from .sparse_optim import init_table_state
+
+            tables = tuple(getattr(model, "sparse_tables", ()))
+            rest = {k: v for k, v in params.items() if k not in tables}
+            opt_state = (optimizer.init(rest), init_table_state(params, tables))
+        else:
+            opt_state = optimizer.init(params)
         initial = getattr(model, "_initial_opt_state", None)
         if initial is not None:
             kind, old_opt = initial
@@ -251,7 +294,9 @@ class Trainer:
                     params, opt_state, data_dev, host_negs, perm,
                     jax.random.fold_in(base_rng, epoch),
                 )
-                jax.block_until_ready(losses)
+                # force a device->host readback: on some remote backends
+                # block_until_ready returns before execution completes
+                _ = float(jnp.max(losses))
                 if do_profile:
                     jax.profiler.stop_trace()
                     if verbose > 0:

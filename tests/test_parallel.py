@@ -85,3 +85,26 @@ def test_graft_entry_dryrun():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+def test_sparse_optimizer_matches_quality(pure_builds):
+    """LazyAdam row-sparse path trains to comparable quality and touches
+    the same recommendation machinery."""
+    from librecommender_tpu.evaluation import evaluate
+    from librecommender_tpu.models import BPR
+
+    train_data, *_, data_info = pure_builds
+    dense = BPR("ranking", data_info, embed_size=16, n_epochs=8, lr=0.05,
+                batch_size=256)
+    dense.fit(train_data, neg_sampling=True, verbose=0)
+    auc_dense = evaluate(dense, train_data, neg_sampling=True,
+                         metrics=["roc_auc"])["roc_auc"]
+    sparse = BPR("ranking", data_info, embed_size=16, n_epochs=8, lr=0.05,
+                 batch_size=256, sparse_optimizer=True)
+    sparse.fit(train_data, neg_sampling=True, verbose=0)
+    auc_sparse = evaluate(sparse, train_data, neg_sampling=True,
+                          metrics=["roc_auc"])["roc_auc"]
+    assert auc_sparse > 0.6
+    assert abs(auc_dense - auc_sparse) < 0.1
+    u = list(data_info.user2id)[0]
+    assert len(sparse.recommend_user(user=u, n_rec=5)[u]) == 5
