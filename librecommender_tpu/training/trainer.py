@@ -13,8 +13,8 @@ step gathers its batch through a device-side permutation, negatives
 (sampler="random") are drawn in-kernel from a threefry key derived from
 (seed, epoch, step), and params/opt_state are donated so updates are
 in-place. The host dispatches one program per epoch; measured BPR
-throughput on one v5e chip is 355M+ examples/s (HBM roofline of the
-dense optimizer update). Under a mesh the same scan runs
+throughput on one v5e chip is ~8.1M examples/s (per-epoch timing forces
+a device->host readback — see PARITY.md timing-integrity note). Under a mesh the same scan runs
 with params row-sharded over `model` and epoch data sharded over `data`.
 """
 import time
