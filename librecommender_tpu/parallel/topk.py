@@ -14,23 +14,35 @@ from jax.sharding import PartitionSpec as P
 shard_map = jax.shard_map
 
 
-def distributed_topk(user_embeds, item_embeds, k, mesh, axis="model"):
+def distributed_topk(user_embeds, item_embeds, k, mesh, axis="model",
+                     n_items=None):
     """user_embeds (U, D) replicated; item_embeds (N, D) row-sharded over
     ``axis``. Returns (ids (U, k), scores (U, k)) global.
 
-    N must divide by the axis size (tables are ROW_ALIGN-padded; pad rows
-    score -inf via the caller masking or simply never win with -inf rows).
+    N is padded internally to a multiple of the axis size; padded rows are
+    masked out of every shard's local top-k.
     """
+    import numpy as np
+
     n_shards = mesh.shape[axis]
+    item_embeds = np.asarray(item_embeds, np.float32)
     N = item_embeds.shape[0]
-    assert N % n_shards == 0, (N, n_shards)
+    n_items = N if n_items is None else n_items
+    pad = -N % n_shards
+    if pad:
+        item_embeds = np.pad(item_embeds, ((0, pad), (0, 0)))
+        N += pad
     shard_size = N // n_shards
 
     def local_fn(u, v):
         # u: (U, D) replicated; v: (shard_size, D) local rows
-        scores = u @ v.T                                      # (U, shard)
-        loc_scores, loc_ids = jax.lax.top_k(scores, min(k, shard_size))
         shard_idx = jax.lax.axis_index(axis)
+        scores = u @ v.T                                      # (U, shard)
+        local_ids = jax.lax.broadcasted_iota(
+            jnp.int32, scores.shape, 1
+        ) + shard_idx * shard_size
+        scores = jnp.where(local_ids < n_items, scores, -jnp.inf)
+        loc_scores, loc_ids = jax.lax.top_k(scores, min(k, shard_size))
         glob_ids = loc_ids + shard_idx * shard_size
         # gather candidates from every shard
         all_scores = jax.lax.all_gather(loc_scores, axis, axis=0)  # (S, U, k)

@@ -108,3 +108,19 @@ def test_sparse_optimizer_matches_quality(pure_builds):
     assert abs(auc_dense - auc_sparse) < 0.1
     u = list(data_info.user2id)[0]
     assert len(sparse.recommend_user(user=u, n_rec=5)[u]) == 5
+
+
+def test_distributed_topk_uneven_catalog():
+    """Catalog sizes that don't divide the axis are padded + masked."""
+    from librecommender_tpu.parallel.topk import distributed_topk
+
+    mesh = _mesh(model_parallel=4)
+    rng = np.random.default_rng(1)
+    U, N, D, k = 3, 61, 8, 5          # 61 % 4 != 0
+    users = rng.normal(size=(U, D)).astype(np.float32)
+    items = rng.normal(size=(N, D)).astype(np.float32)
+    ids, scores = distributed_topk(users, items, k, mesh, axis="model")
+    dense = users @ items.T
+    expect = np.argsort(-dense, axis=1)[:, :k]
+    np.testing.assert_array_equal(np.asarray(ids), expect)
+    assert np.asarray(ids).max() < N
