@@ -61,3 +61,26 @@ def test_rank_recommendations_random_rec_valid():
     assert not (set(ids[0]) & {0, 1, 2})
     assert 5 not in set(ids[1])
     assert len(set(ids[0])) == 5  # no duplicates
+
+
+def test_evaluate_sample_user_num(pure_builds):
+    """Listwise eval with user sampling evaluates the requested subset."""
+    from librecommender_tpu.evaluation import evaluate
+    from librecommender_tpu.models import SVD
+
+    train_data, eval_data, *_ , data_info = pure_builds
+    model = SVD("ranking", data_info, embed_size=8, n_epochs=1, batch_size=256)
+    model.fit(train_data, neg_sampling=True, verbose=0)
+    full = evaluate(model, eval_data, neg_sampling=True,
+                    metrics=["recall"], k=5, seed=1)
+    sampled = evaluate(model, eval_data, neg_sampling=True,
+                       metrics=["recall"], k=5, sample_user_num=10, seed=1)
+    assert np.isfinite(full["recall"]) and np.isfinite(sampled["recall"])
+
+
+def test_models_star_import():
+    import librecommender_tpu.models as zoo
+
+    assert len(zoo.__all__) == 30
+    for name in zoo.__all__:
+        assert hasattr(zoo, name), name
