@@ -81,6 +81,6 @@ def test_evaluate_sample_user_num(pure_builds):
 def test_models_star_import():
     import librecommender_tpu.models as zoo
 
-    assert len(zoo.__all__) == 30
+    assert len(zoo.__all__) == 31  # 27 implementations + 4 reference aliases
     for name in zoo.__all__:
         assert hasattr(zoo, name), name
