@@ -113,7 +113,7 @@ class Base(abc.ABC):
         trainer = Trainer(
             self,
             n_epochs=self.n_epochs,
-            lr=self.lr if not isinstance(self.lr, dict) else 0.0,
+            lr=self.lr,
             lr_decay=self.lr_decay,
             epsilon=self.epsilon,
             batch_size=self.batch_size,
@@ -209,11 +209,8 @@ class Base(abc.ABC):
         (reference: tfops/rebuild.py:12, torchops/rebuild.py:13). Call after
         ``merge_trainset`` produced the new DataInfo, then ``fit`` to
         continue training."""
-        import pickle
-        from pathlib import Path
-
         from ..training.rebuild import graft_params
-        from ..utils.save_load import load_params
+        from ..utils.save_load import load_opt_state, load_params
 
         assert self.data_info.old_info is not None, (
             "rebuild_model requires a DataInfo produced by merge_trainset"
@@ -224,28 +221,44 @@ class Base(abc.ABC):
             self.build_model()
         old_params = load_params(path, self.model_name)
         self.params = graft_params(old_params, self.params, self.data_info)
-        opt_path = Path(path) / f"{self.model_name}_opt_state.pkl"
-        if opt_path.exists():
-            with open(opt_path, "rb") as f:
-                old_opt = pickle.load(f)
+        old_opt = load_opt_state(path, self.model_name)
+        if old_opt is not None:
             self._initial_opt_state = ("graft", old_opt)
         return self
 
     def load_checkpoint(self, checkpoint_dir):
         """Resume from a mid-training checkpoint written by
         ``fit(checkpoint_dir=...)``; returns the epoch it was taken at."""
-        import pickle
         from pathlib import Path
 
         import jax.numpy as jnp
 
-        with open(Path(checkpoint_dir) / "checkpoint.pkl", "rb") as f:
-            state = pickle.load(f)
+        from ..utils.save_load import unflatten_tree
+
+        p = Path(checkpoint_dir) / "checkpoint.npz"
+        if p.exists():
+            with np.load(p) as data:
+                epoch = int(data["epoch"])
+                params = unflatten_tree(
+                    {k[2:]: data[k] for k in data.files if k.startswith("p:")}
+                )
+                opt_leaves = [
+                    data[k] for k in sorted(data.files) if k.startswith("o:")
+                ]
+            restore = ("restore", ("leaves", opt_leaves))
+        else:  # legacy rounds wrote pickle checkpoints
+            import pickle
+
+            with open(Path(checkpoint_dir) / "checkpoint.pkl", "rb") as f:
+                state = pickle.load(f)
+            epoch = state["epoch"]
+            params = state["params"]
+            restore = ("restore", ("pytree", state["opt_state"]))
         if self.params is None:
             self.build_model()
-        self.params = jax.tree.map(jnp.asarray, state["params"])
-        self._initial_opt_state = ("restore", state["opt_state"])
-        return state["epoch"]
+        self.params = jax.tree.map(jnp.asarray, params)
+        self._initial_opt_state = restore
+        return epoch
 
     # --------------------------------------------------------- persistence
     def save(self, path, model_name=None, **kwargs):
@@ -256,11 +269,9 @@ class Base(abc.ABC):
         save_default_recs(path, self)
         trainer = getattr(self, "trainer", None)
         if trainer is not None and getattr(trainer, "opt_state", None) is not None:
-            import pickle
-            from pathlib import Path
+            from ..utils.save_load import save_opt_state
 
-            with open(Path(path) / f"{self.model_name}_opt_state.pkl", "wb") as f:
-                pickle.dump(jax.device_get(trainer.opt_state), f)
+            save_opt_state(path, self.model_name, trainer.opt_state)
         self.data_info.save(path, self.model_name)
 
     @classmethod

@@ -295,10 +295,25 @@ class DataInfo:
         if self.col_name_mapping is not None:
             with open(path / f"{model_name}_data_info_name_mapping.json", "w") as f:
                 json.dump(self.col_name_mapping, f, separators=(",", ":"), indent=4)
+        # consumed dicts {inner_id: [inner ids]} persist as CSR npz rather
+        # than pickle so load never executes code (advisor finding, round 1)
         for attr in ("user_consumed", "item_consumed"):
-            if getattr(self, attr) is not None:
-                with open(path / f"{model_name}_{attr}.pkl", "wb") as f:
-                    pickle.dump(getattr(self, attr), f, pickle.HIGHEST_PROTOCOL)
+            consumed = getattr(self, attr)
+            if consumed is not None:
+                keys = np.fromiter(consumed.keys(), np.int64, len(consumed))
+                indptr = np.zeros(len(consumed) + 1, np.int64)
+                chunks = []
+                for i, k in enumerate(keys):
+                    vals = np.asarray(consumed[k], np.int64)
+                    chunks.append(vals)
+                    indptr[i + 1] = indptr[i] + len(vals)
+                indices = (
+                    np.concatenate(chunks) if chunks else np.empty(0, np.int64)
+                )
+                np.savez(
+                    path / f"{model_name}_{attr}.npz",
+                    keys=keys, indptr=indptr, indices=indices,
+                )
 
         arrays = {}
         arg_names = inspect.signature(self.__init__).parameters.keys()
@@ -329,9 +344,17 @@ class DataInfo:
             with open(name_mapping_path) as f:
                 kwargs["col_name_mapping"] = json.load(f)
         for attr in ("user_consumed", "item_consumed"):
-            p = path / f"{model_name}_{attr}.pkl"
+            p = path / f"{model_name}_{attr}.npz"
+            legacy = path / f"{model_name}_{attr}.pkl"
             if p.exists():
-                with open(p, "rb") as f:
+                with np.load(p) as csr:
+                    keys, indptr, idx = csr["keys"], csr["indptr"], csr["indices"]
+                kwargs[attr] = {
+                    int(k): idx[indptr[i]:indptr[i + 1]].tolist()
+                    for i, k in enumerate(keys)
+                }
+            elif legacy.exists():  # legacy rounds saved pickle
+                with open(legacy, "rb") as f:
                     kwargs[attr] = pickle.load(f)
 
         info = dict(np.load(path / f"{model_name}_data_info.npz", allow_pickle=True))

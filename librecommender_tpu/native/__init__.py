@@ -6,10 +6,11 @@ the source; set LIBREC_TPU_NO_NATIVE=1 to force the pure-Python fallback
 """
 import ctypes
 import os
-import subprocess
 from pathlib import Path
 
 import numpy as np
+
+from .buildtools import build_native
 
 _HERE = Path(__file__).parent
 _SO = _HERE / "_similarities.so"
@@ -24,7 +25,7 @@ def _build():
         "g++", "-O3", "-march=native", "-fopenmp", "-shared", "-fPIC",
         "-std=c++17", str(_SRC), "-o", str(_SO),
     ]
-    subprocess.run(cmd, check=True, capture_output=True, text=True)
+    build_native(_SRC, _SO, cmd)
 
 
 def get_lib():
@@ -36,8 +37,7 @@ def get_lib():
         return _lib
     _tried = True
     try:
-        if not _SO.exists() or _SO.stat().st_mtime < _SRC.stat().st_mtime:
-            _build()
+        _build()
         lib = ctypes.CDLL(str(_SO))
         lib.topk_similarities.argtypes = [
             ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),

@@ -1,0 +1,26 @@
+"""Hash-keyed native build helper.
+
+Artifacts are never committed; every build is keyed on the SHA-256 of the
+source file (plus the compile command), stored in a ``<out>.build_hash``
+sidecar. A stale or missing sidecar forces a recompile, so a fresh
+clone/checkout always builds from the reviewed source rather than running
+a shipped binary (advisor finding, round 1).
+"""
+import hashlib
+import subprocess
+from pathlib import Path
+
+
+def build_native(src: Path, out: Path, cmd: list) -> Path:
+    """Compile ``src`` into ``out`` with ``cmd`` unless the cached artifact
+    matches the current source hash."""
+    src, out = Path(src), Path(out)
+    key = hashlib.sha256(
+        src.read_bytes() + "\x00".join(cmd).encode()
+    ).hexdigest()
+    sidecar = out.with_name(out.name + ".build_hash")
+    if out.exists() and sidecar.exists() and sidecar.read_text().strip() == key:
+        return out
+    subprocess.run(cmd, check=True, capture_output=True, text=True)
+    sidecar.write_text(key)
+    return out

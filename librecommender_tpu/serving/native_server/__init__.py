@@ -13,19 +13,18 @@ from pathlib import Path
 
 import numpy as np
 
+from ...native.buildtools import build_native
+
 _HERE = Path(__file__).parent
 _BIN = _HERE / "server"
 _SRC = _HERE / "server.cpp"
 
 
 def build_server():
-    if _BIN.exists() and _BIN.stat().st_mtime >= _SRC.stat().st_mtime:
-        return _BIN
-    subprocess.run(
+    return build_native(
+        _SRC, _BIN,
         ["g++", "-O3", "-std=c++17", "-pthread", str(_SRC), "-o", str(_BIN)],
-        check=True, capture_output=True, text=True,
     )
-    return _BIN
 
 
 def export_native(path, model):

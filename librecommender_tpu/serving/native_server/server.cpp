@@ -14,8 +14,10 @@
 
 #include <algorithm>
 #include <atomic>
+#include <cerrno>
 #include <condition_variable>
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 #include <fstream>
 #include <iostream>
@@ -260,7 +262,23 @@ void respond(int fd, int status, const std::string& body) {
   }
 }
 
-void handle(int fd, const Artifacts& a) {
+// Parse an integer field from untrusted JSON, clamped to [lo, hi]; any
+// parse failure returns the default (advisor finding: std::stoi on raw
+// request data can throw and std::terminate a worker thread).
+int parse_int_field(const std::string& body, const std::string& key,
+                    int dflt, int lo, int hi) {
+  const auto raw = json_str(body, key);
+  if (raw.empty()) return dflt;
+  errno = 0;
+  char* end = nullptr;
+  const long v = std::strtol(raw.c_str(), &end, 10);
+  if (errno != 0 || end == raw.c_str()) return dflt;
+  return (int)std::max<long>(lo, std::min<long>(hi, v));
+}
+
+constexpr size_t kMaxBody = 1 << 20;  // 1 MiB request cap
+
+void handle_checked(int fd, const Artifacts& a) {
   std::string req;
   char buf[8192];
   // read until headers complete (+ body via content-length)
@@ -270,41 +288,61 @@ void handle(int fd, const Artifacts& a) {
     const auto n = ::recv(fd, buf, sizeof(buf), 0);
     if (n <= 0) break;
     req.append(buf, n);
+    if (req.size() > kMaxBody + 8192) {
+      respond(fd, 400, "{\"error\": \"request too large\"}");
+      return;
+    }
     if (body_start == std::string::npos) {
       const auto p = req.find("\r\n\r\n");
       if (p != std::string::npos) {
         body_start = p + 4;
         auto cl = req.find("Content-Length:");
         if (cl == std::string::npos) cl = req.find("content-length:");
-        if (cl != std::string::npos)
-          content_len = std::stoul(req.substr(cl + 15));
+        if (cl != std::string::npos) {
+          errno = 0;
+          char* end = nullptr;
+          const unsigned long v =
+              std::strtoul(req.c_str() + cl + 15, &end, 10);
+          if (errno != 0 || v > kMaxBody) {
+            respond(fd, 400, "{\"error\": \"bad content-length\"}");
+            return;
+          }
+          content_len = v;
+        }
       }
     }
     if (body_start != std::string::npos &&
         req.size() >= body_start + content_len)
       break;
   }
-  if (body_start == std::string::npos) {
-    ::close(fd);
-    return;
-  }
+  if (body_start == std::string::npos) return;
   const std::string body = req.substr(body_start);
   if (req.rfind("GET /health", 0) == 0) {
     respond(fd, 200, "{\"status\": \"ok\"}");
   } else if (req.rfind("POST /embed/recommend", 0) == 0 && a.has_embed) {
     const auto user = json_str(body, "user");
-    const auto n_rec = json_str(body, "n_rec");
+    const int n_rec = parse_int_field(body, "n_rec", 10, 1, a.n_items);
     const auto it = a.user2id.find(user);
     const int32_t uid = it == a.user2id.end() ? -1 : it->second;
-    respond(fd, 200, recommend_embed(a, uid, n_rec.empty() ? 10 : std::stoi(n_rec)));
+    respond(fd, 200, recommend_embed(a, uid, n_rec));
   } else if (req.rfind("POST /knn/recommend", 0) == 0 && a.has_knn) {
     const auto user = json_str(body, "user");
-    const auto n_rec = json_str(body, "n_rec");
+    const int n_rec = parse_int_field(body, "n_rec", 10, 1, a.n_items);
     const auto it = a.user2id.find(user);
     const int32_t uid = it == a.user2id.end() ? -1 : it->second;
-    respond(fd, 200, recommend_knn(a, uid, n_rec.empty() ? 10 : std::stoi(n_rec)));
+    respond(fd, 200, recommend_knn(a, uid, n_rec));
   } else {
     respond(fd, 400, "{\"error\": \"unknown endpoint\"}");
+  }
+}
+
+void handle(int fd, const Artifacts& a) {
+  try {
+    handle_checked(fd, a);
+  } catch (const std::exception& e) {
+    respond(fd, 400, std::string("{\"error\": \"") + e.what() + "\"}");
+  } catch (...) {
+    respond(fd, 400, "{\"error\": \"internal\"}");
   }
   ::close(fd);
 }

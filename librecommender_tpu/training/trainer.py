@@ -21,6 +21,7 @@ import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from ..evaluation.evaluate import print_metrics
@@ -98,6 +99,9 @@ class Trainer:
         if getattr(self.model, "sparse_optimizer", False) and self.mesh is None:
             sparse_tables = tuple(getattr(self.model, "sparse_tables", ()))
         touched_fn = getattr(self.model, "touched_indices", None)
+        # dict lr (WideDeep-style per-part) has no principled sparse-table
+        # rate; fall back to 1e-3 (now actually reachable — the raw lr is
+        # passed through to the Trainer since round 2)
         sparse_lr = self.lr if not isinstance(self.lr, dict) else 1e-3
 
         def epoch_fn(params, opt_state, data, host_negs, perm, base_rng):
@@ -207,10 +211,18 @@ class Trainer:
             extras=getattr(model, "batch_extras", lambda d: None)(train_data),
         )
         n_batches = generator.n_batches()
-        optimizer = self.optimizer or make_optimizer(
-            self.lr, self.lr_decay, self.epsilon, n_batches, self.n_epochs,
-            self.lr_schedule,
-        )
+        if self.optimizer is not None:
+            optimizer = self.optimizer
+        else:
+            if isinstance(self.lr, dict):
+                raise ValueError(
+                    "a dict `lr` requires a model-supplied optimizer "
+                    "(_custom_optimizer), e.g. WideDeep's FTRL+Adam"
+                )
+            optimizer = make_optimizer(
+                self.lr, self.lr_decay, self.epsilon, n_batches,
+                self.n_epochs, self.lr_schedule,
+            )
         if self.mesh is not None:
             from ..parallel.mesh import shard_params
 
@@ -231,7 +243,14 @@ class Trainer:
             opt_state = optimizer.init(params)
         initial = getattr(model, "_initial_opt_state", None)
         if initial is not None:
-            kind, old_opt = initial
+            kind, payload = initial
+            # payload is ("leaves", [arrays]) from the npz format or
+            # ("pytree", obj) from legacy pickle saves
+            fmt, old_opt = payload
+            if fmt == "leaves":
+                from ..utils.save_load import restore_opt_leaves
+
+                old_opt = restore_opt_leaves(opt_state, old_opt)
             if kind == "restore":  # same-shape checkpoint resume
                 opt_state = jax.tree.map(jnp.asarray, old_opt)
             else:  # "graft": enlarged-vocab retrain
@@ -307,21 +326,22 @@ class Trainer:
 
             if checkpoint_dir is not None and epoch % checkpoint_every == 0:
                 # periodic mid-training checkpoint (params + opt state); the
-                # reference had none (SURVEY §5 failure-recovery gap)
-                import pickle
+                # reference had none (SURVEY §5 failure-recovery gap).
+                # npz (not pickle) so resume is safe on untrusted dirs.
                 from pathlib import Path
+
+                from ..utils.save_load import flatten_tree
 
                 ckpt = Path(checkpoint_dir)
                 ckpt.mkdir(parents=True, exist_ok=True)
-                with open(ckpt / "checkpoint.pkl", "wb") as f:
-                    pickle.dump(
-                        {
-                            "epoch": epoch,
-                            "params": jax.device_get(params),
-                            "opt_state": jax.device_get(opt_state),
-                        },
-                        f,
-                    )
+                arrays = {"epoch": np.asarray(epoch)}
+                for k, v in flatten_tree(jax.device_get(params)).items():
+                    arrays[f"p:{k}"] = np.asarray(v)
+                for i, leaf in enumerate(
+                    jax.tree_util.tree_leaves(jax.device_get(opt_state))
+                ):
+                    arrays[f"o:leaf_{i:05d}"] = np.asarray(leaf)
+                np.savez(ckpt / "checkpoint.npz", **arrays)
 
             if verbose > 1:
                 model.params = params
