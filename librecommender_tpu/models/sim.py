@@ -5,10 +5,14 @@ extraction (libreco/batch/sequence.py:94): the General Search Unit soft-
 searches the top-`search_topk` items from a `long_max_len` history by
 embedding similarity with the target (lax.top_k — static shapes, TPU-exact),
 then the Exact Search Unit runs multi-head attention over the selected items;
-a DIN-style attention covers the short recent window. GSU/ESU/short
-representations join the feature fields in one MLP head (the reference
-combines two stage outputs as alpha*first + beta*second; here both stage
-representations feed one head, which subsumes that weighting).
+a DIN-style attention covers the short recent window.
+
+Dual-stage output (libreco/algorithms/sim.py:193-209): the first stage is a
+cheap MLP over the sum-pooled long history + target, the second stage is the
+full GSU->ESU + short-DIN + feature-field MLP; training optimizes
+``alpha * first + beta * second`` while inference (predict / recommend /
+serving top-k) scores with the second stage alone -- mirroring the
+reference's separate ``inference_output``.
 """
 import jax
 import jax.numpy as jnp
@@ -49,6 +53,8 @@ class SIM(SeqFeatBase):
         use_bn=True,
         dropout_rate=None,
         hidden_units=(128, 64, 32),
+        alpha=1.0,
+        beta=1.0,
         recent_num=10,
         random_num=None,
         long_max_len=100,
@@ -69,6 +75,9 @@ class SIM(SeqFeatBase):
             recent_num=recent_num, random_num=random_num,
         )
         assert search_topk <= long_max_len
+        assert 0.0 <= alpha <= 1.0 and 0.0 <= beta <= 1.0
+        self.alpha = float(alpha)
+        self.beta = float(beta)
         self.hidden_units = tuple(hidden_units)
         self.use_bn = use_bn
         self.dropout_rate = dropout_rate or 0.0
@@ -106,7 +115,7 @@ class SIM(SeqFeatBase):
     def _init_params(self, rng):
         D = self.embed_size
         u_rows, i_rows = aligned_rows(self.n_users), aligned_rows(self.n_items)
-        r = jax.random.split(rng, 8)
+        r = jax.random.split(rng, 10)
         params = {
             "user_embed": truncated_normal(r[0], (u_rows, D)),
             "item_embed": truncated_normal(r[1], (i_rows, D)),
@@ -119,10 +128,15 @@ class SIM(SeqFeatBase):
             params["dense_embed"] = truncated_normal(
                 r[5], (self.feats.n_dense_fields, D)
             )
-        in_dim = self.n_fields * D + 3 * D  # fields + gsu + esu + short
-        params["mlp"] = init_mlp(r[6], in_dim, list(self.hidden_units),
+        # first stage: target + sum-pooled long history (sim.py:229-247)
+        params["first_mlp"] = init_mlp(r[6], 2 * D, list(self.hidden_units),
+                                       use_ln=self.use_bn)
+        params["first_head"] = init_dense(r[7], self.hidden_units[-1], 1)
+        # second stage: feature fields + ESU + short DIN (sim.py:249-262)
+        in_dim = self.n_fields * D + 2 * D
+        params["mlp"] = init_mlp(r[8], in_dim, list(self.hidden_units),
                                  use_ln=self.use_bn)
-        params["head"] = init_dense(r[7], self.hidden_units[-1], 1)
+        params["head"] = init_dense(r[9], self.hidden_units[-1], 1)
         return params
 
     def _long_seq_for(self, inputs):
@@ -135,35 +149,42 @@ class SIM(SeqFeatBase):
         embeds, _, _ = self._field_embeds(params, inputs)
         target = params["item_embed"][items]                    # (B, D)
 
-        # ---- GSU: soft search over the long history
         long_seq = self._long_seq_for(inputs)
         long_emb, long_mask = self._seq_item_embeds(params, long_seq)
+
+        # ---- second stage (also the inference output, sim.py:206-209)
+        # GSU: soft search over the long history
         sims = jnp.einsum("bd,bld->bl", target, long_emb)
         sims = jnp.where(long_mask, sims, -jnp.inf)
         top_sims, top_idx = jax.lax.top_k(sims, self.search_topk)  # (B, K)
         b_idx = jnp.arange(long_emb.shape[0])[:, None]
         sel_emb = long_emb[b_idx, top_idx]                      # (B, K, D)
         sel_mask = jnp.isfinite(top_sims)
-        weights = jax.nn.softmax(jnp.where(sel_mask, top_sims, -1e9), axis=1)
-        weights = jnp.where(
-            jnp.any(sel_mask, axis=1, keepdims=True), weights, 0.0
-        )
-        gsu_repr = jnp.einsum("bk,bkd->bd", weights, sel_emb)
 
-        # ---- ESU: exact multi-head attention over the selected items
+        # ESU: exact multi-head attention over the selected items
         esu_out = mha(
             params["esu_mha"], target[:, None, :], sel_emb,
             mask=sel_mask, num_heads=self.num_heads,
         )[:, 0, :]
 
-        # ---- short recent window: DIN-style target attention
+        # short recent window: DIN-style target attention
         short_seq = self._seq_for(inputs)
         short_emb, short_mask = self._seq_item_embeds(params, short_seq)
         short_out = din_attention(params["short_att"], target, short_emb, short_mask)
 
         x = jnp.concatenate(
-            [embeds.reshape(embeds.shape[0], -1), gsu_repr, esu_out, short_out],
-            axis=1,
+            [embeds.reshape(embeds.shape[0], -1), esu_out, short_out], axis=1
         )
         h = mlp(params["mlp"], x, dropout_rate=self.dropout_rate, train=train, rng=rng)
-        return dense(params["head"], h)[:, 0]
+        second = dense(params["head"], h)[:, 0]
+        if not train:
+            return second
+
+        # ---- first stage: sum-pooled long history + target (sim.py:229-247);
+        # training output = alpha*first + beta*second (sim.py:206)
+        pooled = jnp.sum(jnp.where(long_mask[..., None], long_emb, 0.0), axis=1)
+        x1 = jnp.concatenate([target, pooled], axis=1)
+        h1 = mlp(params["first_mlp"], x1, dropout_rate=self.dropout_rate,
+                 train=train, rng=rng)
+        first = dense(params["first_head"], h1)[:, 0]
+        return self.alpha * first + self.beta * second

@@ -144,3 +144,41 @@ def test_feat_dynamic_recommend(feat_builds, feat_frames):
     # unknown user with dynamic state still gets recommendations
     recs_cold = model.recommend_user(user=-3210, n_rec=5, seq=items)
     assert len(recs_cold[-3210]) == 5
+
+
+def test_sim_dual_stage_output(feat_builds):
+    """SIM trains on alpha*first + beta*second but serves the second stage
+    alone (reference libreco/algorithms/sim.py:193-209 inference_output)."""
+    import jax
+
+    train_data, _, _, data_info = feat_builds
+    model = SIM("ranking", data_info, embed_size=8, n_epochs=1, batch_size=256,
+                hidden_units=(16,), long_max_len=20, search_topk=5,
+                alpha=0.4, beta=0.6, recent_num=5)
+    model.fit(train_data, neg_sampling=True, verbose=0)
+    # two separate stage heads exist
+    assert "first_mlp" in model.params and "first_head" in model.params
+    assert "mlp" in model.params and "head" in model.params
+
+    users = np.asarray(train_data.user_indices[:16])
+    items = np.asarray(train_data.item_indices[:16])
+    import jax.numpy as jnp
+
+    inputs = {"user": jnp.asarray(users), "item": jnp.asarray(items)}
+    second = model._forward(model.params, inputs, train=False, rng=None)
+    combined = model._forward(
+        model.params, inputs, train=True, rng=jax.random.PRNGKey(0)
+    )
+    # inference output is the second stage only; the training output mixes in
+    # the first stage and must differ from a pure rescale of the second
+    assert not np.allclose(np.asarray(combined), 0.6 * np.asarray(second))
+
+    # alpha=0, beta=1 with no dropout collapses training output onto the
+    # second stage exactly
+    model.alpha, model.beta = 0.0, 1.0
+    combined0 = model._forward(
+        model.params, inputs, train=True, rng=jax.random.PRNGKey(0)
+    )
+    np.testing.assert_allclose(
+        np.asarray(combined0), np.asarray(second), rtol=2e-4, atol=2e-5
+    )
