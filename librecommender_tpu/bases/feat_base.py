@@ -110,7 +110,11 @@ class FeatBase(Base):
         u_ds = inputs.get("user_dense_row")
         sparse_idx, dense_vals = None, None
         if self.feats.has_sparse:
-            sparse_idx = self.feats.sparse_for(users, items, user_rows=u_sp)
+            # "sparse_row_full": complete (B, F) index rows in field order
+            # (batched DataFrame prediction, prediction/predict.py analog)
+            sparse_idx = inputs.get("sparse_row_full")
+            if sparse_idx is None:
+                sparse_idx = self.feats.sparse_for(users, items, user_rows=u_sp)
             emb = params["sparse_embed"][sparse_idx]
             emb = combine_multi_sparse(
                 emb, sparse_idx, self.feats.multi_sparse_info,
@@ -118,7 +122,9 @@ class FeatBase(Base):
             )
             fields.append(emb)
         if self.feats.has_dense:
-            dense_vals = self.feats.dense_for(users, items, user_rows=u_ds)
+            dense_vals = inputs.get("dense_row_full")
+            if dense_vals is None:
+                dense_vals = self.feats.dense_for(users, items, user_rows=u_ds)
             fields.append(dense_embeds(params["dense_embed"], dense_vals))
         return jnp.concatenate(fields, axis=1), sparse_idx, dense_vals
 
@@ -251,17 +257,21 @@ class FeatBase(Base):
         self._ensure_inference_fns()
         users, items = self.convert_ids(user, item, inner_id)
         n = len(users)
-        pad = -n % _PREDICT_CHUNK if n > _PREDICT_CHUNK else _PREDICT_CHUNK - n
+        # pad to the next power of two (capped at _PREDICT_CHUNK) so a
+        # single-pair serving call compiles a size-1 program instead of
+        # paying a full 4096-row forward; jit caches one program per size
+        chunk = min(_PREDICT_CHUNK, 1 << max(0, n - 1).bit_length())
+        pad = -n % chunk
         users_p = np.pad(users, (0, pad)).astype(np.int32)
         items_p = np.pad(items, (0, pad)).astype(np.int32)
         out = []
-        for start in range(0, len(users_p), _PREDICT_CHUNK):
+        for start in range(0, len(users_p), chunk):
             out.append(
                 np.asarray(
                     self._predict_fn(
                         self.params,
-                        users_p[start : start + _PREDICT_CHUNK],
-                        items_p[start : start + _PREDICT_CHUNK],
+                        users_p[start : start + chunk],
+                        items_p[start : start + chunk],
                     )
                 )
             )
@@ -345,47 +355,86 @@ class FeatBase(Base):
 
     def _recommend_dynamic(self, user, n_rec, inner_id, filter_consumed,
                            user_feats, seq):
-        """Score the catalog for ONE user with request-time feature/sequence
-        overrides (reference recommend_tf_feat with user_feats/seq,
-        recommendation/preprocess.py:38,110)."""
+        """Score the catalog for one or MORE users with request-time
+        feature/sequence overrides (reference recommend_tf_feat with
+        user_feats/seq, recommendation/preprocess.py:38,110 — which limits
+        dynamic feats to a single user, recommend.py:39; lifted here).
+
+        ``user_feats``: one dict applied to every user, or a list of dicts
+        (one per user). ``seq``: one item list shared by every user, or a
+        list of per-user lists."""
         users = np.atleast_1d(np.asarray(user))
-        assert len(users) == 1, "dynamic recommendation supports one user"
-        uid = (
-            int(users[0]) if inner_id and 0 <= int(users[0]) < self.n_users
-            else self.data_info.user2id.get(users[0], self.n_users)
-            if not inner_id else self.n_users
-        )
+        U = len(users)
+
+        def _per_user(val):
+            if val is None:
+                return [None] * U
+            if isinstance(val, dict):
+                return [val] * U
+            if isinstance(val, (list, tuple)) and U > 1:
+                if len(val) != U:
+                    raise ValueError(
+                        f"per-user overrides need one entry per user: got "
+                        f"{len(val)} for {U} users"
+                    )
+                return list(val)
+            return [val] * U if U > 1 else [val]
+
+        feats_list = _per_user(user_feats)
+        if seq is not None and U > 1:
+            # list-of-lists = per-user sequences; flat list = shared
+            if not (isinstance(seq, (list, tuple))
+                    and seq and isinstance(seq[0], (list, tuple, np.ndarray))):
+                seq = [seq] * U
+            elif len(seq) != U:
+                raise ValueError(
+                    f"per-user seq needs one list per user: got {len(seq)} "
+                    f"for {U} users"
+                )
+        seq_list = [seq] * U if U == 1 else (seq if seq is not None else [None] * U)
+
+        uids = np.empty(U, np.int64)
+        for i, u in enumerate(users):
+            if inner_id:
+                uids[i] = int(u) if 0 <= int(u) < self.n_users else self.n_users
+            else:
+                uids[i] = self.data_info.user2id.get(u, self.n_users)
+
         n_items = self.n_items
-        inputs = {
-            "user": jnp.full((n_items,), uid, jnp.int32),
-            "item": jnp.arange(n_items, dtype=jnp.int32),
-        }
-        if user_feats is not None:
-            if self.feats.user_sparse is not None:
-                row = self.feats.build_user_sparse_row(uid, user_feats)
-                inputs["user_sparse_row"] = jnp.tile(
-                    jnp.asarray(row, jnp.int32)[None, :], (n_items, 1)
+        item_range = jnp.arange(n_items, dtype=jnp.int32)
+        all_scores = np.empty((U, n_items), np.float32)
+        for i in range(U):
+            uid = int(uids[i])
+            inputs = {
+                "user": jnp.full((n_items,), uid, jnp.int32),
+                "item": item_range,
+            }
+            if feats_list[i] is not None:
+                if self.feats.user_sparse is not None:
+                    row = self.feats.build_user_sparse_row(uid, feats_list[i])
+                    inputs["user_sparse_row"] = jnp.tile(
+                        jnp.asarray(row, jnp.int32)[None, :], (n_items, 1)
+                    )
+                if self.feats.user_dense is not None:
+                    row = self.feats.build_user_dense_row(uid, feats_list[i])
+                    inputs["user_dense_row"] = jnp.tile(
+                        jnp.asarray(row, jnp.float32)[None, :], (n_items, 1)
+                    )
+            if seq_list[i] is not None:
+                seq_arr = self._convert_request_seq(seq_list[i], inner_id)
+                inputs["seq"] = jnp.tile(
+                    jnp.asarray(seq_arr, jnp.int32)[None, :], (n_items, 1)
                 )
-            if self.feats.user_dense is not None:
-                row = self.feats.build_user_dense_row(uid, user_feats)
-                inputs["user_dense_row"] = jnp.tile(
-                    jnp.asarray(row, jnp.float32)[None, :], (n_items, 1)
-                )
-        if seq is not None:
-            seq_arr = self._convert_request_seq(seq, inner_id)
-            inputs["seq"] = jnp.tile(
-                jnp.asarray(seq_arr, jnp.int32)[None, :], (n_items, 1)
+            all_scores[i] = np.asarray(
+                self._forward(self.params, inputs, train=False, rng=None)
             )
-        scores = np.asarray(
-            self._forward(self.params, inputs, train=False, rng=None)
-        )[None, :]
         consumed = (
-            pad_consumed(self.user_consumed, np.asarray([uid]))
-            if filter_consumed else None
+            pad_consumed(self.user_consumed, uids) if filter_consumed else None
         )
-        ids, _ = topk_from_scores(jnp.asarray(scores), consumed, int(n_rec))
-        key = users[0].item() if isinstance(users[0], np.generic) else users[0]
-        return self.finalize_rec({key: np.asarray(ids)[0]}, users, inner_id)
+        ids, _ = topk_from_scores(jnp.asarray(all_scores), consumed, int(n_rec))
+        ids = np.asarray(ids)
+        result = {_key(users[i]): ids[i] for i in range(U)}
+        return self.finalize_rec(result, users, inner_id)
 
     def _convert_request_seq(self, seq, inner_id):
         """Raw item list -> right-aligned padded inner-id array."""

@@ -114,3 +114,40 @@ class FeatureTables:
             if name in name_to_j:
                 row[name_to_j[name]] = float(value)
         return row
+
+
+def rows_from_dataframe(data_info, data):
+    """Batched feature assembly from a DataFrame (vectorized).
+
+    Reference parity: libreco/prediction/preprocess.py:134
+    ``features_from_batch`` — every sparse/dense column must be present in
+    ``data``; sparse values map through ``sparse_idx_mapping`` + offset with
+    unknowns falling to the column OOV. Returns
+    ``(sparse_rows (B, F_sp) int32 | None, dense_rows (B, F_d) f32 | None)``
+    in full field order.
+    """
+    sparse_rows, dense_rows = None, None
+    mapping_all = data_info.col_name_mapping or {}
+    sparse_cols = list(data_info.sparse_col.name)
+    if sparse_cols:
+        sparse_rows = np.zeros((len(data), len(sparse_cols)), np.int32)
+        multi_map = mapping_all.get("multi_sparse", {})
+        for field_idx, col in enumerate(sparse_cols):
+            if col not in data.columns:
+                raise ValueError(f"Column `{col}` doesn't exist in data")
+            main_col = multi_map.get(col, col)
+            idx_mapping = (data_info.sparse_idx_mapping or {}).get(main_col, {})
+            mapped = data[col].map(idx_mapping)
+            offset = data_info.sparse_offset[field_idx]
+            oov = data_info.sparse_oov[field_idx]
+            vals = mapped.to_numpy(dtype=np.float64, na_value=np.nan)
+            sparse_rows[:, field_idx] = np.where(
+                np.isnan(vals), oov, vals + offset
+            ).astype(np.int32)
+    dense_cols = list(data_info.dense_col.name)
+    if dense_cols:
+        for col in dense_cols:
+            if col not in data.columns:
+                raise ValueError(f"Column `{col}` doesn't exist in data")
+        dense_rows = data[dense_cols].to_numpy(dtype=np.float32)
+    return sparse_rows, dense_rows

@@ -85,3 +85,38 @@ def test_multi_sparse_combiners(feat_frames):
         assert np.isfinite(
             np.asarray(model.predict(user=u, item=train.item.iloc[0]))
         ).all()
+
+
+def test_predict_data_with_feats(feat_builds, feat_frames):
+    """Batched DataFrame scoring with explicit feature columns
+    (reference libreco/prediction/predict.py:95)."""
+    import pandas as pd
+    import pytest as _pytest
+
+    from librecommender_tpu.models import DeepFM
+    from librecommender_tpu.prediction import predict_data_with_feats
+
+    train_data, *_, data_info = feat_builds
+    frame = feat_frames[0].head(50).copy()
+    model = DeepFM("ranking", data_info, embed_size=8, n_epochs=1, batch_size=256)
+    model.fit(train_data, neg_sampling=True, verbose=0)
+
+    preds = predict_data_with_feats(model, frame, batch_size=16)
+    assert preds.shape == (50,)
+    assert np.all((preds >= 0) & (preds <= 1))
+
+    # changing a feature column changes scores
+    flipped = frame.copy()
+    flipped["sex"] = np.where(flipped["sex"] == "m", "f", "m")
+    preds_f = predict_data_with_feats(model, flipped)
+    assert not np.allclose(preds, preds_f)
+
+    # unknown feature values fall to the OOV bucket rather than raising
+    weird = frame.copy()
+    weird["sex"] = "never-seen"
+    preds_w = predict_data_with_feats(model, weird)
+    assert np.all(np.isfinite(preds_w))
+
+    # missing feature column raises like the reference
+    with _pytest.raises(ValueError, match="doesn't exist"):
+        predict_data_with_feats(model, frame.drop(columns=["genre"]))

@@ -182,3 +182,30 @@ def test_sim_dual_stage_output(feat_builds):
     np.testing.assert_allclose(
         np.asarray(combined0), np.asarray(second), rtol=2e-4, atol=2e-5
     )
+
+
+def test_multi_user_dynamic_recommend(feat_builds, feat_frames):
+    """Dynamic overrides for SEVERAL users in one call (the reference limits
+    user_feats/seq to a single user, recommend.py:39; lifted here)."""
+    train_data, *_, data_info = feat_builds
+    frame = feat_frames[0]
+    model = DIN("ranking", data_info, embed_size=8, n_epochs=1,
+                batch_size=256, recent_num=5)
+    model.fit(train_data, neg_sampling=True, verbose=0)
+    users = list(frame.user.iloc[:3])
+    items = [i for i in frame.item.iloc[:6]]
+    # shared feats dict for all users
+    recs = model.recommend_user(user=users, n_rec=4,
+                                user_feats={"sex": "f", "age": -0.5})
+    assert set(recs) == set(users) and all(len(v) == 4 for v in recs.values())
+    # per-user feats list + per-user seq lists
+    recs2 = model.recommend_user(
+        user=users, n_rec=4,
+        user_feats=[{"sex": "m"}, {"sex": "f"}, {"age": 1.0}],
+        seq=[items[:2], items[2:4], items[4:]],
+    )
+    assert set(recs2) == set(users) and all(len(v) == 4 for v in recs2.values())
+    # mismatched per-user list raises
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        model.recommend_user(user=users, n_rec=4, user_feats=[{"sex": "m"}])
