@@ -12,7 +12,11 @@ from scipy.sparse import csr_matrix
 from .base import Base
 from ..recommendation.cold_start import popular_recommendations
 from ..utils.misc import colorize, time_block
-from ..utils.similarities import SIM_TYPES, topk_similarities
+from ..utils.similarities import (
+    SIM_TYPES,
+    topk_similarities,
+    update_topk_similarities,
+)
 from ..utils.validate import check_fitting
 
 
@@ -42,6 +46,7 @@ class CfBase(Base):
         self.sim_ids = None        # (n_rows, k_sim) padded with -1
         self.sim_vals = None
         self.interaction = None    # user-item CSR
+        self._old_cf_state = None  # set by rebuild_model for incremental fit
         # hyperparams consumed by Base.fit are unused; CF has no SGD loop
 
     def build_model(self):
@@ -65,19 +70,45 @@ class CfBase(Base):
     ):
         check_fitting(self, train_data, eval_data, neg_sampling, k)
         mat = train_data.sparse_interaction
-        self.interaction = csr_matrix(
+        batch = csr_matrix(
             (mat.data, mat.indices, mat.indptr),
             shape=(self.n_users, self.n_items),
         )
-        entity = (
-            self.interaction if self.cf_mode == "user"
-            else self.interaction.T.tocsr()
-        )
-        with time_block(f"{self.sim_type} sims", verbose):
-            self.sim_ids, self.sim_vals = topk_similarities(
-                entity, self.sim_type, self.k_sim,
-                self.min_common, self.num_threads,
+        if self._old_cf_state is not None:
+            # incremental retrain: merge the new batch into the saved
+            # interactions and update only the touched neighbor lists
+            # (reference rust/src/incremental.rs via cf_base_rs.py:192)
+            old_ids, old_sims, old_inter = self._old_cf_state
+            self._old_cf_state = None
+            old_pad = old_inter.copy()
+            old_pad.resize(self.n_users, self.n_items)  # vocab growth pad
+            self.interaction = (old_pad + batch).tocsr()
+            entity = (
+                self.interaction if self.cf_mode == "user"
+                else self.interaction.T.tocsr()
             )
+            touched = np.unique(
+                np.asarray(
+                    train_data.user_indices if self.cf_mode == "user"
+                    else train_data.item_indices
+                )
+            )
+            with time_block(f"update {self.sim_type} sims", verbose):
+                self.sim_ids, self.sim_vals = update_topk_similarities(
+                    old_ids, old_sims, entity, touched, self.sim_type,
+                    self.k_sim, self.min_common, self.num_threads,
+                )
+        else:
+            self.interaction = batch
+            entity = (
+                self.interaction if self.cf_mode == "user"
+                else self.interaction.T.tocsr()
+            )
+            with time_block(f"{self.sim_type} sims", verbose):
+                self.sim_ids, self.sim_vals = topk_similarities(
+                    entity, self.sim_type, self.k_sim,
+                    self.min_common, self.num_threads,
+                )
         n_with = int(np.sum(self.sim_ids[:, 0] >= 0))
         if verbose > 0:
             total = self.sim_ids.shape[0]
@@ -167,6 +198,31 @@ class CfBase(Base):
     def _user_scores(self, uid):
         raise NotImplementedError
 
+    # ------------------------------------------------------------- retrain
+    def rebuild_model(self, path, model_name=None):
+        """Prepare incremental similarity update from a saved model
+        (reference libreco/bases/cf_base_rs.py:192: load the saved state,
+        then ``fit`` on the merged trainset updates neighbor lists
+        incrementally instead of recomputing from scratch)."""
+        from pathlib import Path
+
+        if model_name is not None:
+            self.model_name = model_name
+        arrays = np.load(Path(path) / f"{self.model_name}_cf.npz")
+        if "inter_shape" in arrays:
+            shape = tuple(arrays["inter_shape"])
+        else:  # legacy save without explicit shape
+            shape = (
+                arrays["inter_indptr"].shape[0] - 1,
+                int(arrays["inter_indices"].max(initial=-1)) + 1,
+            )
+        old_inter = csr_matrix(
+            (arrays["inter_data"], arrays["inter_indices"], arrays["inter_indptr"]),
+            shape=shape,
+        )
+        self._old_cf_state = (arrays["sim_ids"], arrays["sim_vals"], old_inter)
+        return self
+
     # --------------------------------------------------------- persistence
     def save(self, path, model_name=None, **kwargs):
         from pathlib import Path
@@ -185,6 +241,7 @@ class CfBase(Base):
             inter_data=self.interaction.data,
             inter_indices=self.interaction.indices,
             inter_indptr=self.interaction.indptr,
+            inter_shape=np.asarray(self.interaction.shape, np.int64),
         )
         self.data_info.save(path, self.model_name)
 

@@ -49,6 +49,19 @@ def get_lib():
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_float),
             ctypes.c_int32,
         ]
+        lib.update_topk_similarities.argtypes = [
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int32,
+        ]
         lib.swing_topk.argtypes = [
             ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
             ctypes.c_int32,
@@ -91,6 +104,40 @@ def topk_similarities_native(x_csr, yt_csr, n_y, x_nnz, y_nnz, k,
         _ptr(yd, ctypes.c_float), x_csr.shape[1], n_y,
         _ptr(xn, ctypes.c_float), _ptr(yn, ctypes.c_float),
         k, min_common, int(jaccard), int(exclude_self),
+        _ptr(out_ids, ctypes.c_int32), _ptr(out_sims, ctypes.c_float),
+        n_threads,
+    )
+    return out_ids, out_sims
+
+
+def update_topk_similarities_native(x_csr, yt_csr, x_nnz, touched, old_ids,
+                                    old_sims, k, min_common, jaccard,
+                                    n_threads=0):
+    lib = get_lib()
+    assert lib is not None
+    n_x = x_csr.shape[0]
+    n_x_old = old_ids.shape[0]
+    out_ids = np.empty((n_x, k), np.int32)
+    out_sims = np.empty((n_x, k), np.float32)
+    xi = np.ascontiguousarray(x_csr.indptr, np.int64)
+    xj = np.ascontiguousarray(x_csr.indices, np.int32)
+    xd = np.ascontiguousarray(x_csr.data, np.float32)
+    yi = np.ascontiguousarray(yt_csr.indptr, np.int64)
+    yj = np.ascontiguousarray(yt_csr.indices, np.int32)
+    yd = np.ascontiguousarray(yt_csr.data, np.float32)
+    xn = np.ascontiguousarray(x_nnz, np.float32)
+    tr = np.ascontiguousarray(touched, np.int32)
+    oi = np.ascontiguousarray(old_ids, np.int32)
+    os_ = np.ascontiguousarray(old_sims, np.float32)
+    lib.update_topk_similarities(
+        _ptr(xi, ctypes.c_int64), _ptr(xj, ctypes.c_int32),
+        _ptr(xd, ctypes.c_float), n_x,
+        _ptr(yi, ctypes.c_int64), _ptr(yj, ctypes.c_int32),
+        _ptr(yd, ctypes.c_float), x_csr.shape[1],
+        _ptr(xn, ctypes.c_float),
+        _ptr(tr, ctypes.c_int32), len(tr),
+        _ptr(oi, ctypes.c_int32), _ptr(os_, ctypes.c_float), n_x_old,
+        k, min_common, int(jaccard),
         _ptr(out_ids, ctypes.c_int32), _ptr(out_sims, ctypes.c_float),
         n_threads,
     )

@@ -94,6 +94,146 @@ void topk_similarities(
   }
 }
 
+// Incremental top-k similarity update for CF retrain.
+//
+// Counterpart of the reference's rust/src/incremental.rs (wired via
+// libreco/bases/cf_base_rs.py:192), redesigned to be EXACT instead of
+// within-batch approximate: the caller passes the MERGED (old + new)
+// interaction matrix plus the list of rows touched by new interactions.
+// Touched rows get a full fresh top-k against the merged data; untouched
+// rows keep their old lists with every entry that references a touched row
+// replaced by its freshly-computed similarity (data only grows, so any old
+// pair still meets min_common and is guaranteed to be re-emitted by the
+// touched row's accumulation). Like the reference, an untouched pair that
+// was evicted from a top-k list in an earlier round cannot re-enter.
+//
+// old_ids/old_sims hold n_x_old rows (n_x_old <= n_x after vocab growth);
+// out_ids/out_sims are (n_x, k).
+void update_topk_similarities(
+    const int64_t* x_indptr, const int32_t* x_indices, const float* x_data,
+    int32_t n_x,
+    const int64_t* yt_indptr, const int32_t* yt_indices, const float* yt_data,
+    int32_t n_dim,
+    const float* x_nnz,
+    const int32_t* touched_rows, int32_t n_touched,
+    const int32_t* old_ids, const float* old_sims, int32_t n_x_old,
+    int32_t k, int32_t min_common, int32_t jaccard,
+    int32_t* out_ids, float* out_sims, int32_t n_threads) {
+  (void)n_dim;
+#ifdef _OPENMP
+  if (n_threads > 0) omp_set_num_threads(n_threads);
+#endif
+  std::vector<uint8_t> is_touched(n_x, 0);
+  for (int32_t t = 0; t < n_touched; ++t) is_touched[touched_rows[t]] = 1;
+
+  // start from empty rows; untouched old rows copy over below
+  for (int64_t i = 0; i < (int64_t)n_x * k; ++i) {
+    out_ids[i] = -1;
+    out_sims[i] = 0.0f;
+  }
+
+  const int nt =
+#ifdef _OPENMP
+      n_threads > 0 ? n_threads : omp_get_max_threads();
+#else
+      1;
+#endif
+  // fresh (x2 untouched) <- (x1 touched) similarity candidates per thread
+  std::vector<std::vector<std::pair<int32_t, std::pair<int32_t, float>>>>
+      cand_parts(nt);
+
+#pragma omp parallel num_threads(nt)
+  {
+#ifdef _OPENMP
+    const int tid = omp_get_thread_num();
+#else
+    const int tid = 0;
+#endif
+    auto& cand_out = cand_parts[tid];
+    std::vector<float> acc(n_x, 0.0f);
+    std::vector<int32_t> common(n_x, 0);
+    std::vector<int32_t> seen;
+    seen.reserve(4096);
+#pragma omp for schedule(dynamic, 16)
+    for (int32_t t = 0; t < n_touched; ++t) {
+      const int32_t x = touched_rows[t];
+      seen.clear();
+      for (int64_t p = x_indptr[x]; p < x_indptr[x + 1]; ++p) {
+        const int32_t dim = x_indices[p];
+        const float xv = x_data[p];
+        for (int64_t q = yt_indptr[dim]; q < yt_indptr[dim + 1]; ++q) {
+          const int32_t y = yt_indices[q];
+          if (common[y] == 0) seen.push_back(y);
+          acc[y] += xv * yt_data[q];
+          common[y] += 1;
+        }
+      }
+      std::vector<std::pair<float, int32_t>> cands;
+      cands.reserve(seen.size());
+      for (const int32_t y : seen) {
+        if (common[y] >= min_common && y != x) {
+          float sim;
+          if (jaccard) {
+            const float denom = x_nnz[x] + x_nnz[y] - (float)common[y];
+            sim = denom > 0.0f ? (float)common[y] / denom : 0.0f;
+          } else {
+            sim = acc[y];
+          }
+          cands.emplace_back(sim, y);
+          if (!is_touched[y] && y < n_x_old)
+            cand_out.push_back({y, {x, sim}});
+        }
+        acc[y] = 0.0f;
+        common[y] = 0;
+      }
+      const int32_t take = std::min((int64_t)k, (int64_t)cands.size());
+      std::partial_sort(
+          cands.begin(), cands.begin() + take, cands.end(),
+          [](const std::pair<float, int32_t>& a,
+             const std::pair<float, int32_t>& b) {
+            return a.first > b.first || (a.first == b.first && a.second < b.second);
+          });
+      for (int32_t j = 0; j < take; ++j) {
+        out_ids[(int64_t)x * k + j] = cands[j].second;
+        out_sims[(int64_t)x * k + j] = cands[j].first;
+      }
+    }
+  }
+
+  // group fresh candidates by untouched row
+  std::unordered_map<int32_t, std::vector<std::pair<int32_t, float>>> fresh;
+  for (auto& part : cand_parts)
+    for (auto& kv : part) fresh[kv.first].push_back(kv.second);
+
+  // untouched rows: old list with touched entries replaced by fresh sims
+#pragma omp parallel for schedule(dynamic, 256)
+  for (int32_t x = 0; x < n_x_old; ++x) {
+    if (is_touched[x]) continue;
+    std::vector<std::pair<float, int32_t>> merged;
+    merged.reserve(k);
+    const auto it = fresh.find(x);
+    for (int32_t j = 0; j < k; ++j) {
+      const int32_t nb = old_ids[(int64_t)x * k + j];
+      if (nb < 0) break;
+      if (is_touched[nb]) continue;  // stale; fresh value merged below
+      merged.emplace_back(old_sims[(int64_t)x * k + j], nb);
+    }
+    if (it != fresh.end())
+      for (const auto& p : it->second) merged.emplace_back(p.second, p.first);
+    const int32_t take = std::min((int64_t)k, (int64_t)merged.size());
+    std::partial_sort(
+        merged.begin(), merged.begin() + take, merged.end(),
+        [](const std::pair<float, int32_t>& a,
+           const std::pair<float, int32_t>& b) {
+          return a.first > b.first || (a.first == b.first && a.second < b.second);
+        });
+    for (int32_t j = 0; j < take; ++j) {
+      out_ids[(int64_t)x * k + j] = merged[j].second;
+      out_sims[(int64_t)x * k + j] = merged[j].first;
+    }
+  }
+}
+
 // Swing top-k item-item scores.
 // user_indptr/user_items: CSR of user -> sorted item lists (possibly capped).
 // item_indptr/item_users: CSR of item -> sorted user lists.

@@ -7,7 +7,11 @@ returns the top-k neighbor lists directly (like recfarm, rust/src/user_cf.rs).
 """
 import numpy as np
 
-from ..native import get_lib, topk_similarities_native
+from ..native import (
+    get_lib,
+    topk_similarities_native,
+    update_topk_similarities_native,
+)
 
 SIM_TYPES = ("cosine", "pearson", "jaccard")
 
@@ -49,6 +53,85 @@ def topk_similarities(interaction, kind, k, min_common=1, n_threads=0):
             min_common, kind == "jaccard", True, n_threads,
         )
     return _topk_fallback(X, nnz, k, min_common, kind == "jaccard")
+
+
+def update_topk_similarities(old_ids, old_sims, merged, touched, kind, k,
+                             min_common=1, n_threads=0):
+    """Incrementally update top-k neighbor lists after new interactions.
+
+    Counterpart of the reference's incremental retrain
+    (rust/src/incremental.rs via libreco/bases/cf_base_rs.py:192), but exact:
+    ``merged`` is the full old+new interaction CSR and ``touched`` the rows
+    with new interactions — touched rows are recomputed against everything,
+    untouched rows have stale entries replaced in place. Only limitation
+    (shared with the reference): a pair evicted from a top-k list in an
+    earlier round cannot re-enter.
+
+    Returns (ids (n_rows, k), sims) over the merged row count.
+    """
+    assert kind in SIM_TYPES, kind
+    X = _preprocess(merged, kind)
+    nnz = np.diff(X.indptr).astype(np.float32)
+    touched = np.asarray(touched, np.int32)
+    if old_ids.shape[1] != k:
+        raise ValueError(
+            f"k_sim changed between fits ({old_ids.shape[1]} -> {k}); "
+            "incremental update requires the same k"
+        )
+    if get_lib() is not None:
+        yt = X.T.tocsr()
+        return update_topk_similarities_native(
+            X, yt, nnz, touched, old_ids, old_sims, k,
+            min_common, kind == "jaccard", n_threads,
+        )
+    return _update_fallback(X, nnz, touched, old_ids, old_sims, k,
+                            min_common, kind == "jaccard")
+
+
+def _update_fallback(X, nnz, touched, old_ids, old_sims, k, min_common,
+                     jaccard):
+    """Numpy mirror of the native update (also the test cross-check)."""
+    n = X.shape[0]
+    n_old = old_ids.shape[0]
+    is_touched = np.zeros(n, bool)
+    is_touched[touched] = True
+    out_ids = np.full((n, k), -1, np.int32)
+    out_sims = np.zeros((n, k), np.float32)
+    Xb = X.copy()
+    Xb.data = np.ones_like(Xb.data)
+    fresh = {}  # untouched row -> [(neighbor, sim)]
+    for x in touched:
+        dot = np.asarray((X[int(x)] @ X.T).todense()).ravel()
+        common = np.asarray((Xb[int(x)] @ Xb.T).todense()).ravel()
+        if jaccard:
+            denom = nnz[int(x)] + nnz - common
+            vals = np.where(denom > 0, common / np.maximum(denom, 1e-10), 0.0)
+        else:
+            vals = dot
+        vals = np.where(common >= min_common, vals, -np.inf)
+        vals[int(x)] = -np.inf
+        order = np.argsort(-vals, kind="stable")
+        top = order[: min(k, n - 1)]
+        good = np.isfinite(vals[top])
+        out_ids[x, : good.sum()] = top[good]
+        out_sims[x, : good.sum()] = vals[top][good]
+        for y in np.nonzero(np.isfinite(vals))[0]:
+            if not is_touched[y] and y < n_old:
+                fresh.setdefault(int(y), []).append((int(x), float(vals[y])))
+    for x in range(n_old):
+        if is_touched[x]:
+            continue
+        merged_list = [
+            (float(old_sims[x, j]), int(old_ids[x, j]))
+            for j in range(k)
+            if old_ids[x, j] >= 0 and not is_touched[old_ids[x, j]]
+        ]
+        merged_list += [(s, nb) for nb, s in fresh.get(x, [])]
+        merged_list.sort(key=lambda p: (-p[0], p[1]))
+        for j, (s, nb) in enumerate(merged_list[:k]):
+            out_ids[x, j] = nb
+            out_sims[x, j] = s
+    return out_ids, out_sims
 
 
 def _topk_fallback(X, nnz, k, min_common, jaccard, block=1024):
