@@ -35,15 +35,26 @@ async def knn_recommend(request):
     n_items = meta["n_items"]
     inter = store.get("interaction")
     indptr, indices, data = inter["indptr"], inter["indices"], inter["data"]
+    indptr = np.asarray(indptr)
+    indices = np.asarray(indices)
+    data = np.asarray(data)
     scores = np.zeros(n_items)
     if store.get("cf_mode") == "user":
+        # sim-weighted sum of neighbor interaction rows, vectorized over the
+        # CSR slices (the k_sim-sized outer loop is negligible)
         for nbr, sim in store.hget("k_sims", str(uid)) or []:
-            for p in range(indptr[nbr], indptr[nbr + 1]):
-                scores[indices[p]] += sim * data[p]
+            s, e = indptr[nbr], indptr[nbr + 1]
+            np.add.at(scores, indices[s:e], sim * data[s:e])
     else:
-        for p in range(indptr[uid], indptr[uid + 1]):
-            for nbr, sim in store.hget("k_sims", str(indices[p])) or []:
-                scores[nbr] += sim
+        sims_by_item = [
+            store.hget("k_sims", str(i)) or []
+            for i in indices[indptr[uid]:indptr[uid + 1]]
+        ]
+        flat = [p for sims in sims_by_item for p in sims]
+        if flat:
+            nbrs = np.fromiter((p[0] for p in flat), np.int64, len(flat))
+            vals = np.fromiter((p[1] for p in flat), np.float64, len(flat))
+            np.add.at(scores, nbrs, vals)
     scores[list(consumed)] = -np.inf
     top = np.argsort(-scores)[:n_rec]
     top = [int(t) for t in top if np.isfinite(scores[t])][:n_rec]
@@ -114,6 +125,37 @@ async def online_recommend(request):
     return web.json_response({"rec_list": [_json_safe(i) for i in recs[key]]})
 
 
+async def candidates(request):
+    """Inner-id candidate scoring for the native server's model/online
+    endpoints (the TF-Serving-analog hop: the C++ tier does id mapping and
+    consumed filtering, this endpoint only runs the jitted forward —
+    reference libserving/actix_serving/src/tf_deploy.rs architecture)."""
+    body = await request.json()
+    uid, k = int(body["user_inner"]), int(body.get("k", 10))
+    model = _get_model(request.app)
+    kwargs = {}
+    if body.get("seq") is not None:
+        # request seqs carry raw item ids; scoring below runs inner_id=True
+        item2id = model.data_info.item2id
+        kwargs["seq"] = [item2id[i] for i in body["seq"] if i in item2id]
+    if body.get("user_feats") is not None:
+        kwargs["user_feats"] = body["user_feats"]
+    try:
+        recs = model.recommend_user(
+            user=uid, n_rec=min(k, model.n_items), inner_id=True,
+            filter_consumed=False, **kwargs,
+        )
+    except TypeError:  # model family without dynamic-state support
+        recs = model.recommend_user(
+            user=uid, n_rec=min(k, model.n_items), inner_id=True,
+            filter_consumed=False,
+        )
+    key = next(iter(recs))
+    return web.json_response(
+        {"candidates": [int(i) for i in recs[key]]}
+    )
+
+
 def _json_safe(v):
     return v.item() if isinstance(v, np.generic) else v
 
@@ -133,6 +175,8 @@ def create_app(kind, store):
     app = web.Application()
     app["store"] = store
     app.router.add_post(f"/{kind}/recommend", handlers[kind])
+    if kind in ("model", "online"):
+        app.router.add_post("/candidates", candidates)
     app.router.add_get("/health", health)
     return app
 

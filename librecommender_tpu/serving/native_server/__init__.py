@@ -82,13 +82,20 @@ def free_port():
         return s.getsockname()[1]
 
 
-def start_native_server(artifact_dir, port=None, n_threads=4, timeout=10.0):
-    """Launch the server subprocess; returns (process, port)."""
+def start_native_server(artifact_dir, port=None, n_threads=4, timeout=10.0,
+                        backend=None):
+    """Launch the server subprocess; returns (process, port).
+
+    ``backend``: optional ``(host, port)`` of the Python scorer app — enables
+    the native /model/recommend and /online/recommend endpoints (the
+    TF-Serving-analog hop, reference actix tf_deploy.rs)."""
     binary = build_server()
     port = port or free_port()
+    cmd = [str(binary), str(artifact_dir), str(port), str(n_threads)]
+    if backend is not None:
+        cmd += [str(backend[0]), str(backend[1])]
     proc = subprocess.Popen(
-        [str(binary), str(artifact_dir), str(port), str(n_threads)],
-        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        cmd, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
     )
     deadline = time.time() + timeout
     while time.time() < deadline:

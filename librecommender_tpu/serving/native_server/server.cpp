@@ -1,16 +1,22 @@
-// Native recommendation server: multithreaded HTTP/1.1, embed + knn paths.
+// Native recommendation server: multithreaded HTTP/1.1 over all four
+// endpoint families (knn / embed / model / online).
 //
 // C++ replacement for the reference's Rust serving tier
-// (libserving/actix_serving/src/{main.rs:35, embed_deploy.rs, knn_deploy.rs}):
-// loads the flat binary artifacts exported by serving/serialization.py and
-// answers POST /embed/recommend and /knn/recommend with top-k lists.
-// Endpoints and request/response shapes mirror the Python aiohttp tier.
+// (libserving/actix_serving/src/{main.rs:35, embed_deploy.rs, knn_deploy.rs,
+// tf_deploy.rs, online_deploy.rs}): loads the flat binary artifacts exported
+// by serving/serialization.py and answers POST /{knn,embed}/recommend
+// in-process; POST /{model,online}/recommend mirror the reference's
+// actix -> TF-Serving architecture — the native tier does id mapping,
+// candidate sizing (k = n_rec + |consumed|), consumed filtering and raw-id
+// mapping, delegating only the jitted forward to a backend scorer URL (the
+// Python model app), exactly as tf_deploy.rs delegates to TF Serving.
 //
 // Design: blocking accept loop + worker thread pool; per-request work is a
-// dense dot product over the item matrix (OpenMP) + partial_sort. No
-// external dependencies: a ~60-line scanner handles the flat JSON bodies.
+// dense dot product over the item matrix + partial_sort. No external
+// dependencies: a ~60-line scanner handles the flat JSON bodies and a
+// loopback POSIX-socket client talks to the backend.
 //
-// Usage: server <artifact_dir> <port> [n_threads]
+// Usage: server <artifact_dir> <port> [n_threads] [backend_host backend_port]
 
 #include <algorithm>
 #include <atomic>
@@ -248,6 +254,144 @@ std::string recommend_knn(const Artifacts& a, int32_t uid, int k) {
   return out + "]}";
 }
 
+// Extract the RAW JSON value (object/array/string/number) for a key by
+// bracket matching, so dynamic "user_feats"/"seq" pass through verbatim.
+std::string json_raw_value(const std::string& body, const std::string& key) {
+  const auto kq = "\"" + key + "\"";
+  auto p = body.find(kq);
+  if (p == std::string::npos) return "";
+  p = body.find(':', p + kq.size());
+  if (p == std::string::npos) return "";
+  ++p;
+  while (p < body.size() && isspace((unsigned char)body[p])) ++p;
+  if (p >= body.size()) return "";
+  const char c = body[p];
+  if (c == '{' || c == '[') {
+    const char open = c, close = c == '{' ? '}' : ']';
+    int depth = 0;
+    bool in_str = false;
+    for (auto e = p; e < body.size(); ++e) {
+      const char ch = body[e];
+      if (in_str) {
+        if (ch == '\\') ++e;
+        else if (ch == '"') in_str = false;
+      } else if (ch == '"') {
+        in_str = true;
+      } else if (ch == open) {
+        ++depth;
+      } else if (ch == close) {
+        if (--depth == 0) return body.substr(p, e - p + 1);
+      }
+    }
+    return "";
+  }
+  if (c == '"') {
+    for (auto e = p + 1; e < body.size(); ++e) {
+      if (body[e] == '\\') ++e;
+      else if (body[e] == '"') return body.substr(p, e - p + 1);
+    }
+    return "";
+  }
+  auto e = p;
+  while (e < body.size() && (isdigit((unsigned char)body[e]) || body[e] == '-' ||
+                             body[e] == '.' || body[e] == 'e' || body[e] == '+'))
+    ++e;
+  return body.substr(p, e - p);
+}
+
+// Minimal loopback HTTP client: POST json to the backend scorer, return the
+// response body ("" on failure). Mirrors tf_deploy.rs's reqwest hop.
+std::string backend_post(const std::string& host, int port,
+                         const std::string& path, const std::string& json) {
+  const int fd = ::socket(AF_INET, SOCK_STREAM, 0);
+  if (fd < 0) return "";
+  sockaddr_in addr{};
+  addr.sin_family = AF_INET;
+  addr.sin_port = htons(port);
+  if (::inet_pton(AF_INET, host.c_str(), &addr.sin_addr) != 1 ||
+      ::connect(fd, (sockaddr*)&addr, sizeof(addr)) != 0) {
+    ::close(fd);
+    return "";
+  }
+  std::string req = "POST " + path + " HTTP/1.1\r\nHost: " + host +
+                    "\r\nContent-Type: application/json\r\nContent-Length: " +
+                    std::to_string(json.size()) + "\r\nConnection: close\r\n\r\n" +
+                    json;
+  size_t off = 0;
+  while (off < req.size()) {
+    const auto n = ::send(fd, req.data() + off, req.size() - off, 0);
+    if (n <= 0) { ::close(fd); return ""; }
+    off += n;
+  }
+  std::string resp;
+  char buf[8192];
+  while (true) {
+    const auto n = ::recv(fd, buf, sizeof(buf), 0);
+    if (n <= 0) break;
+    resp.append(buf, n);
+    if (resp.size() > (8u << 20)) break;  // 8 MiB response cap
+  }
+  ::close(fd);
+  const auto p = resp.find("\r\n\r\n");
+  return p == std::string::npos ? "" : resp.substr(p + 4);
+}
+
+// Parse a flat JSON int array ("[3, 1, 4]") into a vector.
+std::vector<int64_t> parse_int_array(const std::string& raw) {
+  std::vector<int64_t> out;
+  size_t p = 0;
+  while (p < raw.size()) {
+    while (p < raw.size() && !isdigit((unsigned char)raw[p]) && raw[p] != '-')
+      ++p;
+    if (p >= raw.size()) break;
+    errno = 0;
+    char* end = nullptr;
+    const long long v = std::strtoll(raw.c_str() + p, &end, 10);
+    if (end == raw.c_str() + p) break;
+    if (errno == 0) out.push_back(v);
+    p = end - raw.c_str();
+  }
+  return out;
+}
+
+struct Backend {
+  std::string host;
+  int port = 0;
+  bool configured() const { return port > 0; }
+};
+
+// model/online endpoints: candidate sizing + consumed filtering + raw-id
+// mapping natively; scoring delegated to the backend's /candidates route
+// (online_deploy.py:25 candidate logic k = n_rec + |consumed|).
+std::string recommend_via_backend(const Artifacts& a, const Backend& be,
+                                  int32_t uid,
+                                  int n_rec, const std::string& feats_raw,
+                                  const std::string& seq_raw) {
+  const auto& consumed =
+      (uid >= 0 && uid < (int32_t)a.consumed.size()) ? a.consumed[uid]
+                                                     : std::vector<int32_t>{};
+  const int k = std::min<int>(n_rec + (int)consumed.size(), a.n_items);
+  std::string req = "{\"user_inner\": " + std::to_string(uid) +
+                    ", \"k\": " + std::to_string(k);
+  if (!feats_raw.empty()) req += ", \"user_feats\": " + feats_raw;
+  if (!seq_raw.empty()) req += ", \"seq\": " + seq_raw;
+  req += "}";
+  const auto resp = backend_post(be.host, be.port, "/candidates", req);
+  if (resp.empty()) return "";
+  const auto cands = parse_int_array(json_raw_value(resp, "candidates"));
+  std::unordered_set<int32_t> skip(consumed.begin(), consumed.end());
+  std::string out = "{\"rec_list\": [";
+  int taken = 0;
+  for (const auto c : cands) {
+    if (taken >= n_rec) break;
+    if (c < 0 || c >= (int64_t)a.id2item.size() || skip.count((int32_t)c))
+      continue;
+    if (taken++) out += ", ";
+    out += a.id2item[c];
+  }
+  return out + "]}";
+}
+
 void respond(int fd, int status, const std::string& body) {
   std::string head = "HTTP/1.1 " + std::to_string(status) +
                      (status == 200 ? " OK" : " Bad Request") +
@@ -278,7 +422,7 @@ int parse_int_field(const std::string& body, const std::string& key,
 
 constexpr size_t kMaxBody = 1 << 20;  // 1 MiB request cap
 
-void handle_checked(int fd, const Artifacts& a) {
+void handle_checked(int fd, const Artifacts& a, const Backend& be) {
   std::string req;
   char buf[8192];
   // read until headers complete (+ body via content-length)
@@ -331,14 +475,29 @@ void handle_checked(int fd, const Artifacts& a) {
     const auto it = a.user2id.find(user);
     const int32_t uid = it == a.user2id.end() ? -1 : it->second;
     respond(fd, 200, recommend_knn(a, uid, n_rec));
+  } else if ((req.rfind("POST /model/recommend", 0) == 0 ||
+              req.rfind("POST /online/recommend", 0) == 0) &&
+             be.configured()) {
+    const bool online = req.rfind("POST /online/recommend", 0) == 0;
+    const auto user = json_str(body, "user");
+    const int n_rec = parse_int_field(body, "n_rec", 10, 1, a.n_items);
+    const auto it = a.user2id.find(user);
+    const int32_t uid = it == a.user2id.end() ? -1 : it->second;
+    const auto feats = online ? json_raw_value(body, "user_feats") : "";
+    const auto seq = online ? json_raw_value(body, "seq") : "";
+    const auto resp = recommend_via_backend(a, be, uid, n_rec, feats, seq);
+    if (resp.empty())
+      respond(fd, 502, "{\"error\": \"backend unavailable\"}");
+    else
+      respond(fd, 200, resp);
   } else {
     respond(fd, 400, "{\"error\": \"unknown endpoint\"}");
   }
 }
 
-void handle(int fd, const Artifacts& a) {
+void handle(int fd, const Artifacts& a, const Backend& be) {
   try {
-    handle_checked(fd, a);
+    handle_checked(fd, a, be);
   } catch (const std::exception& e) {
     respond(fd, 400, std::string("{\"error\": \"") + e.what() + "\"}");
   } catch (...) {
@@ -357,6 +516,11 @@ int main(int argc, char** argv) {
   const std::string dir = argv[1];
   const int port = std::atoi(argv[2]);
   const int n_threads = argc > 3 ? std::atoi(argv[3]) : 4;
+  Backend backend;
+  if (argc > 5) {
+    backend.host = argv[4];
+    backend.port = std::atoi(argv[5]);
+  }
   const Artifacts artifacts = load_artifacts(dir);
 
   const int server_fd = ::socket(AF_INET, SOCK_STREAM, 0);
@@ -388,7 +552,7 @@ int main(int argc, char** argv) {
           jobs.pop();
         }
         if (fd < 0) return;
-        handle(fd, artifacts);
+        handle(fd, artifacts, backend);
       }
     });
   }

@@ -65,3 +65,80 @@ def test_native_knn_server(pure_builds, pure_frames, tmp_path):
     finally:
         proc.kill()
         proc.wait()
+
+
+def test_native_model_online_endpoints(pure_builds, pure_frames, tmp_path):
+    """Native /model/recommend and /online/recommend delegate scoring to the
+    Python backend (the TF-Serving-analog hop, reference actix
+    tf_deploy.rs / online_deploy.rs) and match direct model calls."""
+    import asyncio
+    import threading
+
+    from librecommender_tpu.models import RNN4Rec
+    from librecommender_tpu.serving.app import create_app
+    from librecommender_tpu.serving.serialization import save_online
+    from librecommender_tpu.serving.store import DictStore, online2store
+
+    train_data, *_, data_info = pure_builds
+    model = RNN4Rec("ranking", data_info, embed_size=8, n_epochs=1,
+                    batch_size=256)
+    model.fit(train_data, neg_sampling=True, verbose=0)
+    path = save_online(tmp_path / "online_art", model)
+    store = DictStore()
+    online2store(path, store)
+
+    # run the backend scorer app on a real port in a thread
+    loop = asyncio.new_event_loop()
+    started = threading.Event()
+    backend_port = {}
+
+    def backend_thread():
+        asyncio.set_event_loop(loop)
+
+        async def go():
+            from aiohttp.test_utils import TestServer
+
+            server = TestServer(create_app("online", store))
+            await server.start_server()
+            backend_port["port"] = server.port
+            started.set()
+            await asyncio.Event().wait()  # serve until loop stops
+
+        try:
+            loop.run_until_complete(go())
+        except RuntimeError:
+            pass
+
+    t = threading.Thread(target=backend_thread, daemon=True)
+    t.start()
+    assert started.wait(timeout=30)
+
+    artifact_dir = export_native(tmp_path / "native_online", model)
+    proc, port = start_native_server(
+        artifact_dir, backend=("127.0.0.1", backend_port["port"])
+    )
+    try:
+        frame = pure_frames[0]
+        user = frame.user.iloc[0]
+        out = _post(port, "/model/recommend", {"user": int(user), "n_rec": 5})
+        recs = model.recommend_user(user=user, n_rec=5)[user]
+        assert list(map(int, out["rec_list"])) == list(map(int, recs))
+
+        seq = [int(i) for i in frame.item.iloc[:5]]
+        out_dyn = _post(
+            port, "/online/recommend",
+            {"user": int(user), "n_rec": 5, "seq": seq},
+        )
+        recs_dyn = model.recommend_user(user=user, n_rec=5, seq=seq)[user]
+        assert list(map(int, out_dyn["rec_list"])) == list(map(int, recs_dyn))
+
+        # consumed filtering happens natively
+        uid = data_info.user2id[user]
+        consumed_raw = {
+            int(data_info.id2item[i]) for i in data_info.user_consumed[uid]
+        }
+        assert not (set(map(int, out["rec_list"])) & consumed_raw)
+    finally:
+        proc.kill()
+        proc.wait()
+        loop.call_soon_threadsafe(loop.stop)
