@@ -127,13 +127,37 @@ class TwoTower(EmbedBase):
                 np.argsort(-mi, axis=1).astype(np.int32)
             )
 
+    def _side_ms_info(self, is_user):
+        """Multi-sparse group info remapped to this tower's local field
+        order, so groups pool INSIDE the tower (reference
+        libreco/tfops/features.py:47,90 used by two_tower.py)."""
+        from ..data.data_info import MultiSparseInfo
+
+        feats = self.feats
+        info = feats.multi_sparse_info
+        if info is None or self.multi_sparse_combiner == "normal":
+            return None
+        pos = feats.user_sparse_pos if is_user else feats.item_sparse_pos
+        pos_to_local = {p: j for j, p in enumerate(pos)}
+        offs, lens, oovs = [], [], []
+        for g, (o, ln) in enumerate(zip(info.field_offset, info.field_len)):
+            if o in pos_to_local:
+                # group members are contiguous in full field order and all
+                # on one side, so local indices stay consecutive
+                assert all(o + t in pos_to_local for t in range(ln))
+                offs.append(pos_to_local[o])
+                lens.append(ln)
+                oovs.append(np.asarray(info.feat_oov)[g])
+        if not offs:
+            return None
+        return MultiSparseInfo(offs, lens, np.asarray(oovs), info.pad_val)
+
     def _n_tower_fields(self, is_user):
         feats = self.feats
         n_sp = len(feats.user_sparse_pos if is_user else feats.item_sparse_pos)
-        info = feats.multi_sparse_info
-        if info is not None and self.multi_sparse_combiner != "normal" and not is_user:
-            # multi-sparse groups are item-side genre-style fields
-            pass  # combining handled per full row; towers use raw fields
+        side_info = self._side_ms_info(is_user)
+        if side_info is not None:
+            n_sp = n_sp - int(sum(side_info.field_len)) + len(side_info.field_len)
         n_d = len(feats.user_dense_pos if is_user else feats.item_dense_pos)
         return 1 + n_sp + n_d
 
@@ -164,13 +188,17 @@ class TwoTower(EmbedBase):
 
     # --------------------------------------------------------------- towers
     def user_tower(self, params, users, train=False, rng=None):
+        from ..ops.embeddings import combine_multi_sparse
+
         feats = self.feats
         pieces = [params["user_embed"][users]]
         if feats.user_sparse is not None:
             idx = feats.user_sparse[users]                     # (B, F_u)
-            pieces.append(
-                params["sparse_embed"][idx].reshape(idx.shape[0], -1)
+            emb = combine_multi_sparse(
+                params["sparse_embed"][idx], idx,
+                self._side_ms_info(True), self.multi_sparse_combiner,
             )
+            pieces.append(emb.reshape(idx.shape[0], -1))
         if feats.user_dense is not None:
             vals = feats.user_dense[users]                     # (B, F_ud)
             emb = params["dense_embed"][jnp.asarray(feats.user_dense_pos)]
@@ -181,13 +209,17 @@ class TwoTower(EmbedBase):
         return l2_normalize(out) if self.norm_embed else out
 
     def item_tower(self, params, items, train=False, rng=None, sparse_rows=None):
+        from ..ops.embeddings import combine_multi_sparse
+
         feats = self.feats
         pieces = [params["item_embed"][items]]
         if feats.item_sparse is not None:
             idx = feats.item_sparse[items] if sparse_rows is None else sparse_rows
-            pieces.append(
-                params["sparse_embed"][idx].reshape(idx.shape[0], -1)
+            emb = combine_multi_sparse(
+                params["sparse_embed"][idx], idx,
+                self._side_ms_info(False), self.multi_sparse_combiner,
             )
+            pieces.append(emb.reshape(idx.shape[0], -1))
         if feats.item_dense is not None:
             vals = feats.item_dense[items]
             emb = params["dense_embed"][jnp.asarray(feats.item_dense_pos)]

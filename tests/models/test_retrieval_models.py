@@ -99,3 +99,37 @@ def test_two_tower_ssl_requires_softmax(feat_builds):
     *_, data_info = feat_builds
     with pytest.raises(AssertionError):
         TwoTower("ranking", data_info, loss_type="cross_entropy", ssl_pattern="rfm")
+
+
+def test_two_tower_pooled_multi_sparse(feat_frames):
+    """Multi-sparse groups pool INSIDE the towers (reference
+    libreco/tfops/features.py:47,90 via two_tower.py): the item tower input
+    width shrinks from raw expanded fields to one slot per group."""
+    from librecommender_tpu.data import DatasetFeat
+    from librecommender_tpu.models import TwoTower
+
+    train, *_ = feat_frames
+    train = train.copy()
+    train["genre2"] = train["genre"]
+    train["genre3"] = "missing"
+    train_data, data_info = DatasetFeat.build_trainset(
+        train,
+        user_col=["sex", "age"],
+        item_col=["genre", "genre2", "genre3"],
+        sparse_col=["sex"],
+        dense_col=["age"],
+        multi_sparse_col=[["genre", "genre2", "genre3"]],
+    )
+    pooled = TwoTower("ranking", data_info, embed_size=8, n_epochs=1,
+                      batch_size=128, multi_sparse_combiner="sqrtn")
+    raw = TwoTower("ranking", data_info, embed_size=8, n_epochs=1,
+                   batch_size=128, multi_sparse_combiner="normal")
+    pooled.build_model()
+    raw.build_model()
+    # item side: item_embed + 1 pooled group vs item_embed + 3 raw fields
+    assert pooled._n_tower_fields(False) == raw._n_tower_fields(False) - 2
+    pooled.fit(train_data, neg_sampling=False, verbose=0)
+    u, i = train.user.iloc[0], train.item.iloc[0]
+    assert np.isfinite(np.asarray(pooled.predict(user=u, item=i))).all()
+    recs = pooled.recommend_user(user=u, n_rec=4)
+    assert len(recs[u]) == 4
