@@ -96,7 +96,10 @@ class Trainer:
         """
         loss_fn = self.model.loss_fn
         sparse_tables = ()
-        if getattr(self.model, "sparse_optimizer", False) and self.mesh is None:
+        if getattr(self.model, "sparse_optimizer", False):
+            # composes with the mesh: tables (and their mu/nu) row-shard over
+            # `model`, the LazyAdam row gather/scatter lowers to GSPMD
+            # collectives like any other sharded gather (SURVEY §2.7 mandate)
             sparse_tables = tuple(getattr(self.model, "sparse_tables", ()))
         touched_fn = getattr(self.model, "touched_indices", None)
         # dict lr (WideDeep-style per-part) has no principled sparse-table
@@ -233,11 +236,13 @@ class Trainer:
             )
             model.params = shard_params(model.params, self.mesh)
         params = model.params
-        if getattr(model, "sparse_optimizer", False) and self.mesh is None:
+        if getattr(model, "sparse_optimizer", False):
             from .sparse_optim import init_table_state
 
             tables = tuple(getattr(model, "sparse_tables", ()))
             rest = {k: v for k, v in params.items() if k not in tables}
+            # zeros_like inherits the tables' mesh sharding, so mu/nu
+            # row-shard exactly like their params under a mesh
             opt_state = (optimizer.init(rest), init_table_state(params, tables))
         else:
             opt_state = optimizer.init(params)
