@@ -113,6 +113,22 @@ def check_neg_sampling(model, neg_sampling):
         and not neg_sampling
     ):
         raise ValueError(f"`{model.loss_type}` loss must use negative sampling.")
+    sampler = getattr(model, "sampler", "random")
+    if (
+        model.task == "ranking"
+        and getattr(model, "loss_type", "") == "focal"
+        and (not neg_sampling or sampler is None)
+    ):
+        # reference parity: focal loss requires sampled negatives
+        # (tests/models/test_din.py:74-77 invalid-combo contract)
+        raise ValueError(
+            "`focal` loss requires negative sampling with a valid sampler"
+        )
+    if neg_sampling and sampler not in ("random", "popular", "unconsumed"):
+        raise ValueError(
+            f"unknown sampler for negative sampling: {sampler!r}; "
+            "choose 'random', 'popular' or 'unconsumed'"
+        )
 
 
 def check_labels(model, labels, neg_sampling):
