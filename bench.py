@@ -1,9 +1,18 @@
-"""Benchmark: REAL training-loop throughput (examples/s) of BPR through the
-framework's fit path (device-resident epoch scan), vs a CPU run of the same
-program.
+"""Benchmark: REAL training-loop throughput of three model families through
+the framework's fit path (device-resident epoch scan), with a FLOPs/roofline
+account per model, vs a CPU run of the same program.
 
 Prints ONE JSON line:
-    {"metric": ..., "value": N, "unit": "examples/s", "vs_baseline": N}
+    {"metric": ..., "value": N, "unit": "examples/s", "vs_baseline": N,
+     "extra": {...}}
+
+Headline metric stays ``bpr_fit_throughput`` (continuity with round 1);
+``extra`` carries the compute-bound models (DIN, LightGCN) with
+examples/s, FLOPs/example (XLA cost analysis of the jitted train step),
+achieved TFLOP/s and %MFU against the chip's bf16 peak, plus BPR's
+achieved HBM bandwidth (BPR at D=64 is memory-bound on the Adam table
+update — %MFU is the wrong lens for it, the roofline is bandwidth).
+Details land in BENCH_DETAILS.json.
 
 ``vs_baseline`` divides accelerator throughput by a CPU-backend run
 (stand-in for the reference's single-process CPU training — the reference
@@ -25,31 +34,131 @@ BATCH_SIZE = 8192
 EMBED_SIZE = 64
 WARMUP_EPOCHS, TIMED_EPOCHS = 1, 3
 
+# bf16 MXU peak per chip by device kind (TFLOP/s); f32 data still runs
+# through the MXU's bf16 path on v5e
+PEAK_TFLOPS = {"TPU v5 lite": 197.0, "TPU v5e": 197.0, "TPU v4": 275.0}
+PEAK_HBM_GBS = {"TPU v5 lite": 819.0, "TPU v5e": 819.0, "TPU v4": 1228.0}
 
-def measure(n_rows=N_ROWS, timed_epochs=TIMED_EPOCHS):
+
+def _pure_frame(n_rows):
     import numpy as np
     import pandas as pd
 
-    from librecommender_tpu.data import DatasetPure
-    from librecommender_tpu.models import BPR
-
     rng = np.random.default_rng(0)
-    frame = pd.DataFrame(
-        {
-            "user": rng.integers(0, N_USERS, n_rows),
-            "item": rng.integers(0, N_ITEMS, n_rows),
-            "label": np.ones(n_rows),
-        }
-    ).drop_duplicates(subset=["user", "item"])
-    train_data, data_info = DatasetPure.build_trainset(frame)
-    model = BPR(
-        "ranking", data_info, embed_size=EMBED_SIZE,
-        n_epochs=WARMUP_EPOCHS + timed_epochs, lr=0.01, batch_size=BATCH_SIZE,
-    )
+    return pd.DataFrame({
+        "user": rng.integers(0, N_USERS, n_rows),
+        "item": rng.integers(0, N_ITEMS, n_rows),
+        "label": np.ones(n_rows),
+    }).drop_duplicates(subset=["user", "item"])
+
+
+def _feat_frame(n_rows):
+    import numpy as np
+
+    frame = _pure_frame(n_rows)
+    rng = np.random.default_rng(1)
+    sex = rng.choice(["m", "f"], N_USERS)
+    age = rng.integers(16, 60, N_USERS)
+    genre = rng.choice(["a", "b", "c", "d", "e", "f", "g"], N_ITEMS)
+    frame["sex"] = sex[frame.user]
+    frame["age"] = (age[frame.user] - 35.0) / 25.0
+    frame["genre"] = genre[frame.item]
+    return frame
+
+
+def _step_cost(model, train_data):
+    """FLOPs + bytes of one jitted grad step via XLA cost analysis."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    n = BATCH_SIZE
+    batch = {
+        "user": jnp.zeros((n,), jnp.int32),
+        "item": jnp.zeros((n,), jnp.int32),
+        "label": jnp.ones((n,), jnp.float32),
+        "weight": jnp.ones((n,), jnp.float32),
+        "item_neg": jnp.zeros((n, 1), jnp.int32),
+    }
+    extras = getattr(model, "batch_extras", lambda td: None)(train_data)
+    if extras:
+        for k, v in extras.items():
+            batch[k] = jnp.asarray(np.asarray(v[:n]))
+    step = jax.jit(lambda p, b: jax.grad(model.loss_fn)(p, b, jax.random.PRNGKey(0)))
+    try:
+        cost = step.lower(model.params, batch).compile().cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
+        return float(cost.get("flops", 0.0)), float(
+            cost.get("bytes accessed", 0.0)
+        )
+    except Exception:
+        return 0.0, 0.0
+
+
+def _fit_throughput(model, train_data, timed_epochs=TIMED_EPOCHS):
     model.fit(train_data, neg_sampling=True, verbose=0)
-    # steady-state epochs (the first epoch includes the XLA compile)
     steady = model.trainer.epoch_times[WARMUP_EPOCHS:]
     return len(train_data) / (sum(steady) / len(steady))
+
+
+def _build(name, n_rows):
+    from librecommender_tpu.data import DatasetFeat, DatasetPure
+    from librecommender_tpu.models import BPR, DIN, LightGCN
+
+    epochs = WARMUP_EPOCHS + TIMED_EPOCHS
+    if name == "bpr":
+        train_data, data_info = DatasetPure.build_trainset(_pure_frame(n_rows))
+        model = BPR("ranking", data_info, embed_size=EMBED_SIZE,
+                    n_epochs=epochs, lr=0.01, batch_size=BATCH_SIZE)
+    elif name == "din":
+        train_data, data_info = DatasetFeat.build_trainset(
+            _feat_frame(n_rows), user_col=["sex", "age"], item_col=["genre"],
+            sparse_col=["sex", "genre"], dense_col=["age"],
+        )
+        model = DIN("ranking", data_info, embed_size=EMBED_SIZE,
+                    n_epochs=epochs, lr=0.001, batch_size=BATCH_SIZE,
+                    recent_num=10, hidden_units=(128, 64, 32))
+    elif name == "lightgcn":
+        train_data, data_info = DatasetPure.build_trainset(_pure_frame(n_rows))
+        model = LightGCN("ranking", data_info, embed_size=EMBED_SIZE,
+                         n_epochs=epochs, lr=0.001, batch_size=BATCH_SIZE,
+                         n_layers=3)
+    else:
+        raise ValueError(name)
+    return model, train_data
+
+
+def measure(name, n_rows=N_ROWS, timed_epochs=TIMED_EPOCHS, with_cost=True):
+    import jax
+
+    model, train_data = _build(name, n_rows)
+    if with_cost:
+        model.build_model()
+        flops_step, bytes_step = _step_cost(model, train_data)
+    else:
+        flops_step = bytes_step = 0.0
+    eps = _fit_throughput(model, train_data, timed_epochs)
+    out = {"examples_per_s": round(eps, 1)}
+    if flops_step:
+        flops_ex = flops_step / BATCH_SIZE
+        achieved = eps * flops_ex
+        out["flops_per_example"] = round(flops_ex, 1)
+        out["achieved_tflops"] = round(achieved / 1e12, 3)
+        kind = jax.devices()[0].device_kind
+        peak = next(
+            (v for k, v in PEAK_TFLOPS.items() if kind.startswith(k)), None
+        )
+        if peak:
+            out["mfu_pct"] = round(100.0 * achieved / 1e12 / peak, 2)
+        gbs = eps * (bytes_step / BATCH_SIZE) / 1e9
+        out["achieved_gbs"] = round(gbs, 1)
+        peak_bw = next(
+            (v for k, v in PEAK_HBM_GBS.items() if kind.startswith(k)), None
+        )
+        if peak_bw:
+            out["hbm_pct"] = round(100.0 * gbs / peak_bw, 2)
+    return out
 
 
 def cpu_baseline():
@@ -69,18 +178,25 @@ def main():
         import jax
 
         jax.config.update("jax_platforms", "cpu")
-        print(measure(n_rows=N_ROWS // 4, timed_epochs=1))
+        print(measure("bpr", n_rows=N_ROWS // 4, timed_epochs=1,
+                      with_cost=False)["examples_per_s"])
         return
-    device_eps = measure()
+    extra = {}
+    for name in ("bpr", "din", "lightgcn"):
+        extra[name] = measure(name)
+    device_eps = extra["bpr"]["examples_per_s"]
     try:
         cpu_eps = cpu_baseline()
     except Exception:
         cpu_eps = None
+    details = Path(__file__).parent / "BENCH_DETAILS.json"
+    details.write_text(json.dumps(extra, indent=2))
     result = {
         "metric": "bpr_fit_throughput",
-        "value": round(device_eps, 1),
+        "value": device_eps,
         "unit": "examples/s",
         "vs_baseline": round(device_eps / cpu_eps, 2) if cpu_eps else None,
+        "extra": extra,
     }
     print(json.dumps(result))
 

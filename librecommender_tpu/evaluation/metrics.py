@@ -101,12 +101,17 @@ def average_precision_at_k(y_true, y_reco, k):
 
 
 def ndcg_at_k(y_true, y_reco, k):
+    """Reference-contract NDCG (libreco/evaluation/metrics.py:97-108):
+    IDCG normalizes by the number of HITS in the reco list, not by
+    min(|truth|, k) — i.e. it measures how early the found items rank."""
     true_set = set(y_true)
     rels = np.asarray([1.0 if item in true_set else 0.0 for item in y_reco[:k]])
+    if not np.any(rels):
+        return 0.0
     discounts = 1.0 / np.log2(np.arange(2, len(rels) + 2))
     dcg = float(np.sum(rels * discounts))
-    ideal = min(len(true_set), k)
-    idcg = float(np.sum(discounts[:ideal]))
+    n_hits = int(np.sum(rels))
+    idcg = float(np.sum(discounts[:n_hits]))
     return dcg / idcg if idcg else 0.0
 
 

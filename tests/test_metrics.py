@@ -17,9 +17,10 @@ def test_listwise_metrics_hand_computed():
     assert m.average_precision_at_k(y_true, y_reco, 5) == pytest.approx(
         (1.0 + 2.0 / 3.0) / 4.0
     )
-    # NDCG@5: DCG = 1/log2(2) + 1/log2(4); IDCG = sum over 4 ideal ranks
+    # NDCG@5 (reference contract, libreco/evaluation/metrics.py:97-108):
+    # DCG = 1/log2(2) + 1/log2(4); IDCG over the 2 HITS found
     dcg = 1.0 / np.log2(2) + 1.0 / np.log2(4)
-    idcg = sum(1.0 / np.log2(r + 2) for r in range(4))
+    idcg = sum(1.0 / np.log2(r + 2) for r in range(2))
     assert m.ndcg_at_k(y_true, y_reco, 5) == pytest.approx(dcg / idcg)
 
 
