@@ -172,3 +172,46 @@ def test_grpc_online_serving(pure_builds, pure_frames):
         assert list(map(int, out_seq["rec_list"])) == list(map(int, recs_seq))
     finally:
         server.stop(0)
+
+
+def test_grpc_proto_wire_contract(pure_builds, pure_frames):
+    """Binary-protobuf client generated from the reference's
+    recommend.proto contract (libserving/actix_serving/proto/
+    recommend.proto) talks to the server: same package/service/rpc and
+    field numbers over the wire."""
+    import socket
+
+    from librecommender_tpu.models import RNN4Rec
+    from librecommender_tpu.serving.grpc_server import (
+        get_pb2,
+        recommend_client_proto,
+        serve,
+    )
+
+    pb2 = get_pb2()
+    # contract assertions: field numbers must match the reference proto
+    req_fields = {f.name: f.number for f in pb2.RecRequest.DESCRIPTOR.fields}
+    assert req_fields == {"user": 1, "n_rec": 2, "user_feats": 3, "seq": 4}
+    assert [f.number for f in pb2.RecResponse.DESCRIPTOR.fields] == [1]
+    assert pb2.DESCRIPTOR.package == "recommend"
+
+    train_data, *_, data_info = pure_builds
+    model = RNN4Rec("ranking", data_info, embed_size=8, n_epochs=1,
+                    batch_size=256)
+    model.fit(train_data, neg_sampling=True, verbose=0)
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    server = serve(model, port=port)
+    try:
+        frame = pure_frames[0]
+        user = int(frame.user.iloc[0])
+        resp = recommend_client_proto(port, user, n_rec=5)
+        recs = model.recommend_user(user=user, n_rec=5)[user]
+        assert list(map(int, resp.items)) == list(map(int, recs))
+        seq = [int(i) for i in frame.item.iloc[:4]]
+        resp_seq = recommend_client_proto(port, user, n_rec=5, seq=seq)
+        recs_seq = model.recommend_user(user=user, n_rec=5, seq=seq)[user]
+        assert list(map(int, resp_seq.items)) == list(map(int, recs_seq))
+    finally:
+        server.stop(0)
