@@ -116,11 +116,20 @@ class Trainer:
                 batch = {k: v[rows] for k, v in data.items()}
                 rng = jax.random.fold_in(base_rng, idx)
                 if device_side_sampling:
-                    rng, k1, k2 = jax.random.split(rng, 3)
+                    # rejection-style resampling against the batch positive,
+                    # matching the reference's tolerance loop
+                    # (libreco/sampling/negatives.py:17, tolerance=10) —
+                    # unrolled draws, each replacing remaining collisions
+                    rng, k1 = jax.random.split(rng)
                     shape = (batch_size, num_neg)
                     neg = jax.random.randint(k1, shape, 0, n_items, jnp.int32)
-                    resample = jax.random.randint(k2, shape, 0, n_items, jnp.int32)
-                    neg = jnp.where(neg == batch["item"][:, None], resample, neg)
+                    pos = batch["item"][:, None]
+                    for t in range(4):
+                        rng, kt = jax.random.split(rng)
+                        redraw = jax.random.randint(
+                            kt, shape, 0, n_items, jnp.int32
+                        )
+                        neg = jnp.where(neg == pos, redraw, neg)
                     batch["item_neg"] = neg
                 elif has_host_negs:
                     batch["item_neg"] = host_negs[rows]
