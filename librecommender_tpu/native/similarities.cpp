@@ -138,9 +138,30 @@ void update_topk_similarities(
 #else
       1;
 #endif
-  // fresh (x2 untouched) <- (x1 touched) similarity candidates per thread
-  std::vector<std::vector<std::pair<int32_t, std::pair<int32_t, float>>>>
-      cand_parts(nt);
+
+  // Per-untouched-row pruning state: a fresh (x2 <- x1) candidate only
+  // matters if it can enter x2's list (sim > x2's old minimum, or the list
+  // is not full) or if x2's old list references a touched row (stale entry
+  // to replace). Everything else is dropped at the source — this keeps the
+  // symmetric fix-up O(actual updates), not O(all co-occurring pairs).
+  std::vector<float> old_min(n_x_old, -3.0e38f);
+  std::vector<uint8_t> refers_touched(n_x_old, 0);
+#pragma omp parallel for schedule(static) num_threads(nt)
+  for (int32_t x = 0; x < n_x_old; ++x) {
+    if (is_touched[x]) continue;
+    int32_t filled = 0;
+    for (int32_t jj = 0; jj < k; ++jj) {
+      const int32_t nb = old_ids[(int64_t)x * k + jj];
+      if (nb < 0) break;
+      ++filled;
+      if (is_touched[nb]) refers_touched[x] = 1;
+    }
+    if (filled == k && !refers_touched[x])
+      old_min[x] = old_sims[(int64_t)x * k + (filled - 1)];
+  }
+
+  struct Cand { int32_t x2, x1; float sim; };
+  std::vector<std::vector<Cand>> cand_parts(nt);
 
 #pragma omp parallel num_threads(nt)
   {
@@ -180,8 +201,8 @@ void update_topk_similarities(
             sim = acc[y];
           }
           cands.emplace_back(sim, y);
-          if (!is_touched[y] && y < n_x_old)
-            cand_out.push_back({y, {x, sim}});
+          if (!is_touched[y] && y < n_x_old && sim > old_min[y])
+            cand_out.push_back({y, x, sim});
         }
         acc[y] = 0.0f;
         common[y] = 0;
@@ -200,26 +221,43 @@ void update_topk_similarities(
     }
   }
 
-  // group fresh candidates by untouched row
-  std::unordered_map<int32_t, std::vector<std::pair<int32_t, float>>> fresh;
-  for (auto& part : cand_parts)
-    for (auto& kv : part) fresh[kv.first].push_back(kv.second);
+  // group surviving candidates by untouched row via counting sort
+  size_t n_cand = 0;
+  for (const auto& part : cand_parts) n_cand += part.size();
+  std::vector<int64_t> bucket_ptr(n_x_old + 1, 0);
+  for (const auto& part : cand_parts)
+    for (const auto& c : part) ++bucket_ptr[c.x2 + 1];
+  for (int32_t x = 0; x < n_x_old; ++x) bucket_ptr[x + 1] += bucket_ptr[x];
+  std::vector<Cand> flat(n_cand);
+  {
+    std::vector<int64_t> cursor(bucket_ptr.begin(), bucket_ptr.end() - 1);
+    for (const auto& part : cand_parts)
+      for (const auto& c : part) flat[cursor[c.x2]++] = c;
+  }
 
   // untouched rows: old list with touched entries replaced by fresh sims
-#pragma omp parallel for schedule(dynamic, 256)
+#pragma omp parallel for schedule(dynamic, 256) num_threads(nt)
   for (int32_t x = 0; x < n_x_old; ++x) {
     if (is_touched[x]) continue;
+    const int64_t cb = bucket_ptr[x], ce = bucket_ptr[x + 1];
+    if (cb == ce && !refers_touched[x]) {
+      // untouched and unaffected: copy the old row through
+      for (int32_t j = 0; j < k; ++j) {
+        out_ids[(int64_t)x * k + j] = old_ids[(int64_t)x * k + j];
+        out_sims[(int64_t)x * k + j] = old_sims[(int64_t)x * k + j];
+      }
+      continue;
+    }
     std::vector<std::pair<float, int32_t>> merged;
-    merged.reserve(k);
-    const auto it = fresh.find(x);
+    merged.reserve(k + (ce - cb));
     for (int32_t j = 0; j < k; ++j) {
       const int32_t nb = old_ids[(int64_t)x * k + j];
       if (nb < 0) break;
       if (is_touched[nb]) continue;  // stale; fresh value merged below
       merged.emplace_back(old_sims[(int64_t)x * k + j], nb);
     }
-    if (it != fresh.end())
-      for (const auto& p : it->second) merged.emplace_back(p.second, p.first);
+    for (int64_t c = cb; c < ce; ++c)
+      merged.emplace_back(flat[c].sim, flat[c].x1);
     const int32_t take = std::min((int64_t)k, (int64_t)merged.size());
     std::partial_sort(
         merged.begin(), merged.begin() + take, merged.end(),
