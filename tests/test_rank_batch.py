@@ -1,0 +1,109 @@
+"""Ranking edge cases + batch-generator invariants (reference analogs:
+tests/test_rank_reco.py, tests/test_collators.py)."""
+import numpy as np
+import pytest
+
+from librecommender_tpu.recommendation.ranking import rank_recommendations
+
+
+def test_rank_filters_consumed():
+    scores = np.asarray([[5.0, 4.0, 3.0, 2.0, 1.0]])
+    consumed = {0: [0, 1]}
+    ids = rank_recommendations(
+        "ranking", [0], scores, 2, 5, consumed, filter_consumed=True
+    )
+    assert set(np.asarray(ids).ravel()) == {2, 3}
+
+
+def test_rank_without_filter_keeps_best():
+    scores = np.asarray([[5.0, 4.0, 3.0, 2.0, 1.0]])
+    ids = rank_recommendations(
+        "ranking", [0], scores, 2, 5, {0: [0, 1]}, filter_consumed=False
+    )
+    assert list(np.asarray(ids).ravel()) == [0, 1]
+
+
+def test_rank_consumed_exhausts_catalog():
+    """A user who consumed almost everything still gets a full-length list
+    (reference pads from the remaining pool)."""
+    scores = np.asarray([[5.0, 4.0, 3.0, 2.0, 1.0]])
+    consumed = {0: [0, 1, 2, 3]}
+    ids = np.asarray(rank_recommendations(
+        "ranking", [0], scores, 3, 5, consumed, filter_consumed=True
+    )).ravel()
+    assert ids[0] == 4  # only unconsumed item ranks first
+    assert len(ids) == 3
+
+
+def test_rank_random_rec_samples_by_score():
+    rng = np.random.default_rng(0)
+    scores = np.tile(np.asarray([[10.0, 5.0, 0.0, -5.0, -10.0]]), (1, 1))
+    seen = set()
+    for _ in range(20):
+        ids = np.asarray(rank_recommendations(
+            "ranking", [0], scores, 2, 5, {}, filter_consumed=False,
+            random_rec=True, np_rng=rng,
+        )).ravel()
+        seen.update(int(i) for i in ids)
+    # stochastic but score-weighted: the top item always present overall
+    assert 0 in seen and len(seen) >= 2
+
+
+def test_batch_generator_padding_and_weights(pure_builds):
+    from librecommender_tpu.batch import BatchGenerator
+
+    train_data, *_, data_info = pure_builds
+    bs = 256
+    gen = BatchGenerator(
+        train_data, data_info, bs, neg_sampling=True, sampler="random",
+        num_neg=1, paradigm="pointwise", seed=0,
+    )
+    arrays = gen.epoch_arrays()
+    n = gen.n_batches() * bs
+    for key, arr in arrays.items():
+        assert len(arr) == n, key
+    w = np.asarray(arrays["weight"])
+    n_real = len(train_data)
+    assert w[:n_real].min() == 1.0
+    if n > n_real:  # padded tail masked out
+        assert np.all(w[n_real:] == 0.0)
+
+
+def test_batch_generator_host_samplers(pure_builds):
+    from librecommender_tpu.batch import BatchGenerator
+
+    train_data, *_, data_info = pure_builds
+    for sampler in ("popular", "unconsumed"):
+        gen = BatchGenerator(
+            train_data, data_info, 128, neg_sampling=True, sampler=sampler,
+            num_neg=2, paradigm="pointwise", seed=0,
+        )
+        negs = gen.epoch_negatives()
+        assert negs is not None
+        negs = np.asarray(negs)
+        assert negs.shape[1] == 2
+        assert negs.min() >= 0 and negs.max() < data_info.n_items
+        if sampler == "unconsumed":
+            consumed = data_info.user_consumed
+            users = np.asarray(gen.epoch_arrays()["user"])[: len(train_data)]
+            bad = sum(
+                int(n in set(consumed.get(int(u), ())))
+                for u, row in zip(users[:500], negs[:500])
+                for n in row
+            )
+            assert bad == 0
+
+
+def test_sequence_modes_differ(pure_builds):
+    from librecommender_tpu.batch.sequence import build_train_seqs
+
+    train_data, *_, _ = pure_builds
+    users = np.asarray(train_data.user_indices)
+    items = np.asarray(train_data.item_indices)
+    recent, _ = build_train_seqs(users, items, 1000, 5, mode="recent", seed=0)
+    rand1, _ = build_train_seqs(users, items, 1000, 5, mode="random", seed=0)
+    rand2, _ = build_train_seqs(users, items, 1000, 5, mode="random", seed=0)
+    rand3, _ = build_train_seqs(users, items, 1000, 5, mode="random", seed=1)
+    assert not np.array_equal(recent, rand1)
+    np.testing.assert_array_equal(rand1, rand2)  # seed-stable
+    assert not np.array_equal(rand1, rand3)
