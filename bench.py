@@ -181,16 +181,19 @@ def main():
         print(measure("bpr", n_rows=N_ROWS // 4, timed_epochs=1,
                       with_cost=False)["examples_per_s"])
         return
+    details = Path(__file__).parent / "BENCH_DETAILS.json"
     extra = {}
     for name in ("bpr", "din", "lightgcn"):
-        extra[name] = measure(name)
+        try:
+            extra[name] = measure(name)
+        except Exception as exc:  # keep the headline alive on any failure
+            extra[name] = {"error": f"{type(exc).__name__}: {exc}"[:200]}
+        details.write_text(json.dumps(extra, indent=2))  # survive timeouts
     device_eps = extra["bpr"]["examples_per_s"]
     try:
         cpu_eps = cpu_baseline()
     except Exception:
         cpu_eps = None
-    details = Path(__file__).parent / "BENCH_DETAILS.json"
-    details.write_text(json.dumps(extra, indent=2))
     result = {
         "metric": "bpr_fit_throughput",
         "value": device_eps,
