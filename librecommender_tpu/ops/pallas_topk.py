@@ -51,23 +51,26 @@ def _topk_kernel(u_ref, i_ref, ids_ref, scores_ref, run_s, run_i, tile_s, *,
     col_pos = jax.lax.broadcasted_iota(jnp.int32, (tu, tile_n), 1)
     col_ids = col_pos + j * tile_n
     # mask padded catalog rows
-    sc0 = jnp.where(col_ids < n_items, scores, NEG_INF)
-    tile_s[:] = sc0
+    tile_s[:] = jnp.where(col_ids < n_items, scores, NEG_INF)
 
     out_pos = jax.lax.broadcasted_iota(jnp.int32, (tu, k), 1)
 
     # threshold skip: a tile with nothing above the per-row running min
     # costs exactly one compare pass
-    any_beat = jnp.any(sc0 > jnp.min(run_s[:], axis=1, keepdims=True))
+    any_beat = jnp.any(
+        tile_s[:] > jnp.min(run_s[:], axis=1, keepdims=True)
+    )
 
-    # Extract-one-candidate-per-row loop mutating VMEM scratch (Mosaic on
+    # Extract-one-candidate-per-row merge mutating VMEM scratch (Mosaic on
     # this backend cannot handle large FUNCTIONAL fori carries or
     # while_loop inside a grid — scratch mutation with a scalar-free body
-    # is the shape that compiles). The running top-k is kept UNSORTED:
-    # inserting overwrites the per-row minimum slot, so the body is pure
-    # compare/select with no lane shifts. k bounded iterations are
-    # SUFFICIENT: iteration t offers the tile's t-th largest element per
-    # row, and only a tile's top-k can ever enter the running set.
+    # is the shape that compiles; several data-dependent pl.when blocks in
+    # one kernel also blow up compile time, so the skip stays per-tile).
+    # The running top-k is kept UNSORTED: inserting overwrites the per-row
+    # minimum slot, so the body is pure compare/select with no lane
+    # shifts. k bounded iterations are SUFFICIENT: iteration t offers the
+    # tile's t-th largest element per row, and only a tile's top-k can
+    # ever enter the running set.
     def body(t, _):
         sc = tile_s[:]
         run_s_v, run_i_v = run_s[:], run_i[:]
