@@ -30,6 +30,7 @@ class SVD(EmbedBase):
         batch_size=256,
         sampler="random",
         num_neg=1,
+        sparse_optimizer=False,
         seed=42,
         lower_upper_bound=None,
     ):
@@ -49,6 +50,22 @@ class SVD(EmbedBase):
         self.batch_size = batch_size
         self.sampler = sampler
         self.num_neg = num_neg
+        # lazy row-sparse Adam (TF sparse-Adam semantics; see BPR)
+        self.sparse_optimizer = sparse_optimizer
+        self.sparse_tables = (
+            "user_embed", "item_embed", "user_bias", "item_bias",
+        )
+
+    def touched_indices(self, batch):
+        items = batch["item"]
+        if "item_neg" in batch:
+            items = jnp.concatenate([items, batch["item_neg"].reshape(-1)])
+        return {
+            "user_embed": batch["user"],
+            "item_embed": items,
+            "user_bias": batch["user"],
+            "item_bias": items,
+        }
 
     def build_model(self):
         from ..parallel.mesh import aligned_rows

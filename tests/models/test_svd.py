@@ -86,3 +86,15 @@ def test_svdpp_end_to_end(pure_builds, pure_frames, tmp_path):
         ptest_preds(model, task, pure_frames)
         ptest_recommends(model, data_info, pure_frames)
     ptest_save_load(model, SVDpp, data_info, pure_frames, tmp_path)
+
+
+def test_svd_sparse_optimizer(pure_builds):
+    """Lazy row-sparse Adam path trains SVD to comparable quality."""
+    from librecommender_tpu.evaluation import evaluate
+
+    train_data, eval_data, *_ , data_info = pure_builds
+    m = SVD("ranking", data_info, embed_size=8, n_epochs=3, lr=0.01,
+            batch_size=256, sparse_optimizer=True)
+    m.fit(train_data, neg_sampling=True, verbose=0)
+    res = evaluate(m, eval_data, neg_sampling=True, metrics=["roc_auc"])
+    assert np.isfinite(res["roc_auc"]) and res["roc_auc"] > 0.45
