@@ -9,10 +9,15 @@ Prints ONE JSON line:
 Headline metric stays ``bpr_fit_throughput`` (continuity with round 1);
 ``extra`` carries the compute-bound models (DIN, LightGCN) with
 examples/s, FLOPs/example (XLA cost analysis of the jitted train step),
-achieved TFLOP/s and %MFU against the chip's bf16 peak, plus BPR's
-achieved HBM bandwidth (BPR at D=64 is memory-bound on the Adam table
-update — %MFU is the wrong lens for it, the roofline is bandwidth).
-Details land in BENCH_DETAILS.json.
+achieved TFLOP/s and %MFU against the chip's bf16 peak, plus achieved
+HBM bandwidth. Methodology caveats: FLOPs from cost analysis are close
+to exact; "bytes accessed" is XLA's PRE-FUSION static estimate, so
+achieved_gbs/hbm_pct are upper bounds on real traffic, not profiled
+numbers. BPR at D=64 is memory-bound on the Adam table update (%MFU is
+the wrong lens); DIN's limiter is the random-row batch-assembly gather
+from the epoch arrays (round-1 profiling finding), which neither FLOPs
+nor activation-dtype changes address. Details land in
+BENCH_DETAILS.json.
 
 ``vs_baseline`` divides accelerator throughput by a CPU-backend run
 (stand-in for the reference's single-process CPU training — the reference
