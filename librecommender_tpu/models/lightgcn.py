@@ -85,13 +85,16 @@ class LightGCN(GraphEmbedBase):
         super().build_model()
 
     def _init_params(self, rng):
+        # scale 0.1 matches the reference's nn.init.normal_(0, 0.1) for
+        # graph models (torch_modules/lightgcn_module.py:32) — propagation
+        # averages shrink signal, so the larger init matters here
         r1, r2 = jax.random.split(rng)
         return {
             "user_embed": truncated_normal(
-                r1, (aligned_rows(self.n_users), self.embed_size)
+                r1, (aligned_rows(self.n_users), self.embed_size), scale=0.1
             ),
             "item_embed": truncated_normal(
-                r2, (aligned_rows(self.n_items), self.embed_size)
+                r2, (aligned_rows(self.n_items), self.embed_size), scale=0.1
             ),
         }
 

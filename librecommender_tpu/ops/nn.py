@@ -120,11 +120,30 @@ def init_din_attention(rng, embed_dim, hidden_units=(36,)):
 
 
 def din_attention(params, queries, keys, mask):
-    """queries (B, D); keys (B, L, D); mask (B, L) bool -> (B, D)."""
-    L = keys.shape[1]
-    q = jnp.repeat(queries[:, None, :], L, axis=1)
-    feats = jnp.concatenate([keys, q, keys - q, keys * q], axis=-1)
-    h = mlp(params["mlp"], feats, activation="sigmoid")
+    """queries (B, D); keys (B, L, D); mask (B, L) bool -> (B, D).
+
+    The paper's first MLP layer acts on [k, q, k-q, k*q] per position; the
+    concat is never materialized — the (4D, H) weight splits into four
+    (D, H) blocks and the q-terms fold to a single per-ROW matmul:
+        h = k@(w_k + w_d) + q@(w_q - w_d) + (k*q)@w_p + b
+    Algebraically identical, but the (B, L, 4D) intermediate (the
+    dominant HBM traffic of the DIN step — ablation showed attention
+    costing 3x throughput) disappears.
+    """
+    layers = params["mlp"]["layers"]
+    first = layers[0]
+    D = keys.shape[-1]
+    w = first["dense"]["w"]                              # (4D, H)
+    w_k, w_q, w_d, w_p = w[:D], w[D:2 * D], w[2 * D:3 * D], w[3 * D:]
+    term_q = queries @ (w_q - w_d)                       # (B, H)
+    term_k = keys @ (w_k + w_d)                          # (B, L, H)
+    term_p = (keys * queries[:, None, :]) @ w_p          # (B, L, H)
+    h = term_k + term_p + term_q[:, None, :] + first["dense"]["b"]
+    if "ln" in first:
+        h = layer_norm(first["ln"], h)
+    h = jax.nn.sigmoid(h)
+    if len(layers) > 1:
+        h = mlp({"layers": layers[1:]}, h, activation="sigmoid")
     logits = dense(params["out"], h)[..., 0]                      # (B, L)
     logits = jnp.where(mask, logits, -jnp.inf)
     weights = jax.nn.softmax(logits, axis=1)
