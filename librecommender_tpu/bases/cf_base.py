@@ -14,6 +14,7 @@ from ..recommendation.cold_start import popular_recommendations
 from ..utils.misc import colorize, time_block
 from ..utils.similarities import (
     SIM_TYPES,
+    fast_transpose,
     topk_similarities,
     update_topk_similarities,
 )
@@ -85,7 +86,7 @@ class CfBase(Base):
             self.interaction = (old_pad + batch).tocsr()
             entity = (
                 self.interaction if self.cf_mode == "user"
-                else self.interaction.T.tocsr()
+                else fast_transpose(self.interaction)
             )
             touched = np.unique(
                 np.asarray(
@@ -102,7 +103,7 @@ class CfBase(Base):
             self.interaction = batch
             entity = (
                 self.interaction if self.cf_mode == "user"
-                else self.interaction.T.tocsr()
+                else fast_transpose(self.interaction)
             )
             with time_block(f"{self.sim_type} sims", verbose):
                 self.sim_ids, self.sim_vals = topk_similarities(

@@ -62,6 +62,14 @@ def get_lib():
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_float),
             ctypes.c_int32,
         ]
+        lib.csr_preprocess_transpose.argtypes = [
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int32,
+        ]
         lib.swing_topk.argtypes = [
             ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
             ctypes.c_int32,
@@ -80,6 +88,44 @@ def get_lib():
 
 def _ptr(arr, ctype):
     return arr.ctypes.data_as(ctypes.POINTER(ctype))
+
+
+_PREPROCESS_KINDS = {"cosine": 0, "pearson": 1, "jaccard": 2, "transpose": 3}
+
+
+def preprocess_transpose_native(x_csr, kind, n_threads=0):
+    """Fused row-normalize + transpose (see similarities.cpp).
+
+    Returns (x_norm, x_norm_T) as scipy CSR matrices sharing the kernel's
+    output buffers (no extra copies). ``kind="transpose"`` skips the
+    normalization and just transposes.
+    """
+    from scipy.sparse import csr_matrix
+
+    lib = get_lib()
+    assert lib is not None
+    n_rows, n_cols = x_csr.shape
+    xi = np.ascontiguousarray(x_csr.indptr, np.int64)
+    xj = np.ascontiguousarray(x_csr.indices, np.int32)
+    xd = np.ascontiguousarray(x_csr.data, np.float32)
+    nnz = xd.shape[0]
+    out_data = np.empty(nnz, np.float32)
+    yt_indptr = np.empty(n_cols + 1, np.int64)
+    yt_indices = np.empty(nnz, np.int32)
+    yt_data = np.empty(nnz, np.float32)
+    lib.csr_preprocess_transpose(
+        _ptr(xi, ctypes.c_int64), _ptr(xj, ctypes.c_int32),
+        _ptr(xd, ctypes.c_float), n_rows, n_cols,
+        _PREPROCESS_KINDS[kind],
+        _ptr(out_data, ctypes.c_float),
+        _ptr(yt_indptr, ctypes.c_int64), _ptr(yt_indices, ctypes.c_int32),
+        _ptr(yt_data, ctypes.c_float), n_threads,
+    )
+    x_norm = csr_matrix((out_data, xj, xi), shape=(n_rows, n_cols))
+    x_norm_t = csr_matrix(
+        (yt_data, yt_indices, yt_indptr), shape=(n_cols, n_rows)
+    )
+    return x_norm, x_norm_t
 
 
 def topk_similarities_native(x_csr, yt_csr, n_y, x_nnz, y_nnz, k,

@@ -24,6 +24,121 @@
 
 extern "C" {
 
+// Fused CSR row-normalize + transpose, the fixed-cost preprocessing in
+// front of the top-k kernels. The numpy build in this image runs float64
+// SIMD ~100x below float32 speed, which makes scipy's normalize/transpose
+// (internally float64) the dominant cost of an incremental similarity
+// update — this kernel replaces that whole host-side pipeline.
+//
+// kind: 0 cosine (L2-normalize rows), 1 pearson (center row nonzeros by the
+// row mean, then L2-normalize), 2 jaccard (binarize to 1.0), 3 passthrough
+// (transpose only). Outputs the normalized data (same sparsity as x) plus
+// the CSR of the transposed normalized matrix. The transpose scatter is
+// sequential and row-ordered, so yt rows (columns of x) come out sorted by
+// x-row — deterministic accumulation order in the top-k kernels.
+void csr_preprocess_transpose(
+    const int64_t* x_indptr, const int32_t* x_indices, const float* x_data,
+    int32_t n_rows, int32_t n_cols, int32_t kind,
+    float* out_data,
+    int64_t* yt_indptr, int32_t* yt_indices, float* yt_data,
+    int32_t n_threads) {
+#ifdef _OPENMP
+  if (n_threads > 0) omp_set_num_threads(n_threads);
+#endif
+  const int64_t nnz = x_indptr[n_rows];
+  // Pre-fault the freshly-allocated output pages in parallel: this VM's
+  // page-zeroing runs at ~40MB/s single-threaded and would otherwise
+  // dominate the sequential scatter below.
+#pragma omp parallel for schedule(static)
+  for (int64_t p = 0; p < nnz; p += 1024) {
+    yt_indices[p] = 0;
+    yt_data[p] = 0.0f;
+    out_data[p] = 0.0f;
+  }
+#pragma omp parallel for schedule(static)
+  for (int32_t r = 0; r < n_rows; ++r) {
+    const int64_t b = x_indptr[r], e = x_indptr[r + 1];
+    if (kind == 2) {
+      for (int64_t p = b; p < e; ++p) out_data[p] = 1.0f;
+      continue;
+    }
+    if (kind == 3) {
+      for (int64_t p = b; p < e; ++p) out_data[p] = x_data[p];
+      continue;
+    }
+    float mean = 0.0f;
+    if (kind == 1) {
+      double s = 0.0;
+      for (int64_t p = b; p < e; ++p) s += x_data[p];
+      mean = (float)(s / (double)std::max<int64_t>(e - b, 1));
+    }
+    double sq = 0.0;
+    for (int64_t p = b; p < e; ++p) {
+      const float v = x_data[p] - mean;
+      out_data[p] = v;
+      sq += (double)v * v;
+    }
+    const float inv = 1.0f / std::max((float)std::sqrt(sq), 1e-10f);
+    for (int64_t p = b; p < e; ++p) out_data[p] *= inv;
+  }
+  // counting-sort transpose, parallel + stable: threads own contiguous row
+  // blocks; per-thread column cursors keep the output ordered by x-row
+  // (deterministic accumulation order downstream) while spreading the
+  // TLB-miss-bound random writes across cores.
+  int ntr =
+#ifdef _OPENMP
+      n_threads > 0 ? n_threads : omp_get_max_threads();
+#else
+      1;
+#endif
+  if ((int64_t)n_cols * ntr > (int64_t)64 * 1024 * 1024) ntr = 1;
+  std::vector<std::vector<int64_t>> hist(ntr);
+  const int32_t chunk = (n_rows + ntr - 1) / ntr;
+#pragma omp parallel num_threads(ntr)
+  {
+#ifdef _OPENMP
+    const int tid = omp_get_thread_num();
+#else
+    const int tid = 0;
+#endif
+    auto& h = hist[tid];
+    h.assign(n_cols, 0);
+    const int32_t r0 = tid * chunk;
+    const int32_t r1 = std::min(n_rows, r0 + chunk);
+    const int64_t p0 = r0 < n_rows ? x_indptr[r0] : nnz;
+    const int64_t p1 = r1 < n_rows ? x_indptr[r1] : nnz;
+    for (int64_t p = p0; p < p1; ++p) ++h[x_indices[p]];
+  }
+  yt_indptr[0] = 0;
+  for (int32_t c = 0; c < n_cols; ++c) {
+    int64_t total = 0;
+    for (int t = 0; t < ntr; ++t) {
+      const int64_t h = hist[t][c];
+      hist[t][c] = yt_indptr[c] + total;  // becomes this thread's cursor
+      total += h;
+    }
+    yt_indptr[c + 1] = yt_indptr[c] + total;
+  }
+#pragma omp parallel num_threads(ntr)
+  {
+#ifdef _OPENMP
+    const int tid = omp_get_thread_num();
+#else
+    const int tid = 0;
+#endif
+    auto& cursor = hist[tid];
+    const int32_t r0 = tid * chunk;
+    const int32_t r1 = std::min(n_rows, r0 + chunk);
+    for (int32_t r = r0; r < r1; ++r) {
+      for (int64_t p = x_indptr[r]; p < x_indptr[r + 1]; ++p) {
+        const int64_t q = cursor[x_indices[p]]++;
+        yt_indices[q] = r;
+        yt_data[q] = out_data[p];
+      }
+    }
+  }
+}
+
 // Top-k similar rows for every row of X against rows of Y.
 // x CSR: (n_x rows over n_dim columns); yt CSR of Y^T: for each dim, the
 // y-rows containing it. out_ids/out_sims are (n_x, k), padded with -1/0.
@@ -127,6 +242,9 @@ void update_topk_similarities(
   for (int32_t t = 0; t < n_touched; ++t) is_touched[touched_rows[t]] = 1;
 
   // start from empty rows; untouched old rows copy over below
+  // (parallel: also spreads the first-touch page faults of the fresh
+  // output buffers across cores — see csr_preprocess_transpose)
+#pragma omp parallel for schedule(static)
   for (int64_t i = 0; i < (int64_t)n_x * k; ++i) {
     out_ids[i] = -1;
     out_sims[i] = 0.0f;

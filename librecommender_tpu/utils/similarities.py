@@ -9,6 +9,7 @@ import numpy as np
 
 from ..native import (
     get_lib,
+    preprocess_transpose_native,
     topk_similarities_native,
     update_topk_similarities_native,
 )
@@ -37,21 +38,37 @@ def _preprocess(X, kind):
     return X
 
 
+def fast_transpose(csr):
+    """CSR transpose via the native counting-sort kernel (scipy fallback).
+
+    scipy's ``.T.tocsr()`` takes ~0.7s at 3M nnz in this image; the native
+    pass is ~20x faster and used for ItemCF's entity matrix."""
+    if get_lib() is not None:
+        _, yt = preprocess_transpose_native(csr.tocsr(), "transpose")
+        return yt
+    return csr.T.tocsr()
+
+
 def topk_similarities(interaction, kind, k, min_common=1, n_threads=0):
     """interaction: CSR (n_rows, n_dims); rows are the entities compared.
 
     Returns (ids (n_rows, k) padded with -1, sims (n_rows, k)).
     """
     assert kind in SIM_TYPES, kind
-    X = _preprocess(interaction, kind)
-    n_rows = X.shape[0]
-    nnz = np.diff(X.indptr).astype(np.float32)
     if get_lib() is not None:
-        yt = X.T.tocsr()
+        # fused native normalize+transpose: the scipy pipeline below runs
+        # internally in float64, which this image's numpy executes ~100x
+        # slower than float32 — at 100k-row scale it dominated the kernel.
+        X, yt = preprocess_transpose_native(
+            interaction.tocsr(), kind, n_threads
+        )
+        nnz = np.diff(X.indptr).astype(np.float32)
         return topk_similarities_native(
-            X, yt, n_rows, nnz, nnz, k,
+            X, yt, X.shape[0], nnz, nnz, k,
             min_common, kind == "jaccard", True, n_threads,
         )
+    X = _preprocess(interaction, kind)
+    nnz = np.diff(X.indptr).astype(np.float32)
     return _topk_fallback(X, nnz, k, min_common, kind == "jaccard")
 
 
@@ -70,8 +87,6 @@ def update_topk_similarities(old_ids, old_sims, merged, touched, kind, k,
     Returns (ids (n_rows, k), sims) over the merged row count.
     """
     assert kind in SIM_TYPES, kind
-    X = _preprocess(merged, kind)
-    nnz = np.diff(X.indptr).astype(np.float32)
     touched = np.asarray(touched, np.int32)
     if old_ids.shape[1] != k:
         raise ValueError(
@@ -79,11 +94,14 @@ def update_topk_similarities(old_ids, old_sims, merged, touched, kind, k,
             "incremental update requires the same k"
         )
     if get_lib() is not None:
-        yt = X.T.tocsr()
+        X, yt = preprocess_transpose_native(merged.tocsr(), kind, n_threads)
+        nnz = np.diff(X.indptr).astype(np.float32)
         return update_topk_similarities_native(
             X, yt, nnz, touched, old_ids, old_sims, k,
             min_common, kind == "jaccard", n_threads,
         )
+    X = _preprocess(merged, kind)
+    nnz = np.diff(X.indptr).astype(np.float32)
     return _update_fallback(X, nnz, touched, old_ids, old_sims, k,
                             min_common, kind == "jaccard")
 
