@@ -28,21 +28,78 @@ def _topk_scores(user_embeds, item_embeds, consumed, k):
     return top_ids, top_scores
 
 
+# above this many score-matrix elements the materializing path strains HBM
+# (it OOMs outright at U*N ~ 4e9 on a 16G chip) and the streaming Pallas
+# kernel is already ~2x faster (PARITY.md kernel table)
+_PALLAS_SCORE_ELEMS = 100_000_000
+
+
 def topk_from_embeddings(user_embeds, item_embeds, n_rec, user_consumed=None,
                          user_ids=None, filter_consumed=True):
     """Exact top-n_rec per user with optional consumed filtering.
 
-    Parameters are host numpy; computation runs jitted on device. ``k`` is
-    padded to n_rec (consumed filtering is applied to the score matrix before
-    top-k, so no over-fetch is needed).
+    Parameters are host numpy; computation runs jitted on device. Small
+    catalogs score through a materialized (U, N) matrix with on-device
+    consumed masking; once U*N crosses ``_PALLAS_SCORE_ELEMS`` on a TPU
+    backend the streaming Pallas kernel (ops/pallas_topk.py) takes over —
+    it never materializes the score matrix, so the full-catalog recommend
+    path keeps working (and 2x faster) at sizes where XLA OOMs. The Pallas
+    path over-fetches k = n_rec + consumed_width and filters on host,
+    mirroring the reference's serving candidate policy
+    (libserving/sanic_serving/online_deploy.py: k = n_rec + len(consumed)).
     """
-    user_embeds = jnp.asarray(np.atleast_2d(user_embeds), dtype=jnp.float32)
-    item_embeds = jnp.asarray(item_embeds, dtype=jnp.float32)
+    user_embeds = np.atleast_2d(np.asarray(user_embeds, dtype=np.float32))
+    item_embeds = np.asarray(item_embeds, dtype=np.float32)
     consumed = None
     if filter_consumed and user_consumed is not None and user_ids is not None:
         consumed = pad_consumed(user_consumed, user_ids)
-    ids, scores = _topk_scores(user_embeds, item_embeds, consumed, int(n_rec))
+
+    n_users, n_items = user_embeds.shape[0], item_embeds.shape[0]
+    if (
+        n_users * n_items >= _PALLAS_SCORE_ELEMS
+        and jax.default_backend() == "tpu"
+    ):
+        return _streaming_topk(user_embeds, item_embeds, n_rec, consumed)
+
+    ids, scores = _topk_scores(
+        jnp.asarray(user_embeds), jnp.asarray(item_embeds), consumed,
+        int(n_rec),
+    )
     return np.asarray(ids), np.asarray(scores)
+
+
+def _streaming_topk(user_embeds, item_embeds, n_rec, consumed,
+                    interpret=False):
+    """Pallas streaming branch: over-fetch k = n_rec + max consumed count,
+    filter consumed on host (candidate policy of the reference serving tier,
+    libserving/sanic_serving/online_deploy.py), trim to n_rec."""
+    from .pallas_topk import pallas_topk_padded
+
+    n_users, n_items = user_embeds.shape[0], item_embeds.shape[0]
+    width = 0
+    if consumed is not None:
+        width = int(np.asarray(consumed >= 0).sum(axis=1).max())
+    # cap keeps the (tile_u, k) VMEM scratch bounded; a row underfills
+    # only if >cap-n_rec of its consumed items land in the global top-cap
+    kk = int(n_rec) + width
+    if kk > 2048:
+        kk = max(int(n_rec), 2048)
+    kk = min(n_items, kk)
+    ids, scores = pallas_topk_padded(
+        user_embeds, item_embeds, kk, interpret=interpret
+    )
+    if width:
+        cons = np.asarray(consumed)
+        # drop consumed candidates per row, keep order, trim to n_rec
+        keep = ~(ids[:, :, None] == cons[:, None, :]).any(-1)
+        out_i = np.zeros((n_users, int(n_rec)), np.int32)
+        out_s = np.full((n_users, int(n_rec)), -np.inf, np.float32)
+        for r in range(n_users):
+            sel = np.flatnonzero(keep[r])[: int(n_rec)]
+            out_i[r, : len(sel)] = ids[r, sel]
+            out_s[r, : len(sel)] = scores[r, sel]
+        return out_i, out_s
+    return ids[:, : int(n_rec)], scores[:, : int(n_rec)]
 
 
 def pad_consumed(user_consumed, user_ids):

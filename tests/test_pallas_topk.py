@@ -33,3 +33,29 @@ def test_pallas_topk_masks_padded_catalog():
     ids, _ = pallas_topk_padded(users, items, 8, n_items=200,
                                 interpret=True, tile_n=256)
     assert ids.max() < 200
+
+
+def test_streaming_topk_consumed_filtering():
+    """The size-gated pallas branch of topk_from_embeddings: over-fetch +
+    host consumed filtering must equal the materializing path."""
+    from librecommender_tpu.ops.topk import (
+        _streaming_topk,
+        _topk_scores,
+        pad_consumed,
+    )
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(2)
+    U, N, D, k = 6, 500, 16, 7
+    users = rng.normal(size=(U, D)).astype(np.float32)
+    items = rng.normal(size=(N, D)).astype(np.float32)
+    consumed_dict = {
+        i: rng.integers(0, N, rng.integers(0, 20)).tolist() for i in range(U)
+    }
+    cons = pad_consumed(consumed_dict, np.arange(U))
+    ids_s, sc_s = _streaming_topk(users, items, k, cons, interpret=True)
+    ids_m, sc_m = _topk_scores(jnp.asarray(users), jnp.asarray(items), cons, k)
+    np.testing.assert_array_equal(ids_s, np.asarray(ids_m))
+    np.testing.assert_allclose(sc_s, np.asarray(sc_m), rtol=1e-5)
+    for i in range(U):
+        assert not set(ids_s[i]) & set(consumed_dict[i])
