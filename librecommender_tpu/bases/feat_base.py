@@ -172,9 +172,16 @@ class FeatBase(Base):
             }
             for key in batch:
                 if key.startswith("seq"):
-                    inputs[key] = jnp.concatenate(
-                        [batch[key], jnp.repeat(batch[key], S, axis=0)]
-                    )
+                    if getattr(self, "shared_seq", False):
+                        # pos/neg targets share each row's history: pass the
+                        # (B, L) seq once; _forward fans targets out over it
+                        # (din_attention multi-target form). Halves the seq
+                        # gather and its backward scatter-add.
+                        inputs[key] = batch[key]
+                    else:
+                        inputs[key] = jnp.concatenate(
+                            [batch[key], jnp.repeat(batch[key], S, axis=0)]
+                        )
             labels_all = jnp.concatenate(
                 [jnp.ones_like(labels), jnp.zeros(neg.size, labels.dtype)]
             )

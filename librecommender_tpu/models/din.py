@@ -80,13 +80,33 @@ class DIN(SeqFeatBase):
         params["head"] = init_dense(r[6], self.hidden_units[-1], 1)
         return params
 
+    shared_seq = True  # pos/neg targets share each row's history (loss_fn)
+
     def _forward(self, params, inputs, train, rng):
         users, items = inputs["user"], inputs["item"]
         embeds, _, _ = self._field_embeds(params, inputs)
         seq = self._seq_for(inputs)
         seq_emb, mask = self._seq_item_embeds(params, seq)
-        target = params["item_embed"][items]                    # (B, D)
-        att_out = din_attention(params["att"], target, seq_emb, mask)
+        target = params["item_embed"][items]                    # (TB, D)
+        B = seq.shape[0]
+        if target.shape[0] != B:
+            # training row layout is [B positives; B*S negatives] with the
+            # negatives interleaved per row (jnp.repeat in loss_fn) — map to
+            # (T, B, D) target blocks, attend once over the shared keys,
+            # then restore the row order
+            S = target.shape[0] // B - 1
+            q_pos = target[:B][None]                            # (1, B, D)
+            q_neg = target[B:].reshape(B, S, -1).transpose(1, 0, 2)
+            att = din_attention(
+                params["att"],
+                jnp.concatenate([q_pos, q_neg], axis=0),        # (S+1, B, D)
+                seq_emb, mask,
+            )
+            att_out = jnp.concatenate(
+                [att[0], att[1:].transpose(1, 0, 2).reshape(B * S, -1)]
+            )
+        else:
+            att_out = din_attention(params["att"], target, seq_emb, mask)
         x = jnp.concatenate([embeds.reshape(embeds.shape[0], -1), att_out], axis=1)
         h = mlp(params["mlp"], x, dropout_rate=self.dropout_rate, train=train, rng=rng)
         return dense(params["head"], h)[:, 0]

@@ -72,6 +72,8 @@ class YouTubeRanking(SeqFeatBase):
         params["head"] = init_dense(r[5], self.hidden_units[-1], 1)
         return params
 
+    shared_seq = True  # pooling is target-independent: pool once per row
+
     def _forward(self, params, inputs, train, rng):
         users, items = inputs["user"], inputs["item"]
         embeds, _, _ = self._field_embeds(params, inputs)
@@ -81,6 +83,12 @@ class YouTubeRanking(SeqFeatBase):
         pooled = jnp.sum(seq_emb * maskf, axis=1) / jnp.maximum(
             jnp.sum(maskf, axis=1), 1.0
         )
+        B = seq.shape[0]
+        if users.shape[0] != B:
+            # [B positives; B*S interleaved negatives] share each row's
+            # pooled history — tile instead of re-gathering/re-pooling
+            S = users.shape[0] // B - 1
+            pooled = jnp.concatenate([pooled, jnp.repeat(pooled, S, axis=0)])
         x = jnp.concatenate([embeds.reshape(embeds.shape[0], -1), pooled], axis=1)
         h = mlp(params["mlp"], x, dropout_rate=self.dropout_rate, train=train, rng=rng)
         return dense(params["head"], h)[:, 0]

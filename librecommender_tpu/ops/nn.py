@@ -120,35 +120,49 @@ def init_din_attention(rng, embed_dim, hidden_units=(36,)):
 
 
 def din_attention(params, queries, keys, mask):
-    """queries (B, D); keys (B, L, D); mask (B, L) bool -> (B, D).
+    """queries (B, D) or (T, B, D); keys (B, L, D); mask (B, L) bool
+    -> (B, D) / (T, B, D).
 
     The paper's first MLP layer acts on [k, q, k-q, k*q] per position; the
     concat is never materialized — the (4D, H) weight splits into four
     (D, H) blocks and the q-terms fold to a single per-ROW matmul:
         h = k@(w_k + w_d) + q@(w_q - w_d) + (k*q)@w_p + b
-    Algebraically identical, but the (B, L, 4D) intermediate (the
-    dominant HBM traffic of the DIN step — ablation showed attention
-    costing 3x throughput) disappears.
+    Algebraically identical, but the (B, L, 4D) intermediate disappears.
+
+    The (T, B, D) form scores T targets against ONE shared key set per
+    row — the training fast path: positives and sampled negatives share
+    the row's history, so the seq embedding gather, the target-
+    independent k-term matmul, and (critically) the backward scatter-add
+    of d(seq_emb) into the item table run once per row instead of once
+    per target. That scatter was 29% of the profiled DIN train step.
     """
+    single = queries.ndim == 2
+    if single:
+        queries = queries[None]                          # (1, B, D)
     layers = params["mlp"]["layers"]
     first = layers[0]
     D = keys.shape[-1]
     w = first["dense"]["w"]                              # (4D, H)
     w_k, w_q, w_d, w_p = w[:D], w[D:2 * D], w[2 * D:3 * D], w[3 * D:]
-    term_q = queries @ (w_q - w_d)                       # (B, H)
-    term_k = keys @ (w_k + w_d)                          # (B, L, H)
-    term_p = (keys * queries[:, None, :]) @ w_p          # (B, L, H)
-    h = term_k + term_p + term_q[:, None, :] + first["dense"]["b"]
+    term_q = queries @ (w_q - w_d)                       # (T, B, H)
+    term_k = keys @ (w_k + w_d)                          # (B, L, H) shared
+    term_p = (keys[None] * queries[:, :, None, :]) @ w_p  # (T, B, L, H)
+    h = (
+        term_k[None] + term_p + term_q[:, :, None, :] + first["dense"]["b"]
+    )
     if "ln" in first:
         h = layer_norm(first["ln"], h)
     h = jax.nn.sigmoid(h)
     if len(layers) > 1:
         h = mlp({"layers": layers[1:]}, h, activation="sigmoid")
-    logits = dense(params["out"], h)[..., 0]                      # (B, L)
-    logits = jnp.where(mask, logits, -jnp.inf)
-    weights = jax.nn.softmax(logits, axis=1)
-    weights = jnp.where(jnp.any(mask, axis=1, keepdims=True), weights, 0.0)
-    return jnp.einsum("bl,bld->bd", weights, keys)
+    logits = dense(params["out"], h)[..., 0]             # (T, B, L)
+    logits = jnp.where(mask[None], logits, -jnp.inf)
+    weights = jax.nn.softmax(logits, axis=-1)
+    weights = jnp.where(
+        jnp.any(mask, axis=1)[None, :, None], weights, 0.0
+    )
+    out = jnp.einsum("tbl,bld->tbd", weights, keys)
+    return out[0] if single else out
 
 
 def init_mha(rng, embed_dim, num_heads, head_dim=None):
