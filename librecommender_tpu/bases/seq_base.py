@@ -46,6 +46,27 @@ class SeqFeatBase(FeatBase):
         )
         return {"seq": seqs}
 
+    @staticmethod
+    def _target_blocks(target, n_seq_rows):
+        """Map (T*B, D) training rows — laid out [B positives; B*S
+        negatives interleaved per row by loss_fn's jnp.repeat] — to
+        (T, B, D) blocks aligned with the (B, ...) shared-seq tensors."""
+        B = n_seq_rows
+        S = target.shape[0] // B - 1
+        q_pos = target[:B][None]
+        q_neg = target[B:].reshape(B, S, -1).transpose(1, 0, 2)
+        return jnp.concatenate([q_pos, q_neg], axis=0)          # (S+1, B, D)
+
+    @staticmethod
+    def _blocks_to_rows(out):
+        """Inverse of _target_blocks on the output side: (T, B, D) ->
+        (T*B, D) restoring the [positives; interleaved negatives] order."""
+        B = out.shape[1]
+        S = out.shape[0] - 1
+        return jnp.concatenate(
+            [out[0], out[1:].transpose(1, 0, 2).reshape(B * S, -1)]
+        )
+
     def _seq_for(self, inputs):
         """Sequence from the batch if present, else the user's cached recent
         history gathered on device."""

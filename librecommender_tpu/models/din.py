@@ -90,21 +90,12 @@ class DIN(SeqFeatBase):
         target = params["item_embed"][items]                    # (TB, D)
         B = seq.shape[0]
         if target.shape[0] != B:
-            # training row layout is [B positives; B*S negatives] with the
-            # negatives interleaved per row (jnp.repeat in loss_fn) — map to
-            # (T, B, D) target blocks, attend once over the shared keys,
-            # then restore the row order
-            S = target.shape[0] // B - 1
-            q_pos = target[:B][None]                            # (1, B, D)
-            q_neg = target[B:].reshape(B, S, -1).transpose(1, 0, 2)
+            # shared-seq training: attend all targets over the row's shared
+            # keys in one (T, B, D) call, then restore the row order
             att = din_attention(
-                params["att"],
-                jnp.concatenate([q_pos, q_neg], axis=0),        # (S+1, B, D)
-                seq_emb, mask,
+                params["att"], self._target_blocks(target, B), seq_emb, mask
             )
-            att_out = jnp.concatenate(
-                [att[0], att[1:].transpose(1, 0, 2).reshape(B * S, -1)]
-            )
+            att_out = self._blocks_to_rows(att)
         else:
             att_out = din_attention(params["att"], target, seq_emb, mask)
         x = jnp.concatenate([embeds.reshape(embeds.shape[0], -1), att_out], axis=1)

@@ -144,36 +144,54 @@ class SIM(SeqFeatBase):
             return inputs["seq_long"]
         return self.recent_long_table[inputs["user"]]
 
+    shared_seq = True  # pos/neg targets share each row's (long) history
+
     def _forward(self, params, inputs, train, rng):
         users, items = inputs["user"], inputs["item"]
         embeds, _, _ = self._field_embeds(params, inputs)
-        target = params["item_embed"][items]                    # (B, D)
+        target = params["item_embed"][items]                    # (TB, D)
 
         long_seq = self._long_seq_for(inputs)
         long_emb, long_mask = self._seq_item_embeds(params, long_seq)
+        short_seq = self._seq_for(inputs)
+        short_emb, short_mask = self._seq_item_embeds(params, short_seq)
+
+        # shared-seq: the LONG history gather and its backward scatter-add
+        # (B*long_max_len index rows — the dominant seq cost) run once per
+        # row; every target block attends over the shared embeddings
+        B = long_seq.shape[0]
+        shared = target.shape[0] != B
+        tgt = self._target_blocks(target, B) if shared else target[None]
+        T, _, D = tgt.shape
 
         # ---- second stage (also the inference output, sim.py:206-209)
         # GSU: soft search over the long history
-        sims = jnp.einsum("bd,bld->bl", target, long_emb)
-        sims = jnp.where(long_mask, sims, -jnp.inf)
-        top_sims, top_idx = jax.lax.top_k(sims, self.search_topk)  # (B, K)
-        b_idx = jnp.arange(long_emb.shape[0])[:, None]
-        sel_emb = long_emb[b_idx, top_idx]                      # (B, K, D)
+        sims = jnp.einsum("tbd,bld->tbl", tgt, long_emb)
+        sims = jnp.where(long_mask[None], sims, -jnp.inf)
+        top_sims, top_idx = jax.lax.top_k(sims, self.search_topk)  # (T, B, K)
+        b_idx = jnp.arange(B)[None, :, None]
+        sel_emb = long_emb[b_idx, top_idx]                      # (T, B, K, D)
         sel_mask = jnp.isfinite(top_sims)
 
         # ESU: exact multi-head attention over the selected items
+        K = self.search_topk
         esu_out = mha(
-            params["esu_mha"], target[:, None, :], sel_emb,
-            mask=sel_mask, num_heads=self.num_heads,
-        )[:, 0, :]
+            params["esu_mha"], tgt.reshape(T * B, 1, D),
+            sel_emb.reshape(T * B, K, D),
+            mask=sel_mask.reshape(T * B, K), num_heads=self.num_heads,
+        )[:, 0, :].reshape(T, B, D)
 
-        # short recent window: DIN-style target attention
-        short_seq = self._seq_for(inputs)
-        short_emb, short_mask = self._seq_item_embeds(params, short_seq)
-        short_out = din_attention(params["short_att"], target, short_emb, short_mask)
+        # short recent window: DIN-style target attention (multi-target form)
+        short_out = din_attention(params["short_att"], tgt, short_emb, short_mask)
+
+        if shared:
+            esu_rows = self._blocks_to_rows(esu_out)
+            short_rows = self._blocks_to_rows(short_out)
+        else:
+            esu_rows, short_rows = esu_out[0], short_out[0]
 
         x = jnp.concatenate(
-            [embeds.reshape(embeds.shape[0], -1), esu_out, short_out], axis=1
+            [embeds.reshape(embeds.shape[0], -1), esu_rows, short_rows], axis=1
         )
         h = mlp(params["mlp"], x, dropout_rate=self.dropout_rate, train=train, rng=rng)
         second = dense(params["head"], h)[:, 0]
@@ -183,6 +201,10 @@ class SIM(SeqFeatBase):
         # ---- first stage: sum-pooled long history + target (sim.py:229-247);
         # training output = alpha*first + beta*second (sim.py:206)
         pooled = jnp.sum(jnp.where(long_mask[..., None], long_emb, 0.0), axis=1)
+        if shared:
+            pooled = self._blocks_to_rows(
+                jnp.broadcast_to(pooled[None], (T, B, D))
+            )
         x1 = jnp.concatenate([target, pooled], axis=1)
         h1 = mlp(params["first_mlp"], x1, dropout_rate=self.dropout_rate,
                  train=train, rng=rng)

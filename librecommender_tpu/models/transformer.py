@@ -90,22 +90,44 @@ class Transformer(SeqFeatBase):
         params["head"] = init_dense(r[5 + self.num_tfm_layers], self.hidden_units[-1], 1)
         return params
 
+    shared_seq = True  # pos/neg targets share each row's history tokens
+
     def _forward(self, params, inputs, train, rng):
         users, items = inputs["user"], inputs["item"]
         embeds, _, _ = self._field_embeds(params, inputs)
         seq = self._seq_for(inputs)
         seq_emb, mask = self._seq_item_embeds(params, seq)
-        target = params["item_embed"][items][:, None, :]        # (B, 1, D)
-        x = jnp.concatenate([seq_emb, target], axis=1)          # (B, L+1, D)
-        full_mask = jnp.concatenate(
-            [mask, jnp.ones((mask.shape[0], 1), bool)], axis=1
-        )
+        target = params["item_embed"][items]                    # (TB, D)
+        B, L, D = seq_emb.shape
+        shared = target.shape[0] != B
+        if shared:
+            # the encoder itself is target-dependent (target joins the
+            # token sequence), but the seq token gather and its backward
+            # scatter-add run once: the broadcast's backward is a cheap
+            # cross-target sum into the shared (B, L, D) embeddings
+            tgt = self._target_blocks(target, B)                # (T, B, D)
+            T = tgt.shape[0]
+            x = jnp.concatenate([
+                jnp.broadcast_to(seq_emb[None], (T, B, L, D)).reshape(T * B, L, D),
+                tgt.reshape(T * B, 1, D),
+            ], axis=1)                                          # (TB, L+1, D)
+            full_mask = jnp.concatenate([
+                jnp.broadcast_to(mask[None], (T, B, L)).reshape(T * B, L),
+                jnp.ones((T * B, 1), bool),
+            ], axis=1)
+        else:
+            x = jnp.concatenate([seq_emb, target[:, None, :]], axis=1)
+            full_mask = jnp.concatenate(
+                [mask, jnp.ones((mask.shape[0], 1), bool)], axis=1
+            )
         x = x + positional_encoding(x.shape[1], x.shape[2])[None]
         for layer in params["tfm_layers"]:
             x = transformer_layer(
                 layer, x, mask=full_mask, num_heads=self.num_heads
             )
-        target_out = x[:, -1, :]                                # (B, D)
+        target_out = x[:, -1, :]                                # (TB, D)
+        if shared:
+            target_out = self._blocks_to_rows(target_out.reshape(T, B, D))
         flat = jnp.concatenate(
             [embeds.reshape(embeds.shape[0], -1), target_out], axis=1
         )
