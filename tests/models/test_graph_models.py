@@ -54,7 +54,8 @@ def test_lightgcn_propagation_matches_dense():
         "label": np.ones(150),
     }).drop_duplicates(subset=["user", "item"])
     train_data, data_info = DatasetPure.build_trainset(frame)
-    model = LightGCN("ranking", data_info, embed_size=4, n_layers=1)
+    model = LightGCN("ranking", data_info, embed_size=4, n_layers=1,
+                 adj_dtype="f32")
     model.build_model()
     user_out, item_out = model._propagate(
         model.params, __import__("jax").random.PRNGKey(0), False
@@ -81,7 +82,11 @@ def test_dense_adjacency_matches_edge_list(pure_builds, cls):
     import jax
 
     train_data, *_, data_info = pure_builds
-    kw = {"n_layers": 2} if cls is LightGCN else {"hidden_units": (8, 8)}
+    kw = (
+        {"n_layers": 2, "adj_dtype": "f32"}
+        if cls is LightGCN
+        else {"hidden_units": (8, 8)}
+    )
     dense_m = cls("ranking", data_info, embed_size=8, **kw)
     dense_m.build_model()
     assert dense_m.adj is not None
@@ -93,3 +98,34 @@ def test_dense_adjacency_matches_edge_list(pure_builds, cls):
     u2, i2 = sparse_m._propagate(sparse_m.params, jax.random.PRNGKey(0), False)
     np.testing.assert_allclose(np.asarray(u1), np.asarray(u2), rtol=2e-4, atol=2e-5)
     np.testing.assert_allclose(np.asarray(i1), np.asarray(i2), rtol=2e-4, atol=2e-5)
+
+
+def test_lightgcn_bf16_adjacency_close_to_f32():
+    """The default bf16 adjacency (HBM-halving MXU path) stays within bf16
+    tolerance of exact f32 propagation."""
+    import jax
+    import pandas as pd
+
+    from librecommender_tpu.data import DatasetPure
+
+    rng = np.random.default_rng(1)
+    frame = pd.DataFrame({
+        "user": rng.integers(0, 30, 400),
+        "item": rng.integers(0, 40, 400),
+        "label": np.ones(400),
+    }).drop_duplicates(subset=["user", "item"])
+    train_data, data_info = DatasetPure.build_trainset(frame)
+    m16 = LightGCN("ranking", data_info, embed_size=8, n_layers=2)
+    m16.build_model()
+    m32 = LightGCN("ranking", data_info, embed_size=8, n_layers=2,
+                   adj_dtype="f32")
+    m32.build_model()
+    m32.params = m16.params
+    u16, i16 = m16._propagate(m16.params, jax.random.PRNGKey(0), False)
+    u32, i32 = m32._propagate(m32.params, jax.random.PRNGKey(0), False)
+    # bf16 has an 8-bit mantissa: ~0.4% relative per product, amplified
+    # by 2 layers of accumulation
+    np.testing.assert_allclose(np.asarray(u16), np.asarray(u32),
+                               rtol=0.05, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(i16), np.asarray(i32),
+                               rtol=0.05, atol=2e-3)
