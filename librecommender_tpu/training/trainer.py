@@ -81,6 +81,34 @@ class Trainer:
         self.optimizer = optimizer
         self._train_step = None
 
+    @staticmethod
+    def _pack_epoch_arrays(epoch_host):
+        """Pack the per-row epoch arrays into ONE int32 matrix and ONE f32
+        matrix (N, cols). Profiling showed per-step batch assembly paying
+        the TPU gather cost PER ARRAY (~7ns/index-row regardless of width,
+        so a (B,) label gather costs as much as a (B, 64) embedding
+        gather); gathering two wide matrices instead of k narrow arrays
+        removes k-2 gathers from every step. Returns (packed dict,
+        layout dict of key -> ("ints"|"flts", start, ncols, orig_shape))."""
+        layout, int_cols, flt_cols = {}, [], []
+        for k, v in epoch_host.items():
+            v = np.asarray(v)
+            cols = v.reshape(v.shape[0], -1)
+            if np.issubdtype(v.dtype, np.integer):
+                layout[k] = ("ints", sum(c.shape[1] for c in int_cols),
+                             cols.shape[1], v.shape[1:])
+                int_cols.append(cols.astype(np.int32))
+            else:
+                layout[k] = ("flts", sum(c.shape[1] for c in flt_cols),
+                             cols.shape[1], v.shape[1:])
+                flt_cols.append(cols.astype(np.float32))
+        packed = {}
+        if int_cols:
+            packed["ints"] = np.concatenate(int_cols, axis=1)
+        if flt_cols:
+            packed["flts"] = np.concatenate(flt_cols, axis=1)
+        return packed, layout
+
     def _build_epoch_fn(self, optimizer, device_side_sampling, n_items,
                         num_neg, n_batches, batch_size, has_host_negs):
         """One jitted `lax.scan` over all batches of an epoch.
@@ -107,13 +135,22 @@ class Trainer:
         # passed through to the Trainer since round 2)
         sparse_lr = self.lr if not isinstance(self.lr, dict) else 1e-3
 
+        layout = self._epoch_layout
+
         def epoch_fn(params, opt_state, data, host_negs, perm, base_rng):
             def body(carry, idx):
                 params, opt_state = carry
                 rows = jax.lax.dynamic_slice(
                     perm, (idx * batch_size,), (batch_size,)
                 )
-                batch = {k: v[rows] for k, v in data.items()}
+                packed = {k: v[rows] for k, v in data.items()}
+                batch = {}
+                for k, (mat, start, ncols, tail) in layout.items():
+                    cols = packed[mat][:, start:start + ncols]
+                    batch[k] = (
+                        cols.reshape((batch_size,) + tail) if tail
+                        else cols[:, 0]
+                    )
                 rng = jax.random.fold_in(base_rng, idx)
                 if device_side_sampling:
                     # rejection-style resampling against the batch positive,
@@ -276,7 +313,9 @@ class Trainer:
             model._initial_opt_state = None
         self._optimizer = optimizer
 
-        epoch_host = generator.epoch_arrays()
+        epoch_host, self._epoch_layout = self._pack_epoch_arrays(
+            generator.epoch_arrays()
+        )
         self._epoch_data_keys = list(epoch_host)
         n_rows = generator.n_batches() * self.batch_size
         epoch_fn = self._build_epoch_fn(
