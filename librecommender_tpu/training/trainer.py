@@ -110,7 +110,8 @@ class Trainer:
         return packed, layout
 
     def _build_epoch_fn(self, optimizer, device_side_sampling, n_items,
-                        num_neg, n_batches, batch_size, has_host_negs):
+                        num_neg, n_batches, batch_size, has_host_negs,
+                        shuffle=True, n_rows=0):
         """One jitted `lax.scan` over all batches of an epoch.
 
         The epoch's row-aligned arrays live in HBM; each scan step gathers
@@ -137,7 +138,17 @@ class Trainer:
 
         layout = self._epoch_layout
 
-        def epoch_fn(params, opt_state, data, host_negs, perm, base_rng):
+        def epoch_fn(params, opt_state, data, host_negs, perm_rng, base_rng):
+            # the shuffle permutation is drawn INSIDE the jitted program:
+            # a separate host-dispatched permutation costs one extra
+            # device round-trip per epoch (~40 ms over the remote tunnel,
+            # comparable to the whole epoch's device time at BPR scale)
+            perm = (
+                jax.random.permutation(perm_rng, n_rows)
+                if shuffle
+                else jnp.arange(n_rows)
+            ).astype(jnp.int32)
+
             def body(carry, idx):
                 params, opt_state = carry
                 rows = jax.lax.dynamic_slice(
@@ -327,6 +338,8 @@ class Trainer:
             self.batch_size,
             has_host_negs=generator.neg_sampling
             and not generator.device_side_sampling,
+            shuffle=shuffle,
+            n_rows=n_rows,
         )
         if self.mesh is None:
             data_dev = {k: jnp.asarray(v) for k, v in epoch_host.items()}
@@ -346,11 +359,6 @@ class Trainer:
             epoch_start = time.perf_counter()
             with time_block(f"Epoch {epoch}", verbose):
                 epoch_rng = jax.random.fold_in(base_rng, 1_000_000 + epoch)
-                perm = (
-                    jax.random.permutation(epoch_rng, n_rows)
-                    if shuffle
-                    else jnp.arange(n_rows)
-                ).astype(jnp.int32)
                 host_negs = generator.epoch_negatives()
                 host_negs = (
                     jnp.asarray(host_negs)
@@ -363,7 +371,7 @@ class Trainer:
                 if do_profile:
                     jax.profiler.start_trace(profile_dir)
                 params, opt_state, losses = epoch_fn(
-                    params, opt_state, data_dev, host_negs, perm,
+                    params, opt_state, data_dev, host_negs, epoch_rng,
                     jax.random.fold_in(base_rng, epoch),
                 )
                 # force a device->host readback: on some remote backends
