@@ -26,6 +26,12 @@ def main():
     from librecommender_tpu.data import DatasetFeat, DatasetPure
     from librecommender_tpu.evaluation import evaluate
     from librecommender_tpu.models import (
+        ALS,
+        DeepWalk,
+        Item2Vec,
+        ItemCF,
+        Swing,
+        UserCF,
         BPR,
         DIN,
         FM,
@@ -102,6 +108,20 @@ def main():
         "LightGCN": ("pure", lambda di: LightGCN(
             "ranking", di, embed_size=32, n_epochs=epochs, lr=0.001,
             batch_size=2048, n_layers=3)),
+        # classic tier (no reference column possible in this image — the
+        # reference's Cython/Rust/gensim backends cannot be built here;
+        # anchored instead by the planted structure of the 1M synthetic)
+        "UserCF": ("pure", lambda di: UserCF("ranking", di, k_sim=20)),
+        "ItemCF": ("pure", lambda di: ItemCF("ranking", di, k_sim=20)),
+        "Swing": ("pure", lambda di: Swing("ranking", di, k_sim=20)),
+        "ALS": ("pure", lambda di: ALS(
+            "ranking", di, embed_size=32, n_epochs=epochs, reg=0.1,
+            alpha=10)),
+        "Item2Vec": ("pure", lambda di: Item2Vec(
+            "ranking", di, embed_size=32, n_epochs=2, window_size=5)),
+        "DeepWalk": ("pure", lambda di: DeepWalk(
+            "ranking", di, embed_size=32, n_epochs=2, n_walks=6,
+            walk_length=10)),
     }
 
     results = {}
