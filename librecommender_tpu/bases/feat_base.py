@@ -64,6 +64,36 @@ class FeatBase(Base):
         self._recommend_fn = None
         self._users_per_rec_call = None
 
+    # row-sparse LazyAdam opt-in for huge vocab tables (set the attribute
+    # or pass sparse_optimizer=True where a model exposes it, e.g. DIN):
+    # embedding tables and their Adam moments update only batch-touched
+    # rows (training/sparse_optim.py) and compose with the device mesh
+    sparse_optimizer = False
+
+    @property
+    def sparse_tables(self):
+        tabs = ["user_embed", "item_embed"]
+        if self.feats is not None and self.feats.has_sparse:
+            tabs.append("sparse_embed")
+        return tuple(t for t in tabs if t in (self.params or {}))
+
+    def touched_indices(self, batch):
+        users, items = batch["user"], batch["item"]
+        if "item_neg" in batch:
+            neg = batch["item_neg"]
+            users_all = jnp.concatenate(
+                [users, jnp.repeat(users, neg.shape[1])]
+            )
+            items_all = jnp.concatenate([items, neg.reshape(-1)])
+        else:
+            users_all, items_all = users, items
+        out = {"user_embed": users_all, "item_embed": items_all}
+        if self.feats is not None and self.feats.has_sparse:
+            out["sparse_embed"] = self.feats.sparse_for(
+                users_all, items_all
+            ).reshape(-1)
+        return out
+
     # -------------------------------------------------------------- building
     def build_model(self):
         self.feats = FeatureTables(self.data_info)

@@ -46,6 +46,17 @@ class SeqFeatBase(FeatBase):
         )
         return {"seq": seqs}
 
+    def touched_indices(self, batch):
+        out = super().touched_indices(batch)
+        for key in batch:
+            # history positions also touch the item table (pad positions
+            # index the item-OOV row, which exists in the aligned table)
+            if key.startswith("seq"):
+                out["item_embed"] = jnp.concatenate(
+                    [out["item_embed"], batch[key].reshape(-1)]
+                )
+        return out
+
     @staticmethod
     def _target_blocks(target, n_seq_rows):
         """Map (T*B, D) training rows — laid out [B positives; B*S

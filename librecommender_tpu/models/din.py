@@ -42,6 +42,7 @@ class DIN(SeqFeatBase):
         recent_num=10,
         random_num=None,
         multi_sparse_combiner="sqrtn",
+        sparse_optimizer=False,
         seed=42,
         lower_upper_bound=None,
     ):
@@ -58,6 +59,7 @@ class DIN(SeqFeatBase):
         self.hidden_units = tuple(hidden_units)
         self.use_bn = use_bn
         self.dropout_rate = dropout_rate or 0.0
+        self.sparse_optimizer = sparse_optimizer
 
     def _init_params(self, rng):
         D = self.embed_size

@@ -113,7 +113,7 @@ def main():
         # anchored instead by the planted structure of the 1M synthetic)
         "UserCF": ("pure", lambda di: UserCF("ranking", di, k_sim=20)),
         "ItemCF": ("pure", lambda di: ItemCF("ranking", di, k_sim=20)),
-        "Swing": ("pure", lambda di: Swing("ranking", di, k_sim=20)),
+        "Swing": ("pure", lambda di: Swing("ranking", di, top_k=20)),
         "ALS": ("pure", lambda di: ALS(
             "ranking", di, embed_size=32, n_epochs=epochs, reg=0.1,
             alpha=10)),
