@@ -13,11 +13,10 @@ achieved TFLOP/s and %MFU against the chip's bf16 peak, plus achieved
 HBM bandwidth. Methodology caveats: FLOPs from cost analysis are close
 to exact; "bytes accessed" is XLA's PRE-FUSION static estimate, so
 achieved_gbs/hbm_pct are upper bounds on real traffic, not profiled
-numbers. BPR at D=64 is memory-bound on the Adam table update (%MFU is
-the wrong lens); DIN's limiter is the random-row batch-assembly gather
-from the epoch arrays (round-1 profiling finding), which neither FLOPs
-nor activation-dtype changes address. Details land in
-BENCH_DETAILS.json.
+numbers. Per op-level profiling (docs/tpu_performance.md), the steps
+are bound by the per-index-row gather/scatter floor (~7ns/row), not by
+FLOPs or HBM bandwidth — %MFU is reported for the record, not as the
+limiting lens. Details land in BENCH_DETAILS.json.
 
 ``vs_baseline`` divides accelerator throughput by a CPU-backend run
 (stand-in for the reference's single-process CPU training — the reference

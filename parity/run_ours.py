@@ -120,7 +120,7 @@ def main():
         "Item2Vec": ("pure", lambda di: Item2Vec(
             "ranking", di, embed_size=32, n_epochs=2, window_size=5)),
         "DeepWalk": ("pure", lambda di: DeepWalk(
-            "ranking", di, embed_size=32, n_epochs=2, n_walks=6,
+            "ranking", di, embed_size=32, n_epochs=5, n_walks=10,
             walk_length=10)),
     }
 
