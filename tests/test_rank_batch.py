@@ -107,3 +107,30 @@ def test_sequence_modes_differ(pure_builds):
     assert not np.array_equal(recent, rand1)
     np.testing.assert_array_equal(rand1, rand2)  # seed-stable
     assert not np.array_equal(rand1, rand3)
+
+
+def test_pack_epoch_arrays_roundtrip():
+    """Packed epoch matrices + layout reconstruct every batch key exactly
+    (incl. 2-D seq arrays and dtype normalization)."""
+    import numpy as np
+
+    from librecommender_tpu.training.trainer import Trainer
+
+    N = 50
+    rng = np.random.default_rng(0)
+    host = {
+        "user": rng.integers(0, 9, N).astype(np.int64),
+        "item": rng.integers(0, 7, N).astype(np.int32),
+        "label": rng.random(N).astype(np.float64),
+        "weight": np.ones(N, np.float32),
+        "seq": rng.integers(0, 7, (N, 4)).astype(np.int64),
+    }
+    packed, layout = Trainer._pack_epoch_arrays(host)
+    assert packed["ints"].dtype == np.int32
+    assert packed["flts"].dtype == np.float32
+    assert packed["ints"].shape == (N, 1 + 1 + 4)
+    assert packed["flts"].shape == (N, 2)
+    for k, (mat, start, ncols, tail) in layout.items():
+        cols = packed[mat][:, start:start + ncols]
+        got = cols.reshape((N,) + tail) if tail else cols[:, 0]
+        np.testing.assert_array_equal(got, host[k].astype(got.dtype))
