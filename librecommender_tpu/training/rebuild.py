@@ -111,21 +111,26 @@ def graft_opt_state(old_state, new_state, params, data_info):
         except Exception:
             return False
 
-    def rec(old, new):
+    def rec(old, new, name=""):
         if is_params_like(new) and is_params_like(old):
             return graft_params(old, new, data_info)
         if isinstance(new, (list, tuple)) and isinstance(old, (list, tuple)) \
                 and len(new) == len(old):
-            out = [rec(o, n) for o, n in zip(old, new)]
+            out = [rec(o, n, name) for o, n in zip(old, new)]
             return type(new)(*out) if hasattr(new, "_fields") else (
                 type(new)(out) if isinstance(new, tuple) else out
             )
         if isinstance(new, dict) and isinstance(old, dict) and set(new) == set(old):
-            return {k: rec(old[k], new[k]) for k in new}
+            # carry key names down so table-keyed moment dicts (the sparse
+            # LazyAdam state {"mu": {"user_embed": ...}}) row-graft like
+            # their params instead of resetting on vocab growth
+            return {k: rec(old[k], new[k], k) for k in new}
         old_arr = np.asarray(old) if not isinstance(old, (dict, list, tuple)) else None
         new_arr = np.asarray(new) if not isinstance(new, (dict, list, tuple)) else None
-        if old_arr is not None and new_arr is not None and old_arr.shape == new_arr.shape:
-            return jnp.asarray(old_arr)
+        if old_arr is not None and new_arr is not None:
+            if old_arr.shape == new_arr.shape:
+                return jnp.asarray(old_arr)
+            return jnp.asarray(graft_leaf(name, old_arr, new_arr, data_info))
         return new
 
     return rec(old_state, new_state)

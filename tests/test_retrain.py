@@ -197,3 +197,46 @@ def test_seq_and_tower_retrain(cls_name, tmp_path):
     model2.fit(new_train, neg_sampling=neg, verbose=0)
     u_new = new_frame.user.iloc[0]
     assert len(model2.recommend_user(user=u_new, n_rec=5)[u_new]) == 5
+
+
+def test_sparse_optimizer_retrain_grafts_moment_rows(tmp_path):
+    """LazyAdam table state (mu/nu) must row-graft across vocab growth on
+    rebuild, not reset — graft_opt_state's name-aware dict recursion."""
+    from librecommender_tpu.models import BPR
+    from librecommender_tpu.training.rebuild import graft_opt_state
+
+    frame = make_interactions()
+    train_data, data_info = DatasetPure.build_trainset(frame)
+    model = BPR("ranking", data_info, embed_size=8, n_epochs=1,
+                batch_size=256, sparse_optimizer=True)
+    model.fit(train_data, neg_sampling=True, verbose=0)
+    old_state = model.trainer.opt_state
+    old_mu = np.asarray(old_state[1]["mu"]["user_embed"])
+    assert np.abs(old_mu).sum() > 0  # training actually built momentum
+
+    new_frame = _new_data(frame)
+    new_train, new_info = DatasetPure.merge_trainset(new_frame, data_info)
+    model2 = BPR("ranking", new_info, embed_size=8, n_epochs=1,
+                 batch_size=256, sparse_optimizer=True)
+    model2.build_model()
+    import optax
+
+    from librecommender_tpu.training.sparse_optim import init_table_state
+
+    tables = tuple(model2.sparse_tables)
+    rest = {k: v for k, v in model2.params.items() if k not in tables}
+    fresh = (optax.adam(1e-3).init(rest),
+             init_table_state(model2.params, tables))
+    grafted = graft_opt_state(old_state, fresh, model2.params, new_info)
+    new_mu = np.asarray(grafted[1]["mu"]["user_embed"])
+    # old users' momentum rows carried over into the enlarged table
+    np.testing.assert_allclose(
+        new_mu[: data_info.n_users], old_mu[: data_info.n_users], rtol=1e-6
+    )
+    # the full retrain path also runs end to end
+    path = str(tmp_path / "sparse_retrain")
+    model.save(path, "BPR")
+    model3 = BPR("ranking", new_info, embed_size=8, n_epochs=1,
+                 batch_size=256, sparse_optimizer=True)
+    model3.rebuild_model(path, "BPR")
+    model3.fit(new_train, neg_sampling=True, verbose=0)
