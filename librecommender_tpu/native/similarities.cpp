@@ -419,19 +419,24 @@ void swing_topk(
 #endif
     auto& scores = partial[tid];
     std::vector<int32_t> inter;
+    // per-thread partner-dedup stamps: stamp[v] == u+1 means the pair
+    // (u, v) was already intersected during u's iteration. The previous
+    // scheme intersected a pair once PER SHARED ITEM and kept only the
+    // first (inter[0] == i) — for a pair sharing c items that computed
+    // the O(|u|+|v|) intersection c times; this computes it once.
+    std::vector<int32_t> stamp(n_users, 0);
 #pragma omp for schedule(dynamic, 64)
     for (int32_t u = 0; u < n_users; ++u) {
       const int64_t ub = user_indptr[u], ue = user_indptr[u + 1];
       if (ue - ub < 2) continue;
-      // candidate partners: users sharing at least one item with u, v > u.
-      // visit each pair once: only process v when the first shared item in
-      // u's list equals the current item.
       for (int64_t p = ub; p < ue; ++p) {
         const int32_t i = user_items[p];
         for (int64_t q = item_indptr[i]; q < item_indptr[i + 1]; ++q) {
           const int32_t v = item_users[q];
           if (v <= u) continue;
-          // intersect sorted item lists of u and v
+          if (stamp[v] == u + 1) continue;  // pair already handled
+          stamp[v] = u + 1;
+          // intersect sorted item lists of u and v (once per pair)
           inter.clear();
           int64_t a = ub, b = user_indptr[v];
           const int64_t aE = ue, bE = user_indptr[v + 1];
@@ -442,8 +447,6 @@ void swing_topk(
             else ++b;
           }
           if (inter.size() < 2) continue;
-          // dedup: handle the pair only at its first common item
-          if (inter[0] != i) continue;
           const float w = 1.0f / (alpha + (float)inter.size());
           for (size_t x1 = 0; x1 < inter.size(); ++x1)
             for (size_t x2 = 0; x2 < inter.size(); ++x2)
