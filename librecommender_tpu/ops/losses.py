@@ -72,21 +72,33 @@ def softmax_cross_entropy_loss(
     are masked to -inf. Reference: libreco/tfops/loss.py in-batch softmax
     (TwoTower ``loss_type="softmax"``).
     """
+    # The (B, B) matrix is touched exactly twice (fwd reduce + bwd softmax
+    # pass): the positive logit comes straight from the paired vectors and
+    # is re-added to the denominator with logaddexp, so neither
+    # log_softmax's (B, B) output nor jnp.diagonal's backward scatter-add
+    # into a (B, B) zeros (a 268 MB materialization at B=8192 — profiled
+    # as the TwoTower step's largest single op) ever exists.
     logits = (user_embeds @ item_embeds.T) / temperature
+    diag = jnp.sum(user_embeds * item_embeds, axis=1) / temperature
     if correction_probs is not None:
         logp = jnp.log(jnp.clip(correction_probs, 1e-8, 1.0))
         logits = logits - logp[None, :]
+        diag = diag - logp
     n = logits.shape[0]
-    if weight is not None:
-        # padded batch-tail rows must not pollute other rows' denominators
-        col_pad = (weight <= 0.0)[None, :] & ~jnp.eye(n, dtype=bool)
-        logits = jnp.where(col_pad, -1e9, logits)
+    # mask the diagonal out of the matrix (re-added exactly via logaddexp);
+    # with hit removal the self-hit column covers it
     if remove_accidental_hits and item_ids is not None:
-        hit = item_ids[None, :] == item_ids[:, None]
-        off_diag_hit = hit & ~jnp.eye(n, dtype=bool)
-        logits = jnp.where(off_diag_hit, -1e9, logits)
-    log_probs = jax.nn.log_softmax(logits, axis=1)
-    per = -jnp.diagonal(log_probs)
+        mask = item_ids[None, :] == item_ids[:, None]
+    else:
+        mask = jnp.eye(n, dtype=bool)
+    if weight is not None:
+        # padded batch-tail columns must not pollute other rows'
+        # denominators (their own rows are dropped by _masked_mean)
+        mask = mask | (weight <= 0.0)[None, :]
+    logits = jnp.where(mask, -1e9, logits)
+    lse_rest = jax.scipy.special.logsumexp(logits, axis=1)
+    denom = jnp.logaddexp(lse_rest, diag)
+    per = denom - diag
     return _masked_mean(per, weight)
 
 
