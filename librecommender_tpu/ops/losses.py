@@ -127,9 +127,12 @@ def sampled_softmax_loss(
     if remove_accidental_hits:
         hit = neg_items[None, :] == pos_items[:, None]
         neg_logits = jnp.where(hit, -1e9, neg_logits)
-    logits = jnp.concatenate([pos_logit[:, None], neg_logits], axis=1)
-    log_probs = jax.nn.log_softmax(logits, axis=1)
-    per = -log_probs[:, 0]
+    # join the positive into the denominator via logaddexp instead of
+    # concatenating a (B, S+1) logits matrix and materializing
+    # log_softmax over it (the padded (B, S+1) add + exp were the two
+    # largest ops of the profiled YouTubeRetrieval step)
+    lse_neg = jax.scipy.special.logsumexp(neg_logits, axis=1)
+    per = jnp.logaddexp(lse_neg, pos_logit) - pos_logit
     return _masked_mean(per, weight)
 
 
