@@ -34,6 +34,7 @@ class SVDpp(EmbedBase):
         sampler="random",
         num_neg=1,
         max_implicit=128,
+        dense_adj_limit=200_000_000,
         seed=42,
         lower_upper_bound=None,
     ):
@@ -53,16 +54,39 @@ class SVDpp(EmbedBase):
         self.sampler = sampler
         self.num_neg = num_neg
         self.max_implicit = max_implicit
+        self.dense_adj_limit = dense_adj_limit
         self.consumed_table = None
         self.consumed_counts = None
+        self.implicit_adj = None
 
-    def build_model(self):
+    def _build_implicit(self):
+        u_rows, i_rows = aligned_rows(self.n_users), aligned_rows(self.n_items)
         table, counts = build_neighbor_table(
             self.data_info.user_consumed, self.n_users, self.max_implicit,
             pad=self.n_items,  # pad indexes a zero-contribution row via mask
         )
-        self.consumed_table = jnp.asarray(table)
-        self.consumed_counts = jnp.asarray(counts)
+        if u_rows * i_rows <= self.dense_adj_limit:
+            # The implicit term is one-sided graph propagation: the padded
+            # per-row gather costs B*max_implicit index rows per step
+            # (~1M at batch 8192 — profiled as 97% of the step at the
+            # ~7ns/index-row floor). A dense (u_rows, i_rows) matrix with
+            # entries 1/sqrt(|N(u)|) — built from the SAME neighbor table,
+            # so both paths agree exactly — turns it into ONE MXU matmul
+            # per step (implicit_all = W @ y), the same design as
+            # LightGCN's dense adjacency; the gather path remains for
+            # huge catalogs.
+            W = np.zeros((u_rows, i_rows), np.float32)
+            for u in range(self.n_users):
+                c = int(counts[u])
+                if c:
+                    W[u, table[u, :c]] = 1.0 / np.sqrt(float(c))
+            self.implicit_adj = jnp.asarray(W)
+        else:
+            self.consumed_table = jnp.asarray(table)
+            self.consumed_counts = jnp.asarray(counts)
+
+    def build_model(self):
+        self._build_implicit()
         rng = jax.random.PRNGKey(self.seed)
         r = jax.random.split(rng, 3)
         u_rows, i_rows = aligned_rows(self.n_users), aligned_rows(self.n_items)
@@ -75,6 +99,9 @@ class SVDpp(EmbedBase):
         }
 
     def _user_repr(self, params, users):
+        if self.implicit_adj is not None:
+            implicit_all = self.implicit_adj @ params["implicit_embed"]
+            return params["user_embed"][users] + implicit_all[users]
         nbrs = self.consumed_table[users]                      # (B, C)
         mask = (nbrs != self.n_items).astype(jnp.float32)
         y = params["implicit_embed"][nbrs]                     # (B, C, D)
@@ -150,11 +177,6 @@ class SVDpp(EmbedBase):
         self.item_embeds_np = self._append_oov(item)
 
     def post_load(self):
-        table, counts = build_neighbor_table(
-            self.data_info.user_consumed, self.n_users, self.max_implicit,
-            pad=self.n_items,
-        )
-        self.consumed_table = jnp.asarray(table)
-        self.consumed_counts = jnp.asarray(counts)
+        self._build_implicit()
         if self.params is not None:
             self.set_embeddings()

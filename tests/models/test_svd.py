@@ -1,8 +1,9 @@
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
 from librecommender_tpu.evaluation import evaluate
-from librecommender_tpu.models import SVD
+from librecommender_tpu.models import SVD, SVDpp
 
 from tests.utils_models import ptest_preds, ptest_recommends, ptest_save_load
 
@@ -98,3 +99,22 @@ def test_svd_sparse_optimizer(pure_builds):
     m.fit(train_data, neg_sampling=True, verbose=0)
     res = evaluate(m, eval_data, neg_sampling=True, metrics=["roc_auc"])
     assert np.isfinite(res["roc_auc"]) and res["roc_auc"] > 0.45
+
+
+def test_svdpp_dense_implicit_matches_gather(pure_builds):
+    """The dense-adjacency implicit term (MXU path) equals the padded
+    gather path — both derive from the same neighbor table."""
+    import jax
+
+    train_data, *_, data_info = pure_builds
+    dense_m = SVDpp("ranking", data_info, embed_size=8)
+    dense_m.build_model()
+    assert dense_m.implicit_adj is not None
+    gather_m = SVDpp("ranking", data_info, embed_size=8, dense_adj_limit=0)
+    gather_m.build_model()
+    assert gather_m.implicit_adj is None
+    gather_m.params = dense_m.params
+    users = jnp.arange(min(64, data_info.n_users), dtype=jnp.int32)
+    a = np.asarray(dense_m._user_repr(dense_m.params, users))
+    b = np.asarray(gather_m._user_repr(gather_m.params, users))
+    np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-6)
