@@ -45,6 +45,7 @@ class Transformer(SeqFeatBase):
         num_heads=2,
         num_tfm_layers=1,
         multi_sparse_combiner="sqrtn",
+        compute_dtype="bf16",
         seed=42,
         lower_upper_bound=None,
     ):
@@ -59,6 +60,9 @@ class Transformer(SeqFeatBase):
             recent_num=recent_num, random_num=random_num,
         )
         self.hidden_units = tuple(hidden_units)
+        if compute_dtype not in ("bf16", "f32", None):
+            raise ValueError("compute_dtype must be 'bf16', 'f32' or None")
+        self.compute_dtype = compute_dtype
         self.use_bn = use_bn
         self.dropout_rate = dropout_rate or 0.0
         self.num_heads = num_heads
@@ -121,11 +125,21 @@ class Transformer(SeqFeatBase):
                 [mask, jnp.ones((mask.shape[0], 1), bool)], axis=1
             )
         x = x + positional_encoding(x.shape[1], x.shape[2])[None]
-        for layer in params["tfm_layers"]:
+        # the encoder's cost is ~60 bandwidth passes over the (B, L+1, D)
+        # activations (no single op dominates — profiled); bf16 halves
+        # every pass and doubles the MXU rate. Params stay f32 (cast per
+        # use); the head MLP and loss stay f32.
+        tfm_layers = params["tfm_layers"]
+        if self.compute_dtype == "bf16":
+            x = x.astype(jnp.bfloat16)
+            tfm_layers = jax.tree.map(
+                lambda a: a.astype(jnp.bfloat16), tfm_layers
+            )
+        for layer in tfm_layers:
             x = transformer_layer(
                 layer, x, mask=full_mask, num_heads=self.num_heads
             )
-        target_out = x[:, -1, :]                                # (TB, D)
+        target_out = x[:, -1, :].astype(jnp.float32)            # (TB, D)
         if shared:
             target_out = self._blocks_to_rows(target_out.reshape(T, B, D))
         flat = jnp.concatenate(
