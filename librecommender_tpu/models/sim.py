@@ -20,6 +20,7 @@ import jax.numpy as jnp
 from ..bases.seq_base import SeqFeatBase
 from ..batch.sequence import build_train_seqs, get_recent_seqs
 from ..ops.initializers import truncated_normal
+from ..ops.topk import topk_lastdim_small_onehot
 from ..ops.nn import (
     dense,
     din_attention,
@@ -168,9 +169,17 @@ class SIM(SeqFeatBase):
         # GSU: soft search over the long history
         sims = jnp.einsum("tbd,bld->tbl", tgt, long_emb)
         sims = jnp.where(long_mask[None], sims, -jnp.inf)
-        top_sims, top_idx = jax.lax.top_k(sims, self.search_topk)  # (T, B, K)
-        b_idx = jnp.arange(B)[None, :, None]
-        sel_emb = long_emb[b_idx, top_idx]                      # (T, B, K, D)
+        # GSU top-k over the short last axis via the rank-matrix form
+        # (lax.top_k's sort lowering and argmax extraction both cost
+        # ~6 ms/step here); the returned one-hot expresses the row
+        # selection as an einsum, so the backward is an einsum too
+        # instead of a (T*B*K)-row scatter-add into the long history
+        top_sims, top_idx, sel_onehot = topk_lastdim_small_onehot(
+            sims, self.search_topk
+        )                                                       # (T, B, K, L)
+        sel_emb = jnp.einsum(
+            "tbkl,bld->tbkd", sel_onehot.astype(long_emb.dtype), long_emb
+        )                                                       # (T, B, K, D)
         sel_mask = jnp.isfinite(top_sims)
 
         # ESU: exact multi-head attention over the selected items

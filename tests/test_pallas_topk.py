@@ -59,3 +59,37 @@ def test_streaming_topk_consumed_filtering():
     np.testing.assert_allclose(sc_s, np.asarray(sc_m), rtol=1e-5)
     for i in range(U):
         assert not set(ids_s[i]) & set(consumed_dict[i])
+
+
+def test_topk_lastdim_small_matches_lax_topk():
+    """Rank-matrix top-k (SIM's GSU path) must match lax.top_k exactly,
+    including the lowest-index tie-break and -inf masked entries."""
+    import jax
+    import jax.numpy as jnp
+    from librecommender_tpu.ops.topk import (
+        topk_lastdim_small,
+        topk_lastdim_small_onehot,
+    )
+
+    rng = np.random.default_rng(7)
+    x = rng.normal(size=(3, 17, 23)).astype(np.float32)
+    # inject ties and -inf masked tails
+    x[0, 0, 3] = x[0, 0, 11] = x[0, 0, 19]
+    x[:, :, 20:] = -np.inf
+    x[1, 2, :] = -np.inf  # fully-masked row
+    xj = jnp.asarray(x)
+    for k in (1, 5, 10):
+        ref_v, ref_i = jax.lax.top_k(xj, k)
+        got_v, got_i = topk_lastdim_small(xj, k)
+        np.testing.assert_array_equal(np.asarray(got_i), np.asarray(ref_i))
+        np.testing.assert_allclose(
+            np.asarray(got_v), np.asarray(ref_v), rtol=1e-6
+        )
+        # one-hot variant: selection einsum == gather
+        _, _, oh = topk_lastdim_small_onehot(xj, k)
+        table = jnp.asarray(rng.normal(size=(3, 23, 8)).astype(np.float32))
+        sel = jnp.einsum("bkl,bld->bkd", oh[:, 0].astype(table.dtype), table)
+        gathered = table[jnp.arange(3)[:, None], ref_i[:, 0]]
+        np.testing.assert_allclose(
+            np.asarray(sel), np.asarray(gathered), rtol=1e-5, atol=1e-5
+        )
