@@ -145,12 +145,33 @@ class CfBase(Base):
     # ------------------------------------------------------------- inference
     def predict(self, user, item, inner_id=False, cold_start="average"):
         users, items = self.convert_ids(user, item, inner_id)
-        preds = np.empty(len(users), np.float64)
-        for n, (u, i) in enumerate(zip(users, items)):
-            preds[n] = self._predict_pair(int(u), int(i))
+        from ..native import get_lib
+
+        lib = get_lib()
+        if lib is not None:
+            # native batch path (recfarm rust/src/inference.rs analog)
+            from ..native import cf_predict_native
+
+            preds = cf_predict_native(
+                0 if self.cf_mode == "user" else 1,
+                1 if self.task == "rating" else 0,
+                self.sim_ids, self.sim_vals, self._sorted_interaction(),
+                users, items, float(self.default_pred), self.num_threads,
+            ).astype(np.float64)
+        else:
+            preds = np.empty(len(users), np.float64)
+            for n, (u, i) in enumerate(zip(users, items)):
+                preds[n] = self._predict_pair(int(u), int(i))
         if self.task == "rating":
             preds = np.clip(preds, self.lower_bound, self.upper_bound)
         return preds[0] if preds.size == 1 else preds
+
+    def _sorted_interaction(self):
+        """Interaction CSR with sorted indices (native predict
+        binary-searches rows; scipy sums may leave rows unsorted)."""
+        if not getattr(self.interaction, "has_sorted_indices", True):
+            self.interaction.sort_indices()
+        return self.interaction
 
     def _predict_pair(self, u, i):
         raise NotImplementedError
@@ -168,13 +189,22 @@ class CfBase(Base):
         if cold_start not in ("average", "popular"):
             raise ValueError(f"Unknown cold start strategy: {cold_start}")
         result = {}
+        uids, keys = [], []
         for u in raw_users:
-            uid = (
+            uids.append(
                 int(u) if inner_id and 0 <= int(u) < self.n_users
                 else self.data_info.user2id.get(u, -1) if not inner_id
                 else -1
             )
-            key = u.item() if isinstance(u, np.generic) else u
+            keys.append(u.item() if isinstance(u, np.generic) else u)
+
+        from ..native import get_lib
+
+        if get_lib() is not None:
+            return self._recommend_native(
+                uids, keys, raw_users, n_rec, inner_id, filter_consumed
+            )
+        for uid, key in zip(uids, keys):
             if uid < 0:
                 result[key] = popular_recommendations(
                     self.data_info, inner_id=True, n_rec=n_rec
@@ -198,6 +228,36 @@ class CfBase(Base):
 
     def _user_scores(self, uid):
         raise NotImplementedError
+
+    def _recommend_native(self, uids, keys, raw_users, n_rec, inner_id,
+                          filter_consumed):
+        """Batch recommend through the C++ tier (similarities.cpp
+        cf_recommend — the recfarm rust/src/inference.rs analog). Cold
+        users fall back to popular recommendations like the Python path."""
+        from ..native import cf_recommend_native
+
+        pops = np.asarray(
+            popular_recommendations(self.data_info, inner_id=True, n_rec=n_rec),
+            np.int64,
+        )
+        result = {}
+        warm = [(q, uid) for q, uid in enumerate(uids) if uid >= 0]
+        if warm:
+            qs, warm_uids = zip(*warm)
+            ids, _ = cf_recommend_native(
+                0 if self.cf_mode == "user" else 1,
+                1 if self.task == "rating" else 0,
+                self.sim_ids, self.sim_vals, self._sorted_interaction(),
+                np.asarray(warm_uids, np.int32), n_rec, filter_consumed,
+                pops, self.num_threads,
+            )
+            for row, q in enumerate(qs):
+                recs = ids[row]
+                result[keys[q]] = recs[recs >= 0].astype(np.int64)
+        for q, uid in enumerate(uids):
+            if uid < 0:
+                result[keys[q]] = pops
+        return self.finalize_rec(result, raw_users, inner_id)
 
     # ------------------------------------------------------------- retrain
     def rebuild_model(self, path, model_name=None):

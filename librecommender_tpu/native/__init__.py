@@ -79,6 +79,28 @@ def get_lib():
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_float),
             ctypes.c_int32,
         ]
+        lib.cf_recommend.argtypes = [
+            ctypes.c_int32, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int32, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int32,
+        ]
+        lib.cf_predict.argtypes = [
+            ctypes.c_int32, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int32, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int32,
+            ctypes.c_float, ctypes.POINTER(ctypes.c_float), ctypes.c_int32,
+        ]
         _lib = lib
     except Exception as exc:  # pragma: no cover - env without g++
         print(f"native kernels unavailable ({exc}); using numpy fallback")
@@ -209,3 +231,59 @@ def swing_topk_native(user_items_csr, item_users_csr, alpha, k, n_threads=0):
         n_threads,
     )
     return out_ids, out_sims
+
+
+def cf_recommend_native(cf_mode, task_rating, sim_ids, sim_vals, inter_csr,
+                        users, n_rec, filter_consumed, popular, n_threads=0):
+    """Batch CF recommend off cached top-k sims (recfarm inference.rs
+    analog; see cf_recommend in similarities.cpp). Returns
+    (ids (n_query, n_rec) int32 with -1 padding, scores float32)."""
+    lib = get_lib()
+    assert lib is not None
+    si = np.ascontiguousarray(sim_ids, np.int32)
+    sv = np.ascontiguousarray(sim_vals, np.float32)
+    ii = np.ascontiguousarray(inter_csr.indptr, np.int64)
+    ij = np.ascontiguousarray(inter_csr.indices, np.int32)
+    idt = np.ascontiguousarray(inter_csr.data, np.float32)
+    us = np.ascontiguousarray(users, np.int32)
+    pop = np.ascontiguousarray(popular, np.int32)
+    n_query = us.shape[0]
+    out_ids = np.empty((n_query, n_rec), np.int32)
+    out_scores = np.empty((n_query, n_rec), np.float32)
+    lib.cf_recommend(
+        int(cf_mode), int(task_rating),
+        _ptr(si, ctypes.c_int32), _ptr(sv, ctypes.c_float), si.shape[1],
+        _ptr(ii, ctypes.c_int64), _ptr(ij, ctypes.c_int32),
+        _ptr(idt, ctypes.c_float), inter_csr.shape[0], inter_csr.shape[1],
+        _ptr(us, ctypes.c_int32), n_query,
+        int(n_rec), int(filter_consumed),
+        _ptr(pop, ctypes.c_int32), pop.shape[0],
+        _ptr(out_ids, ctypes.c_int32), _ptr(out_scores, ctypes.c_float),
+        n_threads,
+    )
+    return out_ids, out_scores
+
+
+def cf_predict_native(cf_mode, task_rating, sim_ids, sim_vals, inter_csr,
+                      users, items, default_pred, n_threads=0):
+    """Pairwise CF predict off cached top-k sims (see cf_predict in
+    similarities.cpp). Out-of-range ids get default_pred."""
+    lib = get_lib()
+    assert lib is not None
+    si = np.ascontiguousarray(sim_ids, np.int32)
+    sv = np.ascontiguousarray(sim_vals, np.float32)
+    ii = np.ascontiguousarray(inter_csr.indptr, np.int64)
+    ij = np.ascontiguousarray(inter_csr.indices, np.int32)
+    idt = np.ascontiguousarray(inter_csr.data, np.float32)
+    us = np.ascontiguousarray(users, np.int32)
+    it = np.ascontiguousarray(items, np.int32)
+    out = np.empty(us.shape[0], np.float32)
+    lib.cf_predict(
+        int(cf_mode), int(task_rating),
+        _ptr(si, ctypes.c_int32), _ptr(sv, ctypes.c_float), si.shape[1],
+        _ptr(ii, ctypes.c_int64), _ptr(ij, ctypes.c_int32),
+        _ptr(idt, ctypes.c_float), inter_csr.shape[0], inter_csr.shape[1],
+        _ptr(us, ctypes.c_int32), _ptr(it, ctypes.c_int32), us.shape[0],
+        float(default_pred), _ptr(out, ctypes.c_float), n_threads,
+    )
+    return out

@@ -488,4 +488,180 @@ void swing_topk(
   }
 }
 
+// ---------------------------------------------------------------------------
+// Native CF inference (recfarm rust/src/inference.rs analog): batch
+// recommend + pair predict straight off the cached top-k neighbor lists,
+// OpenMP-parallel over query users/pairs. Semantics mirror the Python
+// CfBase paths exactly (bases/cf_base.py) so either tier can serve:
+//   - cf_mode 0 (user-cf): scores[i] = sum_v sim(u,v) * label(v,i)
+//   - cf_mode 1 (item-cf): scores[i] = sum_{c in consumed(u)} sim(c,i) * w_c
+//     with w_c = label(u,c) for rating and 1.0 for ranking
+//   - items whose accumulated score is exactly 0 are non-candidates
+//   - consumed filtering + popular fallback fill like recommend_user.
+// Interaction CSR indices must be sorted (predict binary-searches rows).
+
+static inline float row_lookup(const int64_t* indptr, const int32_t* indices,
+                               const float* data, int32_t row, int32_t col,
+                               bool* found) {
+  int64_t lo = indptr[row], hi = indptr[row + 1];
+  while (lo < hi) {
+    const int64_t mid = (lo + hi) / 2;
+    if (indices[mid] < col) lo = mid + 1;
+    else hi = mid;
+  }
+  if (lo < indptr[row + 1] && indices[lo] == col) {
+    *found = true;
+    return data[lo];
+  }
+  *found = false;
+  return 0.0f;
+}
+
+void cf_recommend(
+    int32_t cf_mode, int32_t task_rating,
+    const int32_t* sim_ids, const float* sim_vals, int32_t k_sim,
+    const int64_t* inter_indptr, const int32_t* inter_indices,
+    const float* inter_data, int32_t n_users, int32_t n_items,
+    const int32_t* users, int32_t n_query,
+    int32_t n_rec, int32_t filter_consumed,
+    const int32_t* popular, int32_t n_popular,
+    int32_t* out_ids, float* out_scores, int32_t n_threads) {
+#ifdef _OPENMP
+  if (n_threads > 0) omp_set_num_threads(n_threads);
+#endif
+  (void)n_users;
+#pragma omp parallel
+  {
+    // double accumulation matches the Python paths' float64 numpy
+    // accumulators (near-ties would otherwise flip the last ranks)
+    std::vector<double> acc(n_items, 0.0);
+    std::vector<uint8_t> blocked(n_items, 0);
+    std::vector<int32_t> touched;
+    std::vector<std::pair<float, int32_t>> cands;
+#pragma omp for schedule(dynamic, 8)
+    for (int32_t q = 0; q < n_query; ++q) {
+      const int32_t u = users[q];
+      touched.clear();
+      cands.clear();
+      if (cf_mode == 0) {
+        // user-cf: accumulate sim-weighted neighbor rows
+        for (int32_t j = 0; j < k_sim; ++j) {
+          const int32_t v = sim_ids[(int64_t)u * k_sim + j];
+          if (v < 0) continue;
+          const float s = sim_vals[(int64_t)u * k_sim + j];
+          for (int64_t p = inter_indptr[v]; p < inter_indptr[v + 1]; ++p) {
+            const int32_t i = inter_indices[p];
+            if (acc[i] == 0.0) touched.push_back(i);
+            acc[i] += (double)s * (double)inter_data[p];
+          }
+        }
+      } else {
+        // item-cf: spread each consumed item's similarity row
+        for (int64_t p = inter_indptr[u]; p < inter_indptr[u + 1]; ++p) {
+          const int32_t c = inter_indices[p];
+          const float w = task_rating ? inter_data[p] : 1.0f;
+          for (int32_t j = 0; j < k_sim; ++j) {
+            const int32_t nb = sim_ids[(int64_t)c * k_sim + j];
+            if (nb < 0) continue;
+            if (acc[nb] == 0.0) touched.push_back(nb);
+            acc[nb] += (double)sim_vals[(int64_t)c * k_sim + j] * (double)w;
+          }
+        }
+      }
+      if (filter_consumed) {
+        for (int64_t p = inter_indptr[u]; p < inter_indptr[u + 1]; ++p)
+          blocked[inter_indices[p]] = 1;
+      }
+      for (const int32_t i : touched) {
+        // exact-zero accumulations are non-candidates (cf_base contract)
+        if (acc[i] != 0.0 && !blocked[i]) cands.emplace_back((float)acc[i], i);
+      }
+      const int32_t take = std::min((int64_t)n_rec, (int64_t)cands.size());
+      std::partial_sort(
+          cands.begin(), cands.begin() + take, cands.end(),
+          [](const std::pair<float, int32_t>& a,
+             const std::pair<float, int32_t>& b) {
+            return a.first > b.first ||
+                   (a.first == b.first && a.second < b.second);
+          });
+      int32_t filled = 0;
+      for (; filled < take; ++filled) {
+        out_ids[(int64_t)q * n_rec + filled] = cands[filled].second;
+        out_scores[(int64_t)q * n_rec + filled] = cands[filled].first;
+      }
+      // popular fallback fill (not consumed-filtered, like the Python path)
+      for (int32_t p = 0; p < n_popular && filled < n_rec; ++p) {
+        const int32_t cand = popular[p];
+        bool dup = false;
+        for (int32_t j = 0; j < filled; ++j)
+          if (out_ids[(int64_t)q * n_rec + j] == cand) { dup = true; break; }
+        if (dup) continue;
+        out_ids[(int64_t)q * n_rec + filled] = cand;
+        out_scores[(int64_t)q * n_rec + filled] = 0.0f;
+        ++filled;
+      }
+      for (; filled < n_rec; ++filled) {
+        out_ids[(int64_t)q * n_rec + filled] = -1;
+        out_scores[(int64_t)q * n_rec + filled] = 0.0f;
+      }
+      // reset scratch (touched-proportional, not O(n_items))
+      for (const int32_t i : touched) acc[i] = 0.0;
+      if (filter_consumed) {
+        for (int64_t p = inter_indptr[u]; p < inter_indptr[u + 1]; ++p)
+          blocked[inter_indices[p]] = 0;
+      }
+    }
+  }
+}
+
+void cf_predict(
+    int32_t cf_mode, int32_t task_rating,
+    const int32_t* sim_ids, const float* sim_vals, int32_t k_sim,
+    const int64_t* inter_indptr, const int32_t* inter_indices,
+    const float* inter_data, int32_t n_users, int32_t n_items,
+    const int32_t* users, const int32_t* items, int32_t n_pairs,
+    float default_pred, float* out, int32_t n_threads) {
+#ifdef _OPENMP
+  if (n_threads > 0) omp_set_num_threads(n_threads);
+#endif
+#pragma omp parallel for schedule(static)
+  for (int32_t q = 0; q < n_pairs; ++q) {
+    const int32_t u = users[q], i = items[q];
+    if (u < 0 || u >= n_users || i < 0 || i >= n_items) {
+      out[q] = default_pred;
+      continue;
+    }
+    // neighbors come from the query-side entity; labels are looked up in
+    // the other side's CSR row (binary search; indices sorted)
+    const int32_t center = cf_mode == 0 ? u : i;
+    double num = 0.0, den_abs = 0.0, rated_signed = 0.0, sim_mass = 0.0;
+    bool any_valid = false, any_rated = false;
+    for (int32_t j = 0; j < k_sim; ++j) {
+      const int32_t nb = sim_ids[(int64_t)center * k_sim + j];
+      if (nb < 0) continue;
+      const float s = sim_vals[(int64_t)center * k_sim + j];
+      any_valid = true;
+      sim_mass += std::fabs(s);
+      bool found = false;
+      const float r = cf_mode == 0
+          ? row_lookup(inter_indptr, inter_indices, inter_data, nb, i, &found)
+          : row_lookup(inter_indptr, inter_indices, inter_data, u, nb, &found);
+      if (found && r != 0.0f) {
+        any_rated = true;
+        num += (double)s * (double)r;
+        den_abs += std::fabs((double)s);
+        rated_signed += (double)s;
+      }
+    }
+    if (!any_valid || !any_rated) {
+      out[q] = default_pred;
+    } else if (task_rating) {
+      out[q] = (float)(num / std::max(den_abs, 1e-10));
+    } else {
+      // ranking: fraction of neighbor similarity mass that consumed i
+      out[q] = (float)(rated_signed / std::max(sim_mass, 1e-10));
+    }
+  }
+}
+
 }  // extern "C"
