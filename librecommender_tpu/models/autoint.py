@@ -81,10 +81,14 @@ class AutoInt(FeatBase):
 
     def _forward(self, params, inputs, train, rng):
         x, _, _ = self._field_embeds(params, inputs)  # (B, F, D)
+        B, F = x.shape[0], x.shape[1]
         for layer in params["att_layers"]:
             att = mha(layer["mha"], x, x, num_heads=self.num_heads)
+            # residual/activation/projection on flat (B*F, dim) tokens —
+            # the (B, F, dim) view pads to (B, 8, 128) tiles at F=5
+            af = att.reshape(B * F, -1)
             if self.use_residual:
-                att = att + x
-            x = jax.nn.relu(dense(layer["proj"], att))
-        flat = x.reshape(x.shape[0], -1)
+                af = af + x.reshape(B * F, -1)
+            x = jax.nn.relu(dense(layer["proj"], af)).reshape(B, F, -1)
+        flat = x.reshape(B, -1)
         return dense(params["head"], flat)[:, 0]

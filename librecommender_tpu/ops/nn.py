@@ -182,23 +182,46 @@ def mha(params, queries, keys, mask=None, causal=False, num_heads=1):
     """queries (B, Lq, D); keys (B, Lk, D); mask (B, Lk) bool.
 
     ``num_heads`` is static config (not stored in params: integer leaves
-    would break jax.grad over the params pytree)."""
+    would break jax.grad over the params pytree).
+
+    TPU layout note: the projections run on flat (B*L, D) tokens — a
+    (B, L, D) operand at small L/D pads to (B, ceil16(L), 128) tiles, so
+    keeping the heavy matmul operands 2D roughly halves the HBM bytes per
+    pass; only the tiny per-head tensors take 3D/4D shapes. Self-attention
+    (queries is keys) fuses the q/k/v projections into ONE matmul."""
     H = num_heads
-    B, Lq, _ = queries.shape
+    B, Lq, D = queries.shape
     Lk = keys.shape[1]
-    q = (queries @ params["wq"]).reshape(B, Lq, H, -1)
-    k = (keys @ params["wk"]).reshape(B, Lk, H, -1)
-    v = (keys @ params["wv"]).reshape(B, Lk, H, -1)
+    qf = queries.reshape(B * Lq, D)
+    if queries is keys:
+        w_qkv = jnp.concatenate(
+            [params["wq"], params["wk"], params["wv"]], axis=1
+        ).astype(qf.dtype)
+        qkv = qf @ w_qkv                                  # (B*L, 3*inner)
+        inner = w_qkv.shape[1] // 3
+        q = qkv[:, :inner].reshape(B, Lq, H, -1)
+        k = qkv[:, inner:2 * inner].reshape(B, Lk, H, -1)
+        v = qkv[:, 2 * inner:].reshape(B, Lk, H, -1)
+    else:
+        kf = keys.reshape(B * Lk, keys.shape[2])
+        w_kv = jnp.concatenate(
+            [params["wk"], params["wv"]], axis=1
+        ).astype(kf.dtype)
+        kv = kf @ w_kv
+        inner = w_kv.shape[1] // 2
+        q = (qf @ params["wq"].astype(qf.dtype)).reshape(B, Lq, H, -1)
+        k = kv[:, :inner].reshape(B, Lk, H, -1)
+        v = kv[:, inner:].reshape(B, Lk, H, -1)
     d = q.shape[-1]
-    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(d)
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(d).astype(q.dtype)
     if mask is not None:
         logits = jnp.where(mask[:, None, None, :], logits, -1e9)
     if causal:
         causal_mask = jnp.tril(jnp.ones((Lq, Lk), dtype=bool))
         logits = jnp.where(causal_mask[None, None], logits, -1e9)
-    weights = jax.nn.softmax(logits, axis=-1)
-    out = jnp.einsum("bhqk,bkhd->bqhd", weights, v).reshape(B, Lq, -1)
-    return out @ params["wo"]
+    weights = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    out = jnp.einsum("bhqk,bkhd->bqhd", weights, v).reshape(B * Lq, -1)
+    return (out @ params["wo"].astype(out.dtype)).reshape(B, Lq, -1)
 
 
 # -------------------------------------------------------------- transformer
@@ -215,11 +238,17 @@ def init_transformer_layer(rng, embed_dim, num_heads, ffn_dim):
 
 
 def transformer_layer(params, x, mask=None, causal=False, num_heads=1):
-    h = layer_norm(params["ln1"], x)
-    x = x + mha(params["mha"], h, h, mask=mask, causal=causal, num_heads=num_heads)
-    h = layer_norm(params["ln2"], x)
+    # residual/LN/FFN flow on flat (B*L, D) tokens (see the mha layout
+    # note); only attention sees the (B, L, D) view
+    B, L, D = x.shape
+    xf = x.reshape(B * L, D)
+    h = layer_norm(params["ln1"], xf).reshape(B, L, D)
+    att = mha(params["mha"], h, h, mask=mask, causal=causal,
+              num_heads=num_heads)
+    xf = xf + att.reshape(B * L, D)
+    h = layer_norm(params["ln2"], xf)
     h = dense(params["ffn2"], jax.nn.relu(dense(params["ffn1"], h)))
-    return x + h
+    return (xf + h).reshape(B, L, D)
 
 
 def positional_encoding(seq_len, dim):
