@@ -27,19 +27,31 @@ def main():
     from librecommender_tpu.evaluation import evaluate
     from librecommender_tpu.models import (
         ALS,
-        DeepWalk,
-        Item2Vec,
-        ItemCF,
-        Swing,
-        UserCF,
+        NCF,
+        SIM,
         BPR,
         DIN,
         FM,
         SVD,
+        NGCF,
+        Caser,
+        SVDpp,
+        Swing,
         DeepFM,
+        ItemCF,
+        UserCF,
+        AutoInt,
+        PinSage,
+        WaveNet,
+        DeepWalk,
+        Item2Vec,
         LightGCN,
         RNN4Rec,
         TwoTower,
+        WideDeep,
+        GraphSage,
+        Transformer,
+        YouTubeRanking,
         YouTubeRetrieval,
     )
 
@@ -122,6 +134,48 @@ def main():
         "DeepWalk": ("pure", lambda di: DeepWalk(
             "ranking", di, embed_size=32, n_epochs=5, n_walks=10,
             walk_length=10)),
+        # remaining families (ours-only anchors on the planted-structure
+        # synthetic; the reference's TF1-compat graphs for most of these
+        # cannot run under Keras 3 in this image)
+        "SVDpp": ("pure", lambda di: SVDpp(
+            "ranking", di, embed_size=32, n_epochs=epochs, lr=0.001,
+            batch_size=2048)),
+        "NCF": ("feat", lambda di: NCF(
+            "ranking", di, embed_size=32, n_epochs=epochs, lr=0.001,
+            batch_size=2048, hidden_units=(128, 64, 32), use_bn=False)),
+        "WideDeep": ("feat", lambda di: WideDeep(
+            "ranking", di, embed_size=32, n_epochs=epochs,
+            lr={"wide": 0.01, "deep": 1e-3}, batch_size=2048,
+            hidden_units=(128, 64, 32), use_bn=False)),
+        "AutoInt": ("feat", lambda di: AutoInt(
+            "ranking", di, embed_size=32, n_epochs=epochs, lr=0.001,
+            batch_size=2048)),
+        "YouTubeRanking": ("feat", lambda di: YouTubeRanking(
+            "ranking", di, embed_size=32, n_epochs=epochs, lr=0.001,
+            batch_size=2048, hidden_units=(128, 64, 32), recent_num=10,
+            use_bn=False)),
+        "Transformer": ("feat", lambda di: Transformer(
+            "ranking", di, embed_size=32, n_epochs=epochs, lr=0.001,
+            batch_size=2048, recent_num=10, use_bn=False)),
+        "SIM": ("feat", lambda di: SIM(
+            "ranking", di, embed_size=32, n_epochs=epochs, lr=0.001,
+            batch_size=2048, recent_num=10, long_max_len=50,
+            search_topk=10, use_bn=False)),
+        "Caser": ("pure", lambda di: Caser(
+            "ranking", di, embed_size=32, n_epochs=epochs, lr=0.001,
+            batch_size=2048, recent_num=10)),
+        "WaveNet": ("pure", lambda di: WaveNet(
+            "ranking", di, embed_size=32, n_epochs=epochs, lr=0.001,
+            batch_size=2048, recent_num=10)),
+        "NGCF": ("pure", lambda di: NGCF(
+            "ranking", di, embed_size=32, n_epochs=epochs, lr=0.001,
+            batch_size=2048)),
+        "GraphSage": ("feat", lambda di: GraphSage(
+            "ranking", di, embed_size=32, n_epochs=epochs, lr=0.001,
+            batch_size=2048)),
+        "PinSage": ("feat", lambda di: PinSage(
+            "ranking", di, embed_size=32, n_epochs=epochs, lr=0.001,
+            batch_size=2048)),
     }
 
     results = {}

@@ -77,3 +77,84 @@ def test_sampled_softmax_matches_naive(use_weight, hits):
     m = w if w is not None else jnp.ones(B)
     want = float(jnp.sum(per * (m > 0)) / jnp.maximum(jnp.sum(m > 0), 1))
     assert abs(got - want) < 1e-3 * max(1.0, abs(want))
+
+
+# ---------------------------------------------------------- pointwise/pairwise
+def test_bce_matches_naive_and_torch_semantics():
+    from librecommender_tpu.ops.losses import bce_loss
+
+    rng = np.random.default_rng(0)
+    logits = jnp.asarray(rng.normal(size=64) * 4)
+    labels = jnp.asarray((rng.random(64) > 0.5).astype(np.float64))
+    p = jax.nn.sigmoid(logits)
+    naive = -jnp.mean(labels * jnp.log(p) + (1 - labels) * jnp.log1p(-p))
+    np.testing.assert_allclose(bce_loss(logits, labels), naive, rtol=1e-5)
+    # stability: huge logits must not produce nan/inf
+    big = jnp.asarray([1e4, -1e4])
+    lb = jnp.asarray([0.0, 1.0])
+    assert np.isfinite(float(bce_loss(big, lb)))
+
+
+def test_focal_reduces_to_weighted_ce_at_gamma0():
+    from librecommender_tpu.ops.losses import bce_loss, focal_loss
+
+    rng = np.random.default_rng(1)
+    logits = jnp.asarray(rng.normal(size=32))
+    labels = jnp.asarray((rng.random(32) > 0.5).astype(np.float64))
+    # gamma=0, alpha=0.5 -> 0.5 * plain BCE
+    got = focal_loss(logits, labels, alpha=0.5, gamma=0.0)
+    np.testing.assert_allclose(got, 0.5 * bce_loss(logits, labels), rtol=1e-5)
+    # easy examples contribute less than hard ones at gamma=2
+    easy = focal_loss(jnp.asarray([8.0]), jnp.asarray([1.0]))
+    hard = focal_loss(jnp.asarray([-8.0]), jnp.asarray([1.0]))
+    assert float(easy) < float(hard)
+
+
+def test_pairwise_losses_hand_computed():
+    from librecommender_tpu.ops.losses import bpr_loss, max_margin_loss
+
+    pos = jnp.asarray([2.0, 0.5])
+    neg = jnp.asarray([1.0, 1.5])
+    expect_bpr = -np.mean(np.log(1 / (1 + np.exp(-np.array([1.0, -1.0])))))
+    np.testing.assert_allclose(bpr_loss(pos, neg), expect_bpr, rtol=1e-6)
+    # margins: first pair satisfied by 1.0 (hinge 0), second violated by 2.0
+    np.testing.assert_allclose(
+        max_margin_loss(pos, neg, margin=1.0), np.mean([0.0, 2.0]), rtol=1e-6
+    )
+    # weight mask drops the masked element entirely
+    w = jnp.asarray([1.0, 0.0])
+    np.testing.assert_allclose(
+        max_margin_loss(pos, neg, weight=w, margin=1.0), 0.0, atol=1e-7
+    )
+
+
+def test_nce_matches_naive_binary_logistic():
+    from librecommender_tpu.ops.losses import nce_loss
+
+    rng = np.random.default_rng(2)
+    B, S, D, V = 16, 8, 12, 40
+    u = jnp.asarray(rng.normal(size=(B, D)))
+    w = jnp.asarray(rng.normal(size=(V, D)))
+    b = jnp.asarray(rng.normal(size=V))
+    pos = jnp.asarray(rng.integers(0, V, B))
+    neg = jnp.asarray(rng.integers(0, V, S))
+    got = nce_loss(u, w, b, pos, neg)
+    per = []
+    for i in range(B):
+        pl_ = float(u[i] @ w[pos[i]] + b[pos[i]])
+        total = -np.log(1 / (1 + np.exp(-pl_)))
+        for s in range(S):
+            nl = float(u[i] @ w[neg[s]] + b[neg[s]])
+            total += -np.log(1 - 1 / (1 + np.exp(-nl)))
+        per.append(total)
+    np.testing.assert_allclose(got, np.mean(per), rtol=1e-5)
+
+
+def test_ssl_loss_prefers_aligned_views():
+    from librecommender_tpu.ops.losses import ssl_loss
+
+    rng = np.random.default_rng(3)
+    v = jnp.asarray(rng.normal(size=(32, 8)))
+    aligned = float(ssl_loss(v, v))
+    shuffled = float(ssl_loss(v, v[::-1]))
+    assert aligned < shuffled
