@@ -11,15 +11,29 @@ import numpy as np
 from aiohttp import web
 
 
-def _raw_items(store, ids):
-    id2item = store.get("id2item")
+def _cached(app, key, builder):
+    """Materialize immutable store payloads ONCE per app: store.get may
+    deserialize (RedisStore json-parses; list->ndarray conversion of a
+    ~1M-element CSR costs ~100 ms) — paying that per request was the
+    difference between ~12 and several hundred req/s."""
+    cache = app.setdefault("_cache", {})
+    if key not in cache:
+        cache[key] = builder()
+    return cache[key]
+
+
+def _raw_items(app, ids):
+    id2item = _cached(app, "id2item", lambda: app["store"].get("id2item"))
     return [id2item.get(str(int(i)), int(i)) for i in ids]
 
 
-def _uid_consumed(store, user):
-    user2id = store.get("user2id")
+def _uid_consumed(app, user):
+    store = app["store"]
+    user2id = _cached(app, "user2id", lambda: store.get("user2id"))
     uid = user2id.get(str(user))
-    consumed = store.get("user_consumed") or {}
+    consumed = _cached(
+        app, "user_consumed", lambda: store.get("user_consumed") or {}
+    )
     return uid, set(consumed.get(str(uid), []) if uid is not None else [])
 
 
@@ -27,17 +41,23 @@ async def knn_recommend(request):
     """Sim-aggregation recommendation (reference knn_deploy.py:18)."""
     body = await request.json()
     user, n_rec = body["user"], int(body.get("n_rec", 10))
-    store = request.app["store"]
-    uid, consumed = _uid_consumed(store, user)
+    app = request.app
+    store = app["store"]
+    uid, consumed = _uid_consumed(app, user)
     if uid is None:
         return web.json_response({"rec_list": []}, status=200)
-    meta = store.get("model_meta")
+    meta = _cached(app, "model_meta", lambda: store.get("model_meta"))
     n_items = meta["n_items"]
-    inter = store.get("interaction")
-    indptr, indices, data = inter["indptr"], inter["indices"], inter["data"]
-    indptr = np.asarray(indptr)
-    indices = np.asarray(indices)
-    data = np.asarray(data)
+
+    def _inter_arrays():
+        inter = store.get("interaction")
+        return (
+            np.asarray(inter["indptr"]),
+            np.asarray(inter["indices"]),
+            np.asarray(inter["data"]),
+        )
+
+    indptr, indices, data = _cached(app, "interaction", _inter_arrays)
     scores = np.zeros(n_items)
     if store.get("cf_mode") == "user":
         # sim-weighted sum of neighbor interaction rows, vectorized over the
@@ -56,9 +76,11 @@ async def knn_recommend(request):
             vals = np.fromiter((p[1] for p in flat), np.float64, len(flat))
             np.add.at(scores, nbrs, vals)
     scores[list(consumed)] = -np.inf
-    top = np.argsort(-scores)[:n_rec]
+    take = min(n_rec, n_items - 1)
+    top = np.argpartition(-scores, take)[:n_rec]
+    top = top[np.argsort(-scores[top])]
     top = [int(t) for t in top if np.isfinite(scores[t])][:n_rec]
-    return web.json_response({"rec_list": _raw_items(store, top)})
+    return web.json_response({"rec_list": _raw_items(app, top)})
 
 
 async def embed_recommend(request):
@@ -66,17 +88,24 @@ async def embed_recommend(request):
     top-k replaces the faiss index)."""
     body = await request.json()
     user, n_rec = body["user"], int(body.get("n_rec", 10))
-    store = request.app["store"]
-    uid, consumed = _uid_consumed(store, user)
-    user_embed = np.asarray(store.get("user_embed"))
-    item_embed = np.asarray(store.get("item_embed"))
-    n_items = store.get("model_meta")["n_items"]
+    app = request.app
+    store = app["store"]
+    uid, consumed = _uid_consumed(app, user)
+    user_embed = _cached(
+        app, "user_embed", lambda: np.asarray(store.get("user_embed"))
+    )
+    item_embed = _cached(
+        app, "item_embed", lambda: np.asarray(store.get("item_embed"))
+    )
+    n_items = _cached(app, "model_meta", lambda: store.get("model_meta"))["n_items"]
     row = user_embed[uid if uid is not None else -1]
     scores = item_embed[:n_items] @ row
     if consumed:
         scores[list(consumed)] = -np.inf
-    top = np.argsort(-scores)[:n_rec]
-    return web.json_response({"rec_list": _raw_items(store, [int(t) for t in top])})
+    take = min(n_rec, n_items - 1)
+    top = np.argpartition(-scores, take)[:n_rec]
+    top = top[np.argsort(-scores[top])]
+    return web.json_response({"rec_list": _raw_items(app, [int(t) for t in top])})
 
 
 def _get_model(app):
