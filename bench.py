@@ -177,6 +177,51 @@ def cpu_baseline():
     return value
 
 
+def _emit(extra, cpu_eps=None):
+    bpr = extra.get("bpr") or {}
+    device_eps = bpr.get("examples_per_s")
+    print(json.dumps({
+        "metric": "bpr_fit_throughput",
+        "value": device_eps,
+        "unit": "examples/s",
+        "vs_baseline": round(device_eps / cpu_eps, 2)
+        if (device_eps and cpu_eps) else None,
+        "extra": extra,
+    }), flush=True)
+
+
+def _watchdogs(extra):
+    """The shared-tunnel TPU can block INDEFINITELY (backend init after an
+    outage, or queued work from a killed client) — exceptions are handled
+    per-model, hangs are not. Two daemon watchdogs keep the driver's
+    round-end run from producing nothing: device init gets 300s; the whole
+    bench gets 3600s and then emits best-so-far."""
+    import threading
+
+    device_ok = threading.Event()
+
+    def device_probe():
+        import jax
+
+        jax.devices()
+        device_ok.set()
+
+    def device_guard():
+        if not device_ok.wait(300):
+            _emit({"error": "device init timed out (TPU tunnel unavailable)"})
+            os._exit(3)
+
+    def overall_guard():
+        time.sleep(3600)
+        extra.setdefault("error", "bench wall-clock watchdog fired")
+        _emit(extra)
+        os._exit(4)
+
+    threading.Thread(target=device_probe, daemon=True).start()
+    threading.Thread(target=device_guard, daemon=True).start()
+    threading.Thread(target=overall_guard, daemon=True).start()
+
+
 def main():
     if "--cpu-probe" in sys.argv:
         import jax
@@ -187,25 +232,18 @@ def main():
         return
     details = Path(__file__).parent / "BENCH_DETAILS.json"
     extra = {}
+    _watchdogs(extra)
     for name in ("bpr", "din", "lightgcn"):
         try:
             extra[name] = measure(name)
         except Exception as exc:  # keep the headline alive on any failure
             extra[name] = {"error": f"{type(exc).__name__}: {exc}"[:200]}
         details.write_text(json.dumps(extra, indent=2))  # survive timeouts
-    device_eps = extra["bpr"]["examples_per_s"]
     try:
         cpu_eps = cpu_baseline()
     except Exception:
         cpu_eps = None
-    result = {
-        "metric": "bpr_fit_throughput",
-        "value": device_eps,
-        "unit": "examples/s",
-        "vs_baseline": round(device_eps / cpu_eps, 2) if cpu_eps else None,
-        "extra": extra,
-    }
-    print(json.dumps(result))
+    _emit(extra, cpu_eps)
 
 
 if __name__ == "__main__":
