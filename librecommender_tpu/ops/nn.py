@@ -279,18 +279,21 @@ def gru(params, x, mask=None, h0=None):
     sequences yield the state at their true last step. Implemented with
     `lax.scan` (libreco/layers/recurrent.py:4 used cudnn GRU).
     """
-    B, L, _ = x.shape
+    B, L, D = x.shape
     H = params["wh"].shape[0]
     h_init = jnp.zeros((B, H)) if h0 is None else h0
-    xs = jnp.swapaxes(x, 0, 1)                                   # (L, B, D)
+    # hoist the input projection out of the scan: ONE (B*L, D) @ (D, 3H)
+    # MXU matmul instead of L small ones inside the loop (the cuDNN RNN
+    # trick); the scan keeps only the recurrent h @ wh
+    gates_x = (x.reshape(B * L, D) @ params["wi"] + params["b"]).reshape(B, L, 3 * H)
+    gs = jnp.swapaxes(gates_x, 0, 1)                             # (L, B, 3H)
     ms = (jnp.swapaxes(mask, 0, 1) if mask is not None
           else jnp.ones((L, B), dtype=bool))
 
     def step(h, inputs):
-        xt, mt = inputs
-        gates_x = xt @ params["wi"] + params["b"]
+        gx, mt = inputs
         gates_h = h @ params["wh"]
-        xr, xz, xn = jnp.split(gates_x, 3, axis=-1)
+        xr, xz, xn = jnp.split(gx, 3, axis=-1)
         hr, hz, hn = jnp.split(gates_h, 3, axis=-1)
         r = jax.nn.sigmoid(xr + hr)
         z = jax.nn.sigmoid(xz + hz)
@@ -299,7 +302,7 @@ def gru(params, x, mask=None, h0=None):
         h_new = jnp.where(mt[:, None], h_new, h)
         return h_new, h_new
 
-    h_final, hs = jax.lax.scan(step, h_init, (xs, ms))
+    h_final, hs = jax.lax.scan(step, h_init, (gs, ms))
     return h_final, jnp.swapaxes(hs, 0, 1)
 
 
@@ -313,23 +316,25 @@ def init_lstm(rng, in_dim, hidden_dim):
 
 
 def lstm(params, x, mask=None):
-    B, L, _ = x.shape
+    B, L, D = x.shape
     H = params["wh"].shape[0]
-    xs = jnp.swapaxes(x, 0, 1)
+    # input projection hoisted out of the scan (see gru)
+    gates_x = (x.reshape(B * L, D) @ params["wi"] + params["b"]).reshape(B, L, 4 * H)
+    gs = jnp.swapaxes(gates_x, 0, 1)
     ms = (jnp.swapaxes(mask, 0, 1) if mask is not None
           else jnp.ones((L, B), dtype=bool))
 
     def step(carry, inputs):
         h, c = carry
-        xt, mt = inputs
-        gates = xt @ params["wi"] + h @ params["wh"] + params["b"]
+        gx, mt = inputs
+        gates = gx + h @ params["wh"]
         i, f, g, o = jnp.split(gates, 4, axis=-1)
         c_new = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
         h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
         keep = mt[:, None]
         return (jnp.where(keep, h_new, h), jnp.where(keep, c_new, c)), h_new
 
-    (h_final, _), hs = jax.lax.scan(step, (jnp.zeros((B, H)), jnp.zeros((B, H))), (xs, ms))
+    (h_final, _), hs = jax.lax.scan(step, (jnp.zeros((B, H)), jnp.zeros((B, H))), (gs, ms))
     return h_final, jnp.swapaxes(hs, 0, 1)
 
 
