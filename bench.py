@@ -120,8 +120,11 @@ def _build(name, n_rows):
             _feat_frame(n_rows), user_col=["sex", "age"], item_col=["genre"],
             sparse_col=["sex", "genre"], dense_col=["age"],
         )
+        # batch_size counts negatives too (reference adjust_batch_size
+        # semantics): 2*BATCH_SIZE keeps the measured geometry at
+        # BATCH_SIZE positives + BATCH_SIZE negatives per step
         model = DIN("ranking", data_info, embed_size=EMBED_SIZE,
-                    n_epochs=epochs, lr=0.001, batch_size=BATCH_SIZE,
+                    n_epochs=epochs, lr=0.001, batch_size=2 * BATCH_SIZE,
                     recent_num=10, hidden_units=(128, 64, 32))
     elif name == "lightgcn":
         train_data, data_info = DatasetPure.build_trainset(_pure_frame(n_rows))

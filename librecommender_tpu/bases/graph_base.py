@@ -9,6 +9,13 @@ reference's full-graph torch forward (torch_modules/lightgcn_module.py:36-62)
 — with per-batch indexing for the loss. Propagation is gather + segment_sum
 over static edge arrays: XLA fuses this into efficient scatter adds, and the
 (rows, D) matrices stay in HBM.
+
+The graph family defaults to Adam epsilon=1e-8 — the reference's torch
+models use torch Adam's default (libreco/algorithms/lightgcn.py:82,
+ngcf.py:84, graphsage.py:121, pinsage.py:125), unlike its TF family's 1e-5
+(tfops/configs.py). At init scale 0.1 the second moments are small enough
+that 1e-5 visibly damps the effective step (measured on the 1M synthetic:
+LightGCN AUC 0.598 @eps 1e-5 vs reference 0.681 at identical configs).
 """
 import jax
 import jax.numpy as jnp
@@ -44,7 +51,71 @@ class GraphEmbedBase(EmbedBase):
         rng = jax.random.PRNGKey(self.seed)
         self.params = self._init_params(rng)
 
+    def _i2i_loss(self, params, batch, rng):
+        """Item-to-item training: walk pairs + negatives drawn in-kernel.
+
+        Reference: GraphCollator's i2i branch (libreco/batch/collators.py:
+        348-361) — start nodes (uniform or inverse-popularity), bipartite
+        random-walk positive pairs, negatives excluding anchor AND positive.
+        Here the walks run on device over the padded neighbor tables
+        (graph/walks.py) so every step draws fresh pairs without host work;
+        pairs the reference would skip carry zero weight instead.
+        """
+        from ..graph.walks import i2i_negatives, walk_pairs
+
+        weight = batch["weight"]
+        b = weight.shape[0]
+        rng, r_start, r_walk, r_neg, r_prop = jax.random.split(rng, 5)
+        if self.start_node == "unpopular":
+            start = jax.random.categorical(
+                r_start, self._start_logits, shape=(b,)
+            ).astype(jnp.int32)
+        else:
+            start = jax.random.randint(r_start, (b,), 0, self.n_items)
+        anchors, positives, valid = walk_pairs(
+            r_walk, start, self.item_nbr, self.item_deg,
+            self.user_nbr, self.user_deg,
+            self.num_walks, self.sample_walk_len, self.focus_start,
+        )
+        w = jnp.repeat(weight, self.num_walks * self.sample_walk_len) * valid
+        neg = i2i_negatives(r_neg, self.n_items, anchors, positives,
+                            self.num_neg,
+                            logits=getattr(self, "_neg_logits", None))
+        _, item_out = self._propagate(params, r_prop, True)
+        a = item_out[anchors]
+        p = item_out[positives]
+        n = item_out[neg]  # (P, S, D)
+        s = self.num_neg
+        pos_scores = jnp.sum(a * p, axis=1)
+        neg_scores = jnp.einsum("pd,psd->ps", a, n)
+        if self.loss_type in ("bpr", "max_margin"):
+            pair_loss = bpr_loss if self.loss_type == "bpr" else max_margin_loss
+            loss = pair_loss(
+                jnp.repeat(pos_scores[:, None], s, axis=1).reshape(-1),
+                neg_scores.reshape(-1),
+                jnp.repeat(w[:, None], s, axis=1).reshape(-1),
+            )
+        else:
+            logits = jnp.concatenate([pos_scores, neg_scores.reshape(-1)])
+            labels = jnp.concatenate(
+                [jnp.ones_like(pos_scores), jnp.zeros(neg_scores.size)]
+            )
+            w_all = jnp.concatenate(
+                [w, jnp.repeat(w[:, None], s, axis=1).reshape(-1)]
+            )
+            point_loss = (
+                bce_loss if self.loss_type == "cross_entropy" else focal_loss
+            )
+            loss = point_loss(logits, labels, w_all)
+        if getattr(self, "reg", None):
+            loss += self.reg * sum(
+                jnp.sum(jnp.square(e)) for e in (a, p, n)
+            ) / anchors.shape[0]
+        return loss
+
     def loss_fn(self, params, batch, rng):
+        if getattr(self, "graph_paradigm", "u2i") == "i2i":
+            return self._i2i_loss(params, batch, rng)
         users, items, labels, weight = (
             batch["user"], batch["item"], batch["label"], batch["weight"],
         )
@@ -99,9 +170,21 @@ class GraphEmbedBase(EmbedBase):
     def set_embeddings(self):
         prop = jax.jit(lambda p: self._propagate(p, jax.random.PRNGKey(0), False))
         user_out, item_out = prop(self.params)
-        self.user_embeds_np = self._append_oov(
-            np.asarray(user_out)[: self.n_users]
-        )
-        self.item_embeds_np = self._append_oov(
-            np.asarray(item_out)[: self.n_items]
-        )
+        item_np = np.asarray(item_out)[: self.n_items]
+        if getattr(self, "graph_paradigm", "u2i") == "i2i":
+            # i2i never trains a user tower: a user is the mean of their
+            # consumed items' final embeddings (sage_base.py:170-175)
+            user_np = np.zeros((self.n_users, item_np.shape[1]), item_np.dtype)
+            counts = np.zeros(self.n_users, dtype=item_np.dtype)
+            uc = self.data_info.user_consumed
+            idx_u = np.concatenate(
+                [np.full(len(v), int(u)) for u, v in uc.items()]
+            )
+            idx_i = np.concatenate([np.asarray(v) for v in uc.values()])
+            np.add.at(user_np, idx_u, item_np[idx_i])
+            np.add.at(counts, idx_u, 1.0)
+            user_np /= np.maximum(counts, 1.0)[:, None]
+        else:
+            user_np = np.asarray(user_out)[: self.n_users]
+        self.user_embeds_np = self._append_oov(user_np)
+        self.item_embeds_np = self._append_oov(item_np)

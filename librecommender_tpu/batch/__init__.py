@@ -1,3 +1,3 @@
-from .generator import BatchGenerator
+from .generator import BatchGenerator, adjust_batch_size
 
-__all__ = ["BatchGenerator"]
+__all__ = ["BatchGenerator", "adjust_batch_size"]

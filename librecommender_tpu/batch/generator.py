@@ -30,6 +30,36 @@ from ..sampling.negatives import (
 )
 
 
+def adjust_batch_size(model, original_batch_size):
+    """Interpret ``batch_size`` as TOTAL examples per step, negatives
+    included — the reference's semantics (libreco/batch/batch_data.py:93).
+
+    With num_neg=1 a pointwise sampling model at batch_size=2048 trains on
+    1024 positives + 1024 negatives per step (so twice the optimizer steps
+    per epoch of a positives-only reading); pairwise divides by num_neg;
+    listwise (in-batch softmax) and walk-expanded i2i graph models divide by
+    their own expansion factors. Matching this is what makes quality parity
+    hold at byte-identical configs (see PARITY.md optimizer-dynamics note).
+    """
+    if getattr(model, "graph_paradigm", None) == "i2i":
+        # each start node expands into num_walks * walk_len pairs on device
+        bs = (
+            original_batch_size
+            / model.num_neg
+            / model.num_walks
+            / model.sample_walk_len
+        )
+        return max(1, int(bs))
+    paradigm = getattr(model, "paradigm", "pointwise")
+    if paradigm == "listwise":
+        return original_batch_size
+    if getattr(model, "sampler", None) is not None:
+        if getattr(model, "loss_type", None) in ("cross_entropy", "focal"):
+            return max(1, int(original_batch_size / (model.num_neg + 1)))
+        return max(1, int(original_batch_size / model.num_neg))
+    return original_batch_size
+
+
 class BatchGenerator:
     """Yields fixed-shape batch dicts per epoch.
 
@@ -92,6 +122,16 @@ class BatchGenerator:
             }
 
     @property
+    def has_host_negatives(self):
+        """True when negatives are host-sampled per epoch (popular /
+        unconsumed samplers on the pointwise/pairwise paradigms)."""
+        return (
+            self.neg_sampling
+            and not self.device_side_sampling
+            and self.paradigm != "listwise"
+        )
+
+    @property
     def n_samples(self):
         return len(self.labels)
 
@@ -134,7 +174,9 @@ class BatchGenerator:
     def epoch_negatives(self):
         """Per-epoch host-sampled negatives (popular/unconsumed samplers),
         padded like epoch_arrays; None when sampling is device-side or off."""
-        if not self.neg_sampling or self.device_side_sampling:
+        if not self.has_host_negatives:
+            # device-side sampling, sampling off, or listwise/i2i (in-batch
+            # softmax and walk expansion draw negatives inside the step)
             return None
         total = self.n_batches() * self.batch_size
         negs = self._sample_negatives(self.item_indices, self.user_indices)

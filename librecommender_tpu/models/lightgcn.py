@@ -27,7 +27,7 @@ class LightGCN(GraphEmbedBase):
         n_epochs=20,
         lr=0.001,
         lr_decay=False,
-        epsilon=1e-5,
+        epsilon=1e-8,
         reg=None,
         batch_size=256,
         sampler="random",

@@ -68,13 +68,17 @@ class Trainer:
         optimizer=None,
         mesh=None,
     ):
+        from ..batch import adjust_batch_size
+
         self.model = model
         self.mesh = mesh
         self.n_epochs = n_epochs
         self.lr = lr
         self.lr_decay = lr_decay
         self.epsilon = epsilon
-        self.batch_size = batch_size
+        # reference semantics: batch_size counts TOTAL examples per step,
+        # negatives/walk expansion included (libreco/training/trainer.py:28)
+        self.batch_size = adjust_batch_size(model, batch_size)
         self.sampler = sampler
         self.num_neg = num_neg
         self.lr_schedule = lr_schedule
@@ -336,8 +340,7 @@ class Trainer:
             self.num_neg,
             generator.n_batches(),
             self.batch_size,
-            has_host_negs=generator.neg_sampling
-            and not generator.device_side_sampling,
+            has_host_negs=generator.has_host_negatives,
             shuffle=shuffle,
             n_rows=n_rows,
         )

@@ -72,6 +72,12 @@ def main():
         info = pure_info if kind == "pure" else feat_info
         try:
             model = cls("ranking", info, **{**common, **extra})
+            # batch_size counts negatives too (reference adjust_batch_size
+            # semantics) — scale it so every family keeps B positives/step,
+            # the geometry the recorded zoo numbers were measured at
+            from librecommender_tpu.batch import adjust_batch_size
+
+            model.batch_size = B * (B // adjust_batch_size(model, B))
             model.fit(train, neg_sampling=neg, verbose=0)
             ts = model.trainer.epoch_times[1:]
             eps = len(train) / (sum(ts) / len(ts))

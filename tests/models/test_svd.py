@@ -90,15 +90,28 @@ def test_svdpp_end_to_end(pure_builds, pure_frames, tmp_path):
 
 
 def test_svd_sparse_optimizer(pure_builds):
-    """Lazy row-sparse Adam path trains SVD to comparable quality."""
+    """Lazy row-sparse Adam trains SVD to the dense path's quality.
+
+    The tiny random fixture has no generalizable structure (eval AUC sits
+    at/below chance for every optimizer), so the assertion is relative:
+    the sparse path LEARNS (train AUC) and matches dense eval quality."""
     from librecommender_tpu.evaluation import evaluate
 
     train_data, eval_data, *_ , data_info = pure_builds
-    m = SVD("ranking", data_info, embed_size=8, n_epochs=3, lr=0.01,
-            batch_size=256, sparse_optimizer=True)
-    m.fit(train_data, neg_sampling=True, verbose=0)
-    res = evaluate(m, eval_data, neg_sampling=True, metrics=["roc_auc"])
-    assert np.isfinite(res["roc_auc"]) and res["roc_auc"] > 0.45
+    aucs = {}
+    for sparse in (False, True):
+        m = SVD("ranking", data_info, embed_size=8, n_epochs=3, lr=0.01,
+                batch_size=256, sparse_optimizer=sparse)
+        m.fit(train_data, neg_sampling=True, verbose=0)
+        train_auc = evaluate(
+            m, train_data, neg_sampling=True, metrics=["roc_auc"]
+        )["roc_auc"]
+        eval_auc = evaluate(
+            m, eval_data, neg_sampling=True, metrics=["roc_auc"]
+        )["roc_auc"]
+        assert train_auc > 0.55
+        aucs[sparse] = eval_auc
+    assert abs(aucs[True] - aucs[False]) < 0.05
 
 
 def test_svdpp_dense_implicit_matches_gather(pure_builds):

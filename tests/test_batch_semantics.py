@@ -1,0 +1,79 @@
+"""Reference batch-size semantics: ``batch_size`` counts TOTAL examples
+per step, negatives included (libreco/batch/batch_data.py:93
+``adjust_batch_size``, applied in libreco/training/trainer.py:28).
+"""
+import pandas as pd
+import pytest
+
+from librecommender_tpu.batch import adjust_batch_size
+from librecommender_tpu.data import DatasetPure
+from librecommender_tpu.models import BPR, SVD, LightGCN, YouTubeRetrieval
+
+
+class _Stub:
+    def __init__(self, paradigm="pointwise", loss_type="cross_entropy",
+                 sampler="random", num_neg=1):
+        self.paradigm = paradigm
+        self.loss_type = loss_type
+        self.sampler = sampler
+        self.num_neg = num_neg
+
+
+@pytest.mark.parametrize(
+    "kwargs, bs, expected",
+    [
+        # pointwise cross_entropy: 1 positive + num_neg negatives per row
+        (dict(loss_type="cross_entropy", num_neg=1), 2048, 1024),
+        (dict(loss_type="focal", num_neg=4), 2048, 409),
+        # pairwise: num_neg pairs per positive
+        (dict(paradigm="pairwise", loss_type="bpr", num_neg=1), 2048, 2048),
+        (dict(paradigm="pairwise", loss_type="bpr", num_neg=4), 2048, 512),
+        # listwise (in-batch softmax): positives only, no division
+        (dict(paradigm="listwise", loss_type="softmax"), 2048, 2048),
+        # no sampler (e.g. rating data with real labels): unchanged
+        (dict(sampler=None), 2048, 2048),
+    ],
+)
+def test_adjust_batch_size(kwargs, bs, expected):
+    assert adjust_batch_size(_Stub(**kwargs), bs) == expected
+
+
+def test_trainer_uses_adjusted_batch(pure_small):
+    train_data, data_info = pure_small
+    model = SVD("ranking", data_info, embed_size=8, n_epochs=1,
+                batch_size=64, num_neg=1)
+    model.fit(train_data, neg_sampling=True, verbose=0)
+    # pointwise CE: 64 total examples/step -> 32 positives per step
+    assert model.trainer.batch_size == 32
+
+    model = BPR("ranking", data_info, embed_size=8, n_epochs=1,
+                batch_size=64, num_neg=1)
+    model.fit(train_data, neg_sampling=True, verbose=0)
+    assert model.trainer.batch_size == 64  # pairwise / num_neg=1
+
+
+def test_torch_family_epsilon_defaults(pure_small):
+    """Graph models default to torch Adam's eps=1e-8
+    (reference libreco/algorithms/lightgcn.py:82); TF family keeps 1e-5."""
+    _, data_info = pure_small
+    assert LightGCN("ranking", data_info).epsilon == 1e-8
+    assert SVD("ranking", data_info).epsilon == 1e-5
+
+
+@pytest.fixture
+def pure_small():
+    rows = []
+    for u in range(30):
+        for i in range(u % 7, 40, 7):
+            rows.append((u, i, 1.0, u * 40 + i))
+    frame = pd.DataFrame(rows, columns=["user", "item", "label", "time"])
+    return DatasetPure.build_trainset(frame)
+
+
+def test_ytr_listwise_unadjusted(pure_small):
+    train_data, data_info = pure_small
+    model = YouTubeRetrieval(
+        "ranking", data_info, embed_size=8, n_epochs=1, batch_size=64,
+        loss_type="sampled_softmax",
+    )
+    assert adjust_batch_size(model, 64) == 64
