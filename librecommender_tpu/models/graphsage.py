@@ -7,9 +7,19 @@ per-batch host-side neighbor sampling (graph/neighbor_walk.py:7), padded
 neighbor tables are built once; each training step draws a fresh fixed-size
 neighbor subset on device (uniform indices modulo degree), keeping the hot
 loop free of host work.
+
+Both reference training paradigms are supported (sage_base.py:33-96):
+``paradigm="u2i"`` trains user-item pairs; ``paradigm="i2i"`` trains
+item-item pairs from bipartite random walks — start nodes uniform or
+inverse-popularity (``start_node``), ``num_walks`` x ``sample_walk_len``
+pairs per start, ``focus_start`` anchoring, negatives excluding anchor and
+positive. The walks themselves run in-kernel (graph/walks.py) instead of in
+a host collator (collators.py:348), and at inference a user is the mean of
+their consumed items' embeddings.
 """
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..bases.graph_base import GraphEmbedBase
 from ..graph.adjacency import build_neighbor_table
@@ -28,7 +38,7 @@ class GraphSage(GraphEmbedBase):
         n_epochs=20,
         lr=0.001,
         lr_decay=False,
-        epsilon=1e-5,
+        epsilon=1e-8,
         reg=None,
         batch_size=256,
         sampler="random",
@@ -36,6 +46,11 @@ class GraphSage(GraphEmbedBase):
         num_layers=2,
         num_neighbors=10,
         max_stored_neighbors=50,
+        paradigm="u2i",
+        num_walks=10,
+        sample_walk_len=5,
+        start_node="random",
+        focus_start=False,
         seed=42,
     ):
         self.all_args = {
@@ -44,6 +59,17 @@ class GraphSage(GraphEmbedBase):
         }
         if task != "ranking":
             raise ValueError("GraphSage is only suitable for ranking")
+        if paradigm not in ("u2i", "i2i"):
+            raise ValueError("`paradigm` must be one of ('u2i', 'i2i')")
+        if start_node not in ("random", "unpopular"):
+            raise ValueError("`start_node` must be one of ('random', 'unpopular')")
+        if paradigm == "i2i" and sampler is None:
+            raise ValueError("the i2i paradigm requires negative sampling")
+        if paradigm == "i2i" and sampler not in ("random", "popular"):
+            raise ValueError(
+                "i2i negatives are drawn in-kernel; sampler must be "
+                "'random' or 'popular'"
+            )
         super().__init__(task, data_info, loss_type, embed_size, None, seed)
         self.n_epochs = n_epochs
         self.lr = lr
@@ -56,6 +82,16 @@ class GraphSage(GraphEmbedBase):
         self.num_layers = num_layers
         self.num_neighbors = num_neighbors
         self.max_stored_neighbors = max_stored_neighbors
+        self.graph_paradigm = paradigm
+        self.num_walks = num_walks
+        self.sample_walk_len = sample_walk_len
+        self.start_node = start_node
+        self.focus_start = focus_start
+        if paradigm == "i2i":
+            # batch rows only set the walk count per step: start nodes,
+            # walk pairs and negatives are all drawn in-kernel
+            # (graph/walks.py), so the generator ships positives only
+            self.paradigm = "listwise"
         self.user_nbr = self.user_deg = None
         self.item_nbr = self.item_deg = None
 
@@ -70,6 +106,31 @@ class GraphSage(GraphEmbedBase):
         )
         self.user_nbr, self.user_deg = jnp.asarray(un), jnp.asarray(uc)
         self.item_nbr, self.item_deg = jnp.asarray(inn), jnp.asarray(ic)
+        if self.graph_paradigm == "i2i" and self.sampler == "popular":
+            from ..sampling.negatives import neg_probs_from_frequency
+
+            p = neg_probs_from_frequency(
+                self.data_info.item_consumed, self.n_items, 0.75
+            )
+            self._neg_logits = jnp.asarray(
+                np.where(p > 0, np.log(np.maximum(p, 1e-30)), -np.inf),
+                dtype=jnp.float32,
+            )
+        if self.graph_paradigm == "i2i" and self.start_node == "unpopular":
+            from ..sampling.negatives import pos_probs_from_frequency
+
+            probs = np.asarray(
+                pos_probs_from_frequency(
+                    self.data_info.item_consumed, self.n_users, self.n_items,
+                    1e-3,
+                ),
+                dtype=np.float64,
+            )
+            probs = np.nan_to_num(probs, nan=0.0, posinf=0.0)
+            self._start_logits = jnp.asarray(
+                np.where(probs > 0, np.log(np.maximum(probs, 1e-30)), -np.inf),
+                dtype=jnp.float32,
+            )
         super().build_model()
 
     def _init_params(self, rng):

@@ -25,7 +25,7 @@ class PinSage(GraphSage):
         n_epochs=20,
         lr=0.001,
         lr_decay=False,
-        epsilon=1e-5,
+        epsilon=1e-8,
         reg=None,
         batch_size=256,
         sampler="random",
@@ -35,17 +35,22 @@ class PinSage(GraphSage):
         num_walks=10,
         termination_prob=0.5,
         max_stored_neighbors=50,
+        paradigm="u2i",
+        sample_walk_len=5,
+        start_node="random",
+        focus_start=False,
         seed=42,
     ):
         super().__init__(
             task, data_info, loss_type, embed_size, n_epochs, lr, lr_decay,
             epsilon, reg, batch_size, sampler, num_neg, num_layers,
-            num_neighbors, max_stored_neighbors, seed,
+            num_neighbors, max_stored_neighbors, paradigm=paradigm,
+            num_walks=num_walks, sample_walk_len=sample_walk_len,
+            start_node=start_node, focus_start=focus_start, seed=seed,
         )
         self.all_args.update(
             num_walks=num_walks, termination_prob=termination_prob
         )
-        self.num_walks = num_walks
         self.termination_prob = termination_prob
         self.item_item_nbr = None
         self.item_item_w = None

@@ -161,4 +161,9 @@ def check_eval(eval_data, k, n_items):
 
 
 def is_listwise_training(model):
-    return getattr(model, "paradigm", "") == "listwise"
+    # i2i graph models ride the listwise batch path (positives only; walk
+    # pairs + negatives drawn in-kernel) but ARE negative-sampling trainers
+    return (
+        getattr(model, "paradigm", "") == "listwise"
+        and getattr(model, "graph_paradigm", None) != "i2i"
+    )

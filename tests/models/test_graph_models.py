@@ -31,6 +31,92 @@ def test_graph_model_end_to_end(pure_builds, pure_frames, name, loss_type, tmp_p
     assert np.isfinite(result["roc_auc"])
 
 
+@pytest.mark.parametrize("name", ["GraphSage", "PinSage"])
+@pytest.mark.parametrize(
+    "loss_type, sampler, start_node, focus_start",
+    [
+        ("bpr", "random", "random", False),
+        ("cross_entropy", "popular", "unpopular", True),
+        ("max_margin", "random", "random", False),
+        ("focal", "random", "random", True),
+    ],
+)
+def test_sage_i2i_end_to_end(
+    pure_builds, pure_frames, name, loss_type, sampler, start_node,
+    focus_start, tmp_path
+):
+    """i2i paradigm: device-side walk pairs, in-kernel negatives, user =
+    mean of consumed item embeddings at inference (reference
+    sage_base.py:170, collators.py:348)."""
+    train_data, eval_data, test_data, data_info = pure_builds
+    cls, extra = MODELS[name]
+    extra = {k: v for k, v in extra.items() if k != "num_walks"}
+    model = cls(
+        "ranking", data_info, loss_type=loss_type, embed_size=8,
+        n_epochs=1, batch_size=256, paradigm="i2i", sampler=sampler,
+        num_walks=3, sample_walk_len=2, start_node=start_node,
+        focus_start=focus_start, **extra,
+    )
+    model.fit(train_data, neg_sampling=True, verbose=1, eval_data=eval_data)
+    # batch expansion factor: num_neg * num_walks * walk_len
+    assert model.trainer.batch_size == 256 // (1 * 3 * 2)
+    ptest_preds(model, "ranking", pure_frames)
+    ptest_recommends(model, data_info, pure_frames)
+    ptest_save_load(model, cls, data_info, pure_frames, tmp_path)
+    result = evaluate(model, test_data, neg_sampling=True, metrics=["roc_auc"])
+    assert np.isfinite(result["roc_auc"])
+    # i2i user embedding contract: mean of consumed item embeddings
+    u = 0
+    consumed = data_info.user_consumed[u]
+    expect = model.item_embeds_np[consumed].mean(axis=0)
+    np.testing.assert_allclose(model.user_embeds_np[u], expect, rtol=1e-5)
+
+
+def test_sage_i2i_invalid_combos(pure_builds):
+    *_, data_info = pure_builds
+    with pytest.raises(ValueError):
+        GraphSage("ranking", data_info, paradigm="wrong")
+    with pytest.raises(ValueError):
+        GraphSage("ranking", data_info, paradigm="i2i", start_node="popular")
+    with pytest.raises(ValueError):
+        GraphSage("ranking", data_info, paradigm="i2i", sampler="unconsumed")
+
+
+def test_walk_pairs_properties(pure_builds):
+    """Walk positives are genuine co-consumption neighbors; anchors stay
+    at the start node under focus_start."""
+    import jax
+
+    from librecommender_tpu.graph.walks import i2i_negatives, walk_pairs
+
+    *_, data_info = pure_builds
+    model = GraphSage("ranking", data_info, paradigm="i2i", num_walks=4,
+                      sample_walk_len=3, focus_start=True)
+    model.build_model()
+    start = np.arange(8, dtype=np.int32)
+    anchors, pos, valid = jax.jit(
+        lambda r, s: walk_pairs(
+            r, s, model.item_nbr, model.item_deg, model.user_nbr,
+            model.user_deg, 4, 3, True,
+        )
+    )(jax.random.PRNGKey(0), start)
+    anchors, pos, valid = map(np.asarray, (anchors, pos, valid))
+    assert anchors.shape == (8 * 4 * 3,)
+    # focus_start anchors every pair at its start node
+    np.testing.assert_array_equal(
+        anchors, np.repeat(start, 12)
+    )
+    assert ((pos >= 0) & (pos < data_info.n_items)).all()
+    # no valid pair walks back into its anchor
+    assert (pos[valid > 0] != anchors[valid > 0]).all()
+    neg = np.asarray(
+        i2i_negatives(jax.random.PRNGKey(1), data_info.n_items,
+                      anchors, pos, 2)
+    )
+    assert neg.shape == (anchors.shape[0], 2)
+    assert ((neg >= 0) & (neg < data_info.n_items)).all()
+
+
 def test_lightgcn_learns(pure_builds):
     train_data, *_, data_info = pure_builds
     model = LightGCN("ranking", data_info, loss_type="bpr", embed_size=16,
