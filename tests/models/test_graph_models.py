@@ -115,6 +115,17 @@ def test_walk_pairs_properties(pure_builds):
     )
     assert neg.shape == (anchors.shape[0], 2)
     assert ((neg >= 0) & (neg < data_info.n_items)).all()
+    # one-hop walks: every valid positive must share >=1 consumer with
+    # its anchor (true bipartite co-occurrence, not arbitrary ids)
+    a1, p1, v1 = map(np.asarray, walk_pairs(
+        jax.random.PRNGKey(2), start, model.item_nbr, model.item_deg,
+        model.user_nbr, model.user_deg, 8, 1, True,
+    ))
+    item_users = {
+        i: set(us) for i, us in data_info.item_consumed.items()
+    }
+    for a, p in zip(a1[v1 > 0], p1[v1 > 0]):
+        assert item_users[int(a)] & item_users[int(p)], (a, p)
 
 
 def test_lightgcn_learns(pure_builds):
