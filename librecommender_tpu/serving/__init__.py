@@ -1,7 +1,9 @@
+from .export_model import load_exported, save_exported
 from .serialization import save_embed, save_ivf_index, save_knn, save_online
 from .store import DictStore, RedisStore, embed2store, knn2store, online2store
 
 __all__ = [
     "save_knn", "save_embed", "save_online", "save_ivf_index",
+    "save_exported", "load_exported",
     "DictStore", "RedisStore", "knn2store", "embed2store", "online2store",
 ]

@@ -1,0 +1,131 @@
+"""AOT serving artifacts via ``jax.export`` — the SavedModel analog.
+
+The reference exports TF SavedModels so its serving tier can score without
+the training library (libserving/serialization/tfmodel.py:17,37-66, consumed
+by TF Serving). The TPU-native equivalent is a serialized StableHLO program:
+``save_exported`` ahead-of-time-exports two scoring entry points with a
+symbolic batch dimension
+
+* ``predict``:   (params, users (b,), items (b,)) -> scores (b,)
+* ``score_all``: (params, users (b,)) -> scores (b, n_items)
+
+plus the params npz (the same flat layout as utils/save_load.save_params)
+and a JSON meta. ``load_exported`` reconstructs a scorer from those three
+files alone — no model class, no model-building code, any jax backend
+(CPU serving box or TPU) — and applies the model's output transform
+(sigmoid for ranking, clipping for rating) exactly like ``model.predict``.
+
+Feature tables, sequence caches and other non-param device state captured
+by the model's forward are baked into the program as constants, so the
+artifact is self-contained the way a SavedModel's frozen graph is.
+"""
+import json
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import export as jax_export
+
+from ..utils.save_load import flatten_tree, unflatten_tree
+
+
+def _param_specs(params):
+    return jax.tree.map(
+        lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), params
+    )
+
+
+def save_exported(path, name, model):
+    """Write ``{name}_predict.stablehlo``, ``{name}_score_all.stablehlo``,
+    ``{name}_export_params.npz`` and ``{name}_export_meta.json``."""
+    path = Path(path)
+    path.mkdir(parents=True, exist_ok=True)
+    model._ensure_inference_fns()
+    n_items = model.n_items
+    params = model.params
+    specs = _param_specs(params)
+    (b,) = jax_export.symbolic_shape("b")
+    ids = jax.ShapeDtypeStruct((b,), jnp.int32)
+
+    predict_exp = jax_export.export(model._predict_fn)(specs, ids, ids)
+
+    forward = model._forward
+
+    @jax.jit
+    def score_all(p, users):
+        items = jnp.broadcast_to(
+            jnp.arange(n_items, dtype=jnp.int32)[None, :],
+            (users.shape[0], n_items),
+        ).reshape(-1)
+        users_rep = jnp.repeat(users, n_items)
+        logits = forward(
+            p, {"user": users_rep, "item": items}, train=False, rng=None
+        )
+        return logits.reshape(users.shape[0], n_items)
+
+    score_exp = jax_export.export(score_all)(specs, ids)
+
+    (path / f"{name}_predict.stablehlo").write_bytes(predict_exp.serialize())
+    (path / f"{name}_score_all.stablehlo").write_bytes(score_exp.serialize())
+    host = jax.device_get(params)
+    flat = {k: np.asarray(v) for k, v in flatten_tree(host).items()}
+    np.savez(path / f"{name}_export_params.npz", **flat)
+    meta = {
+        "model_name": model.model_name,
+        "task": model.task,
+        "n_users": int(model.n_users),
+        "n_items": int(n_items),
+    }
+    if model.task == "rating":
+        meta["lower_bound"] = float(model.lower_bound)
+        meta["upper_bound"] = float(model.upper_bound)
+    (path / f"{name}_export_meta.json").write_text(json.dumps(meta))
+
+
+class ExportedScorer:
+    """Scores from the AOT artifacts alone (inner ids in, scores out)."""
+
+    def __init__(self, predict_exp, score_exp, params, meta):
+        self._predict = predict_exp
+        self._score_all = score_exp
+        self._params = params
+        self.meta = meta
+
+    def _transform(self, logits):
+        if self.meta["task"] == "rating":
+            return np.clip(
+                np.asarray(logits),
+                self.meta["lower_bound"], self.meta["upper_bound"],
+            )
+        return np.asarray(jax.nn.sigmoid(logits))
+
+    def predict(self, users, items):
+        users = jnp.asarray(users, dtype=jnp.int32).reshape(-1)
+        items = jnp.asarray(items, dtype=jnp.int32).reshape(-1)
+        return self._transform(self._predict.call(self._params, users, items))
+
+    def score_all(self, users):
+        """(b,) user inner ids -> (b, n_items) scores (raw logits)."""
+        users = jnp.asarray(users, dtype=jnp.int32).reshape(-1)
+        return np.asarray(self._score_all.call(self._params, users))
+
+    def recommend(self, users, n_rec):
+        scores = self.score_all(users)
+        top = np.argsort(-scores, axis=1)[:, :n_rec]
+        return top
+
+
+def load_exported(path, name):
+    path = Path(path)
+    predict_exp = jax_export.deserialize(
+        (path / f"{name}_predict.stablehlo").read_bytes()
+    )
+    score_exp = jax_export.deserialize(
+        (path / f"{name}_score_all.stablehlo").read_bytes()
+    )
+    with np.load(path / f"{name}_export_params.npz") as data:
+        params = unflatten_tree({k: data[k] for k in data.files})
+    params = jax.tree.map(jnp.asarray, params)
+    meta = json.loads((path / f"{name}_export_meta.json").read_text())
+    return ExportedScorer(predict_exp, score_exp, params, meta)
