@@ -94,6 +94,38 @@ def test_feat_retrain_flow(tmp_path):
     assert len(recs[frame.user.iloc[0]]) == 5
 
 
+def test_i2i_retrain_flow(tmp_path):
+    """i2i sage models rebuild with enlarged vocab: grafted rows, fresh
+    walk tables for the merged graph, and a full refit."""
+    from librecommender_tpu.models import GraphSage
+
+    frame = make_interactions()
+    train_data, data_info = DatasetPure.build_trainset(frame)
+    model = GraphSage("ranking", data_info, embed_size=8, n_epochs=1,
+                      batch_size=128, paradigm="i2i", num_walks=2,
+                      sample_walk_len=2)
+    model.fit(train_data, neg_sampling=True, verbose=0)
+    path = str(tmp_path / "retrain_i2i")
+    model.save(path, "GraphSage")
+
+    new_frame = _new_data(frame)
+    new_train, new_info = DatasetPure.merge_trainset(new_frame, data_info)
+    model2 = GraphSage("ranking", new_info, embed_size=8, n_epochs=1,
+                       batch_size=128, paradigm="i2i", num_walks=2,
+                       sample_walk_len=2)
+    model2.rebuild_model(path, "GraphSage")
+    old_i = np.asarray(model.params["item_embed"])[: data_info.n_items]
+    new_i = np.asarray(model2.params["item_embed"])[: data_info.n_items]
+    np.testing.assert_allclose(old_i, new_i, rtol=1e-6)
+    model2.fit(new_train, neg_sampling=True, verbose=0)
+    # walk tables cover the merged vocab
+    assert model2.item_nbr.shape[0] == new_info.n_items
+    old_user = frame.user.iloc[0]
+    new_user = new_frame.user.iloc[0]
+    recs = model2.recommend_user(user=[old_user, new_user], n_rec=5)
+    assert len(recs[old_user]) == 5 and len(recs[new_user]) == 5
+
+
 def test_cf_retrain_flow(tmp_path):
     frame = make_interactions()
     train_data, data_info = DatasetPure.build_trainset(frame)
