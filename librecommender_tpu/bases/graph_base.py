@@ -80,7 +80,8 @@ class GraphEmbedBase(EmbedBase):
         w = jnp.repeat(weight, self.num_walks * self.sample_walk_len) * valid
         neg = i2i_negatives(r_neg, self.n_items, anchors, positives,
                             self.num_neg,
-                            logits=getattr(self, "_neg_logits", None))
+                            logits=getattr(self, "_neg_logits", None),
+                            out_batch=self.sampler == "out-batch")
         _, item_out = self._propagate(params, r_prop, True)
         a = item_out[anchors]
         p = item_out[positives]

@@ -63,14 +63,19 @@ def walk_pairs(
 
 
 def i2i_negatives(rng, n_items, anchors, positives, num_neg, rounds=3,
-                  logits=None):
+                  logits=None, out_batch=False):
     """Item negatives with collision resampling against BOTH the anchor and
     the positive (reference sampling/negatives.py:17 semantics, ``items``
     exclusion included), all in-kernel. ``logits`` switches the proposal
-    from uniform to categorical (popularity^temperature sampling)."""
+    from uniform to categorical (popularity^temperature sampling);
+    ``out_batch`` proposes other rows' positives instead (reference
+    negatives_from_out_batch, sampling/negatives.py:46)."""
     shape = (anchors.shape[0], num_neg)
 
     def draw(r):
+        if out_batch:
+            rows = jax.random.randint(r, shape, 0, anchors.shape[0])
+            return positives[rows]
         if logits is not None:
             return jax.random.categorical(r, logits, shape=shape).astype(
                 jnp.int32

@@ -65,10 +65,12 @@ class GraphSage(GraphEmbedBase):
             raise ValueError("`start_node` must be one of ('random', 'unpopular')")
         if paradigm == "i2i" and sampler is None:
             raise ValueError("the i2i paradigm requires negative sampling")
-        if paradigm == "i2i" and sampler not in ("random", "popular"):
+        if paradigm == "i2i" and sampler not in (
+            "random", "popular", "out-batch"
+        ):
             raise ValueError(
                 "i2i negatives are drawn in-kernel; sampler must be "
-                "'random' or 'popular'"
+                "'random', 'popular' or 'out-batch'"
             )
         super().__init__(task, data_info, loss_type, embed_size, None, seed)
         self.n_epochs = n_epochs

@@ -124,10 +124,15 @@ def check_neg_sampling(model, neg_sampling):
         raise ValueError(
             "`focal` loss requires negative sampling with a valid sampler"
         )
-    if neg_sampling and sampler not in ("random", "popular", "unconsumed"):
+    allowed = ("random", "popular", "unconsumed")
+    if getattr(model, "graph_paradigm", None) == "i2i":
+        # reference sage models also sample negatives from other rows'
+        # walk positives (collators.py:366 'out-batch')
+        allowed = ("random", "popular", "out-batch")
+    if neg_sampling and sampler not in allowed:
         raise ValueError(
             f"unknown sampler for negative sampling: {sampler!r}; "
-            "choose 'random', 'popular' or 'unconsumed'"
+            f"choose one of {allowed}"
         )
 
 

@@ -39,6 +39,7 @@ def test_graph_model_end_to_end(pure_builds, pure_frames, name, loss_type, tmp_p
         ("cross_entropy", "popular", "unpopular", True),
         ("max_margin", "random", "random", False),
         ("focal", "random", "random", True),
+        ("bpr", "out-batch", "random", False),
     ],
 )
 def test_sage_i2i_end_to_end(
