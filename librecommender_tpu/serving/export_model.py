@@ -36,9 +36,112 @@ def _param_specs(params):
     )
 
 
+def save_exported_dyn(path, name, model):
+    """Online-serving export for the DynEmbedBase family (TwoTower /
+    YouTubeRetrieval / RNN4Rec / Caser / WaveNet): the user tower
+    ``(params, users (b,), seqs (b, L)) -> (b, D)`` AOT-compiled with a
+    symbolic batch dim, plus the item matrix (bias folded) — the
+    counterpart of the reference's online SavedModel whose signature takes
+    request-time sequences (serialization/tfmodel.py:69-94)."""
+    path = Path(path)
+    path.mkdir(parents=True, exist_ok=True)
+    model._ensure_repr_fn()
+    params = model.params
+    specs = _param_specs(params)
+    (b,) = jax_export.symbolic_shape("b")
+    users = jax.ShapeDtypeStruct((b,), jnp.int32)
+    seqs = jax.ShapeDtypeStruct((b, model.max_seq_len), jnp.int32)
+    repr_exp = jax_export.export(model._user_repr_fn)(specs, users, seqs)
+    (path / f"{name}_user_repr.stablehlo").write_bytes(repr_exp.serialize())
+
+    host = jax.device_get(params)
+    flat = {k: np.asarray(v) for k, v in flatten_tree(host).items()}
+    np.savez(path / f"{name}_export_params.npz", **flat)
+    item_repr = np.asarray(model._item_repr(host))[: model.n_items]
+    bias = model._item_bias(host)
+    if bias is not None:
+        item_repr = np.hstack(
+            [item_repr, np.asarray(bias)[: model.n_items, None]]
+        )
+    # stored recent histories make the artifact self-sufficient for known
+    # users (row n_users = the cold/OOV pad row), like the feature tables
+    # the reference ships to its online store
+    np.savez(
+        path / f"{name}_export_items.npz",
+        item_repr=item_repr,
+        recent_seq=np.asarray(model.recent_seq_table, dtype=np.int32),
+    )
+    meta = {
+        "model_name": model.model_name,
+        "task": model.task,
+        "kind": "dyn_embed",
+        "n_users": int(model.n_users),
+        "n_items": int(model.n_items),
+        "max_seq_len": int(model.max_seq_len),
+        "pad_id": int(model.pad_id),
+        "has_bias": bias is not None,
+    }
+    (path / f"{name}_export_meta.json").write_text(json.dumps(meta))
+
+
+class ExportedDynScorer:
+    """Scores from the dyn artifacts: user tower + item matrix."""
+
+    def __init__(self, repr_exp, params, item_repr, meta, recent_seq=None):
+        self._repr = repr_exp
+        self._params = params
+        self.item_repr = item_repr
+        self.recent_seq = recent_seq
+        self.meta = meta
+
+    def user_embedding(self, users, seqs=None):
+        """(b,) inner user ids + optional (b, L) padded inner-id seqs
+        -> (b, D[+1 bias column]) user vectors. Without ``seqs`` the
+        stored recent histories are used (unknown ids get the pad row)."""
+        users = jnp.asarray(users, dtype=jnp.int32).reshape(-1)
+        if seqs is None and self.recent_seq is not None:
+            rows = np.clip(np.asarray(users), 0, len(self.recent_seq) - 1)
+            seqs = self.recent_seq[rows]
+        elif seqs is None:
+            seqs = np.full(
+                (users.shape[0], self.meta["max_seq_len"]),
+                self.meta["pad_id"], np.int32,
+            )
+        seqs = jnp.asarray(seqs, dtype=jnp.int32)
+        out = np.asarray(self._repr.call(self._params, users, seqs))
+        if self.meta["has_bias"]:
+            out = np.hstack([out, np.ones((len(out), 1), np.float32)])
+        return out
+
+    def score_all(self, users, seqs=None):
+        return self.user_embedding(users, seqs) @ self.item_repr.T
+
+    def recommend(self, users, n_rec, seqs=None):
+        scores = self.score_all(users, seqs)
+        return np.argsort(-scores, axis=1)[:, :n_rec]
+
+
+def load_exported_dyn(path, name):
+    path = Path(path)
+    repr_exp = jax_export.deserialize(
+        (path / f"{name}_user_repr.stablehlo").read_bytes()
+    )
+    with np.load(path / f"{name}_export_params.npz") as data:
+        params = unflatten_tree({k: data[k] for k in data.files})
+    params = jax.tree.map(jnp.asarray, params)
+    with np.load(path / f"{name}_export_items.npz") as data:
+        item_repr = data["item_repr"]
+        recent_seq = data["recent_seq"] if "recent_seq" in data else None
+    meta = json.loads((path / f"{name}_export_meta.json").read_text())
+    return ExportedDynScorer(repr_exp, params, item_repr, meta, recent_seq)
+
+
 def save_exported(path, name, model):
     """Write ``{name}_predict.stablehlo``, ``{name}_score_all.stablehlo``,
-    ``{name}_export_params.npz`` and ``{name}_export_meta.json``."""
+    ``{name}_export_params.npz`` and ``{name}_export_meta.json``.
+    DynEmbedBase models dispatch to :func:`save_exported_dyn`."""
+    if hasattr(model, "dyn_user_embedding"):
+        return save_exported_dyn(path, name, model)
     path = Path(path)
     path.mkdir(parents=True, exist_ok=True)
     model._ensure_inference_fns()

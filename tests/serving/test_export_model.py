@@ -42,6 +42,42 @@ def test_exported_matches_model(feat_builds, family, tmp_path):
     assert top.shape == (1, 5)
 
 
+def test_exported_dyn_matches_model(pure_builds, tmp_path):
+    """DynEmbed export: the AOT user tower reproduces dyn_user_embedding
+    for stored AND request-time sequences (online SavedModel analog)."""
+    from librecommender_tpu.models import RNN4Rec
+    from librecommender_tpu.serving import load_exported_dyn, save_exported
+
+    train_data, *_, data_info = pure_builds
+    model = RNN4Rec("ranking", data_info, embed_size=8, n_epochs=1,
+                    batch_size=256, recent_num=5)
+    model.fit(train_data, neg_sampling=True, verbose=0)
+    save_exported(tmp_path, "dyn", model)  # dispatches to the dyn export
+    scorer = load_exported_dyn(tmp_path, "dyn")
+
+    # stored recent sequence
+    uid = 3
+    seq = np.asarray(model.recent_seq_table)[uid][None, :].astype(np.int32)
+    got = scorer.user_embedding([uid], seq)
+    want = model.dyn_user_embedding(uid, inner_id=True)
+    d = want.shape[0]
+    np.testing.assert_allclose(got[0, :d], want, rtol=1e-5)
+
+    # request-time sequence, two users at once (symbolic batch)
+    req = model._convert_seq([1, 2, 3], inner_id=True)[None, :]
+    reqs = np.concatenate([req, req]).astype(np.int32)
+    got2 = scorer.user_embedding([uid, 0], reqs)
+    want2 = model.dyn_user_embedding(uid, seq=[1, 2, 3], inner_id=True)
+    np.testing.assert_allclose(got2[0, :d], want2, rtol=1e-5)
+
+    scores = scorer.score_all([uid])
+    assert scores.shape == (1, data_info.n_items)
+    # parity with the model's cached embedding scoring
+    want_scores = model.user_embeds_np[uid] @ model.item_embeds_np[
+        : data_info.n_items].T
+    np.testing.assert_allclose(scores[0], want_scores, rtol=1e-4, atol=1e-5)
+
+
 def test_exported_rating_clip(pure_feat_rating, tmp_path):
     train_data, data_info = pure_feat_rating
     model = DeepFM("rating", data_info, embed_size=8, n_epochs=1,
