@@ -32,8 +32,8 @@ from pathlib import Path
 
 CACHE = Path(__file__).parent / ".bench_cpu_cache.json"
 
-# ML-1M-scale synthetic workload
-N_USERS, N_ITEMS, N_ROWS = 6040, 3706, 1_000_000
+# ML-1M-scale synthetic workload (BENCH_ROWS overrides for smoke tests)
+N_USERS, N_ITEMS, N_ROWS = 6040, 3706, int(os.environ.get("BENCH_ROWS", 1_000_000))
 BATCH_SIZE = 8192
 EMBED_SIZE = 64
 WARMUP_EPOCHS, TIMED_EPOCHS = 1, 3
