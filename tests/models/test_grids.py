@@ -120,6 +120,35 @@ def test_din_hparam_grid(feat_builds, lr_decay, reg, num_neg, use_bn,
     assert len(model.recommend_user(user=u, n_rec=3)[u]) == 3
 
 
+def test_pairwise_requires_sampling(pure_builds):
+    """bpr/max_margin without negative sampling must raise (reference
+    torch_trainer contract)."""
+    from librecommender_tpu.models import LightGCN
+
+    train_data, *_, data_info = pure_builds
+    for cls, loss in ((BPR, "bpr"), (LightGCN, "bpr"),
+                      (LightGCN, "max_margin")):
+        m = cls("ranking", data_info, loss_type=loss, embed_size=8,
+                n_epochs=1, batch_size=256)
+        with pytest.raises(ValueError):
+            m.fit(train_data, neg_sampling=False)
+
+
+def test_listwise_rejects_neg_sampling(feat_builds):
+    """In-batch softmax samples negatives internally; neg_sampling=True is
+    an invalid combo (reference check_neg_sampling on YouTubeRetrieval /
+    TwoTower-softmax)."""
+    from librecommender_tpu.models import TwoTower, YouTubeRetrieval
+
+    train_data, *_, data_info = feat_builds
+    for cls, kw in ((TwoTower, {"loss_type": "softmax"}),
+                    (YouTubeRetrieval, {"loss_type": "sampled_softmax"})):
+        m = cls("ranking", data_info, embed_size=8, n_epochs=1,
+                batch_size=256, **kw)
+        with pytest.raises(ValueError):
+            m.fit(train_data, neg_sampling=True)
+
+
 @pytest.mark.parametrize("sampler", ["random", "popular", "unconsumed"])
 @pytest.mark.parametrize("cls", [BPR, DeepFM])
 def test_sampler_grid(pure_builds, feat_builds, cls, sampler):
