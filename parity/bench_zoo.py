@@ -59,6 +59,11 @@ def main():
         "YouTubeRetrieval": ("feat", dict(loss_type="sampled_softmax"), False),
         "LightGCN": ("pure", dict(n_layers=3), True),
         "NGCF": ("pure", dict(), True),
+        "GraphSage": ("pure", dict(num_layers=2, num_neighbors=10), True),
+        "GraphSage_i2i": ("pure", dict(num_layers=2, num_neighbors=10,
+                                       paradigm="i2i", num_walks=10,
+                                       sample_walk_len=5), True),
+        "PinSage": ("pure", dict(num_layers=2, num_neighbors=10), True),
     }
 
     results = {}
@@ -67,7 +72,7 @@ def main():
     for name, (kind, extra, neg) in ZOO.items():
         if wanted and name not in wanted:
             continue
-        cls = getattr(M, name)
+        cls = getattr(M, name.split("_")[0])
         train = pure_train if kind == "pure" else feat_train
         info = pure_info if kind == "pure" else feat_info
         try:
