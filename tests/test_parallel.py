@@ -36,6 +36,26 @@ def test_sharded_training_matches_single_device(pure_builds):
     np.testing.assert_array_equal(np.asarray(r1), np.asarray(r2))
 
 
+def test_sharded_i2i_matches_single_device(pure_builds):
+    """In-kernel walk sampling is seed-stable under the mesh: sharded and
+    unsharded i2i training reach the same params."""
+    from librecommender_tpu.models import GraphSage
+
+    train_data, *_, data_info = pure_builds
+    kwargs = dict(embed_size=8, n_epochs=2, lr=0.01, batch_size=128,
+                  paradigm="i2i", num_walks=2, sample_walk_len=2,
+                  num_layers=1, num_neighbors=4)
+    m1 = GraphSage("ranking", data_info, **kwargs)
+    m1.fit(train_data, neg_sampling=True, verbose=0)
+    m2 = GraphSage("ranking", data_info, **kwargs)
+    m2.fit(train_data, neg_sampling=True, verbose=0, mesh=_mesh())
+    np.testing.assert_allclose(
+        np.asarray(m1.params["item_embed"]),
+        np.asarray(m2.params["item_embed"]),
+        rtol=1e-3, atol=1e-4,
+    )
+
+
 def test_sharded_tables_actually_sharded(pure_builds):
     from librecommender_tpu.parallel import shard_params
 
