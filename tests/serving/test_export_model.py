@@ -12,11 +12,15 @@ from librecommender_tpu.models import DIN, DeepFM
 from librecommender_tpu.serving import load_exported, save_exported
 
 
-@pytest.mark.parametrize("family", ["DeepFM", "DIN"])
+@pytest.mark.parametrize("family", ["DeepFM", "DIN", "WideDeep"])
 def test_exported_matches_model(feat_builds, family, tmp_path):
     train_data, *_, data_info = feat_builds
-    cls = {"DeepFM": DeepFM, "DIN": DIN}[family]
+    from librecommender_tpu.models import WideDeep
+
+    cls = {"DeepFM": DeepFM, "DIN": DIN, "WideDeep": WideDeep}[family]
     kwargs = {"recent_num": 5} if family == "DIN" else {}
+    if family == "WideDeep":
+        kwargs = {"lr": {"wide": 0.01, "deep": 1e-3}}
     model = cls("ranking", data_info, embed_size=8, n_epochs=1,
                 batch_size=256, **kwargs)
     model.fit(train_data, neg_sampling=True, verbose=0)
