@@ -142,8 +142,21 @@ class DynEmbedBase(EmbedBase):
 
             self._user_repr_fn = jax.jit(repr_fn)
 
+    def _sync_feature_tables(self):
+        """Refresh HBM feature tables + cached embeddings after
+        DataInfo.assign_user/item_features (see FeatBase counterpart)."""
+        feats = getattr(self, "feats", None)
+        v = getattr(self.data_info, "feature_version", 0)
+        if feats is not None and getattr(feats, "version", 0) != v:
+            from ..ops.features import FeatureTables
+
+            self.feats = FeatureTables(self.data_info)
+            self._user_repr_fn = None
+            self.set_embeddings()
+
     def dyn_user_embedding(self, user, seq=None, inner_id=False):
         """Embed one user's (possibly request-provided) sequence."""
+        self._sync_feature_tables()
         self._ensure_repr_fn()
         uid = self._to_inner_user(user, inner_id)
         if seq is not None:
@@ -214,6 +227,7 @@ class DynEmbedBase(EmbedBase):
         seq=None,
         user_feats=None,
     ):
+        self._sync_feature_tables()
         if seq is not None:
             users = np.atleast_1d(np.asarray(user))
             assert len(users) == 1, "`seq` recommendation supports one user"

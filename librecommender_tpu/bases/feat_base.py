@@ -242,7 +242,21 @@ class FeatBase(Base):
         return total / n
 
     # ------------------------------------------------------------- inference
+    def _sync_feature_tables(self):
+        """Re-upload the unique feature tables (and re-bake the jitted
+        programs that captured them as constants) after
+        DataInfo.assign_user/item_features (reference
+        changing_feature_example.py flow)."""
+        v = getattr(self.data_info, "feature_version", 0)
+        if self.feats is not None and getattr(self.feats, "version", 0) != v:
+            from ..ops.features import FeatureTables
+
+            self.feats = FeatureTables(self.data_info)
+            self._predict_fn = None
+            self._recommend_fn = None
+
     def _ensure_inference_fns(self):
+        self._sync_feature_tables()
         if self._predict_fn is None:
             def predict(params, users, items):
                 return self._forward(
@@ -272,6 +286,7 @@ class FeatBase(Base):
         SINGLE pair (reference `predict_data_with_feats`,
         libreco/prediction/predict.py:95)."""
         if feats is not None:
+            self._sync_feature_tables()
             users, items = self.convert_ids(user, item, inner_id)
             assert len(users) == 1, "`feats` prediction supports one pair"
             uid = int(users[0])
@@ -400,6 +415,7 @@ class FeatBase(Base):
         ``user_feats``: one dict applied to every user, or a list of dicts
         (one per user). ``seq``: one item list shared by every user, or a
         list of per-user lists."""
+        self._sync_feature_tables()
         users = np.atleast_1d(np.asarray(user))
         U = len(users)
 

@@ -206,9 +206,14 @@ class DataInfo:
         return self._id2item
 
     # ------------------------------------------------------- online feature io
+    # bumped on every assign so models can refresh their HBM-resident copies
+    # of the unique feature tables (ops/features.FeatureTables.version)
+    feature_version = 0
+
     def assign_user_features(self, user_data):
         """Update stored user feature rows from a DataFrame with a `user` col."""
         assert "user" in user_data.columns, "Data must contain `user` column."
+        self.feature_version += 1
         user_data = user_data.drop_duplicates(subset=["user"], keep="last")
         row_idx, id_mask = get_row_id_masks(user_data["user"], self.user_unique_vals)
         self.user_sparse_unique = update_new_sparse_feats(
@@ -229,6 +234,7 @@ class DataInfo:
     def assign_item_features(self, item_data):
         """Update stored item feature rows from a DataFrame with an `item` col."""
         assert "item" in item_data.columns, "Data must contain `item` column."
+        self.feature_version += 1
         item_data = item_data.drop_duplicates(subset=["item"], keep="last")
         row_idx, id_mask = get_row_id_masks(item_data["item"], self.item_unique_vals)
         self.item_sparse_unique = update_new_sparse_feats(

@@ -19,6 +19,10 @@ class FeatureTables:
 
     def __init__(self, data_info):
         self.data_info = data_info
+        # snapshot of DataInfo.feature_version: assign_user/item_features
+        # bumps it, signalling models to re-upload these tables (and re-bake
+        # the jitted programs that captured them as constants)
+        self.version = getattr(data_info, "feature_version", 0)
         self.n_sparse_fields = len(data_info.sparse_col.name)
         self.n_dense_fields = len(data_info.dense_col.name)
         self.sparse_vocab = sparse_feat_size(data_info)

@@ -99,3 +99,37 @@ def test_merge_eval_unknowns_map_to_oov():
         _frame(100, 77, users=np.full(100, 10_000))  # unknown users
     )
     assert np.all(np.asarray(evals.user_indices) == di.n_users)
+
+
+def test_assign_features_refresh_serving_tables():
+    """assign_user/item_features must reach the HBM-resident tables and
+    the jitted programs that baked them as constants (reference
+    changing_feature_example.py flow)."""
+    from librecommender_tpu.models import DeepFM
+
+    frame = _frame(800, 3)
+    train, di = _build(frame)
+    model = DeepFM("ranking", di, embed_size=8, n_epochs=2, batch_size=256)
+    model.fit(train, neg_sampling=True, verbose=0)
+    u_raw = frame.user.iloc[0]
+    i_raw = frame.item.iloc[0]
+    before = float(model.predict(u_raw, i_raw))
+    uid = di.user2id[u_raw]
+    old_row = np.asarray(model.feats.user_sparse)[uid].copy()
+
+    flip = "f" if frame[frame.user == u_raw].sex.iloc[0] == "m" else "m"
+    di.assign_user_features(pd.DataFrame(
+        {"user": [u_raw], "sex": [flip], "age": [49.0]}
+    ))
+    after = float(model.predict(u_raw, i_raw))
+    new_row = np.asarray(model.feats.user_sparse)[uid]
+    assert not np.array_equal(old_row, new_row)  # device copy refreshed
+    assert before != after                        # program re-baked
+
+    # dense side too, through the batch-recommend path
+    di.assign_user_features(pd.DataFrame(
+        {"user": [u_raw], "sex": [flip], "age": [0.0]}
+    ))
+    recs = model.recommend_user(user=u_raw, n_rec=5)
+    assert len(recs[u_raw]) == 5
+    assert float(np.asarray(model.feats.user_dense)[uid][0]) == 0.0
