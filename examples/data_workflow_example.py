@@ -44,10 +44,15 @@ print("save/load roundtrip OK")
 
 # --- changing stored features at serving time --------------------------------
 # (reference changing_feature_example.py: DataInfo.assign_user_features)
-new_user_rows = pd.DataFrame(
-    {"user": [user], "sex": ["F"], "age": [21], "occupation": [data.occupation.iloc[0]]}
-)
-before = model.recommend_user(user=user, n_rec=5)[user]
+old_sex = data.loc[data.user == user, "sex"].iloc[0]
+new_user_rows = pd.DataFrame({
+    "user": [user], "sex": ["F" if old_sex == "M" else "M"], "age": [99],
+    "occupation": [data.occupation.iloc[0]],
+})
+score_before = float(model.predict(user=user, item=item))
+recs_before = model.recommend_user(user=user, n_rec=5)[user]
 data_info.assign_user_features(new_user_rows)
-after = model.recommend_user(user=user, n_rec=5)[user]
-print("recs before:", list(before), "after feature change:", list(after))
+score_after = float(model.predict(user=user, item=item))
+recs_after = model.recommend_user(user=user, n_rec=5)[user]
+print(f"score {score_before:.4f} -> {score_after:.4f} after feature change")
+print("recs before:", list(recs_before), "after:", list(recs_after))
