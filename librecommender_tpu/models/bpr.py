@@ -22,6 +22,7 @@ class BPR(EmbedBase):
         data_info,
         loss_type="bpr",
         embed_size=16,
+        norm_embed=False,
         n_epochs=20,
         lr=0.001,
         lr_decay=False,
@@ -44,6 +45,9 @@ class BPR(EmbedBase):
         super().__init__(task, data_info, embed_size, None, seed)
         assert loss_type == "bpr", "BPR uses bpr loss"
         self.loss_type = loss_type
+        # l2-normalize latent factors (bias column excluded) in the loss
+        # and the exported embeddings (reference libreco/algorithms/bpr.py:196,390)
+        self.norm_embed = norm_embed
         self.n_epochs = n_epochs
         self.lr = lr
         self.lr_decay = lr_decay
@@ -89,10 +93,18 @@ class BPR(EmbedBase):
         items_neg = batch["item_neg"]                            # (B, S)
         D = self.embed_size
         ue = params["user_embed"][users]                         # (B, D)
-        ua = jnp.concatenate([ue, jnp.ones_like(ue[:, :1])], axis=1)
         pe = params["item_embed"][items_pos]                     # (B, D+1)
-        pos_scores = jnp.sum(ua * pe, axis=-1)
         ne = params["item_embed"][items_neg]                     # (B, S, D+1)
+        if self.norm_embed:
+            def _norm(x):
+                return x / jnp.maximum(
+                    jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-12
+                )
+            ue = _norm(ue)
+            pe = jnp.concatenate([_norm(pe[:, :D]), pe[:, D:]], axis=-1)
+            ne = jnp.concatenate([_norm(ne[..., :D]), ne[..., D:]], axis=-1)
+        ua = jnp.concatenate([ue, jnp.ones_like(ue[:, :1])], axis=1)
+        pos_scores = jnp.sum(ua * pe, axis=-1)
         neg_scores = jnp.einsum("bd,bsd->bs", ua, ne)
         S = items_neg.shape[1]
         loss = bpr_loss(
@@ -113,9 +125,14 @@ class BPR(EmbedBase):
     def set_embeddings(self):
         p = jax.device_get(self.params)
         n_u, n_i = self.n_users, self.n_items
-        user = np.hstack(
-            [p["user_embed"][:n_u], np.ones((n_u, 1), np.float32)]
-        )
-        item = np.asarray(p["item_embed"][:n_i])  # bias already in col D
+        ue = np.asarray(p["user_embed"][:n_u])
+        item = np.array(p["item_embed"][:n_i])  # bias already in col D
+        if self.norm_embed:
+            ue = ue / np.maximum(np.linalg.norm(ue, axis=-1, keepdims=True), 1e-12)
+            fac = item[:, : self.embed_size]
+            item[:, : self.embed_size] = fac / np.maximum(
+                np.linalg.norm(fac, axis=-1, keepdims=True), 1e-12
+            )
+        user = np.hstack([ue, np.ones((n_u, 1), np.float32)])
         self.user_embeds_np = self._append_oov(user)
         self.item_embeds_np = self._append_oov(item)

@@ -22,6 +22,7 @@ class SVD(EmbedBase):
         data_info,
         loss_type="cross_entropy",
         embed_size=16,
+        norm_embed=False,
         n_epochs=20,
         lr=0.001,
         lr_decay=False,
@@ -42,6 +43,9 @@ class SVD(EmbedBase):
         super().__init__(task, data_info, embed_size, lower_upper_bound, seed)
         assert loss_type in ("cross_entropy", "focal")
         self.loss_type = loss_type
+        # l2-normalize latent factors in the score and the exported
+        # embeddings (reference libreco/algorithms/svd.py:138,157)
+        self.norm_embed = norm_embed
         self.n_epochs = n_epochs
         self.lr = lr
         self.lr_decay = lr_decay
@@ -83,6 +87,9 @@ class SVD(EmbedBase):
     def _scores(self, params, users, items):
         ue = params["user_embed"][users]
         ie = params["item_embed"][items]
+        if self.norm_embed:
+            ue = ue / jnp.maximum(jnp.linalg.norm(ue, axis=-1, keepdims=True), 1e-12)
+            ie = ie / jnp.maximum(jnp.linalg.norm(ie, axis=-1, keepdims=True), 1e-12)
         return (
             params["user_bias"][users]
             + params["item_bias"][items]
@@ -124,6 +131,11 @@ class SVD(EmbedBase):
     def set_embeddings(self):
         p = jax.device_get(self.params)
         n_u, n_i = self.n_users, self.n_items
+        pu, qi = np.asarray(p["user_embed"]), np.asarray(p["item_embed"])
+        if self.norm_embed:
+            pu = pu / np.maximum(np.linalg.norm(pu, axis=-1, keepdims=True), 1e-12)
+            qi = qi / np.maximum(np.linalg.norm(qi, axis=-1, keepdims=True), 1e-12)
+        p = {**p, "user_embed": pu, "item_embed": qi}
         user = np.hstack(
             [
                 p["user_embed"][:n_u],

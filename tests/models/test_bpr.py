@@ -62,3 +62,17 @@ def test_bpr_inference_only_save(pure_builds, tmp_path):
         np.asarray(loaded.predict(user=uid, item=list(data_info.item2id)[0])),
         rtol=1e-5,
     )
+
+
+def test_bpr_norm_embed(pure_builds):
+    train_data, *_, data_info = pure_builds
+    model = BPR(
+        "ranking", data_info, embed_size=8, n_epochs=1, lr=0.01,
+        batch_size=256, norm_embed=True,
+    )
+    model.fit(train_data, neg_sampling=True, verbose=0)
+    # exported layout: user [factors(D), 1], item [factors(D), bias]
+    u_fac = model.user_embeds_np[: data_info.n_users, :8]
+    i_fac = model.item_embeds_np[: data_info.n_items, :8]
+    np.testing.assert_allclose(np.linalg.norm(u_fac, axis=1), 1.0, rtol=1e-5)
+    np.testing.assert_allclose(np.linalg.norm(i_fac, axis=1), 1.0, rtol=1e-5)

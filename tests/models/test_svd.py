@@ -131,3 +131,17 @@ def test_svdpp_dense_implicit_matches_gather(pure_builds):
     a = np.asarray(dense_m._user_repr(dense_m.params, users))
     b = np.asarray(gather_m._user_repr(gather_m.params, users))
     np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-6)
+
+
+def test_svd_norm_embed(pure_builds):
+    train_data, *_, data_info = pure_builds
+    model = SVD(
+        "ranking", data_info, embed_size=8, n_epochs=1, lr=0.01,
+        batch_size=256, norm_embed=True,
+    )
+    model.fit(train_data, neg_sampling=True, verbose=0)
+    # exported layout: [factors(D), user_bias, 1] / [factors(D), 1, item_bias]
+    u_fac = model.user_embeds_np[: data_info.n_users, :8]
+    i_fac = model.item_embeds_np[: data_info.n_items, :8]
+    np.testing.assert_allclose(np.linalg.norm(u_fac, axis=1), 1.0, rtol=1e-5)
+    np.testing.assert_allclose(np.linalg.norm(i_fac, axis=1), 1.0, rtol=1e-5)
