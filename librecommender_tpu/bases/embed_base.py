@@ -181,26 +181,76 @@ class EmbedBase(Base):
         ]
         return embeds if include_bias else embeds[..., : self.embed_size]
 
+    def init_knn(self, approximate, sim_type="cosine", M=100,
+                 ef_construction=200, ef_search=200):
+        """Initialize the knn-search space (reference embed_base.py:415;
+        nmslib HNSW becomes an IVF index — same role, pure numpy/JAX).
+
+        ``sim_type='cosine'`` searches normalized factor embeddings
+        (bias excluded); ``'inner-product'`` searches the full exported
+        embeddings, bias included. HNSW tuning params are accepted for
+        API familiarity; IVF over-probes proportionally to ``ef_search``.
+        """
+        if sim_type not in ("cosine", "inner-product"):
+            raise ValueError(
+                f"unknown sim_type: {sim_type}, "
+                "only `cosine` and `inner-product` are supported"
+            )
+        self.sim_type = sim_type
+        self.include_bias = sim_type == "inner-product"
+        self.knn_approximate = bool(approximate)
+        if approximate:
+            from ..retrieval.ivf import IVFIndex
+
+            n_probe = max(8, ef_search // 16)
+            self._knn_indexes = {}
+            for side in ("user", "item"):
+                base = self._knn_space(side)
+                self._knn_indexes[side] = (
+                    IVFIndex.build(base, seed=self.seed), n_probe,
+                )
+        return self
+
+    def _knn_space(self, side):
+        """Embedding matrix (no OOV row) in the active knn space."""
+        base = (self.user_embeds_np if side == "user" else self.item_embeds_np)[:-1]
+        if not getattr(self, "include_bias", False):
+            base = base[:, : self.embed_size]
+        if getattr(self, "sim_type", "inner-product") == "cosine":
+            base = base / np.maximum(
+                np.linalg.norm(base, axis=1, keepdims=True), 1e-12
+            )
+        return base
+
+    def _search_knn(self, side, inner_id, k):
+        base = self._knn_space(side)
+        query = base[inner_id]
+        if getattr(self, "knn_approximate", False):
+            index, n_probe = self._knn_indexes[side]
+            ids, _ = index.search(query[None], k + 1, n_probe=n_probe)
+            top = [int(t) for t in ids[0] if t >= 0]
+        else:
+            sims = base @ query
+            top = np.argsort(-sims)[: k + 1]
+        return [int(t) for t in top if t != inner_id][:k]
+
     def search_knn_users(self, user, k):
-        """k most similar users by inner product over full embeddings."""
+        """k most similar users (self excluded) in the ``init_knn`` space
+        (defaults to exact inner product when ``init_knn`` wasn't called)."""
         uid = self.data_info.user2id.get(user)
         if uid is None:
             return None
-        query = self.user_embeds_np[uid]
-        sims = self.user_embeds_np[:-1] @ query
-        top = np.argsort(-sims)[: k + 1]
-        top = [int(t) for t in top if t != uid][:k]
-        return [self.data_info.id2user[t] for t in top]
+        return [
+            self.data_info.id2user[t] for t in self._search_knn("user", uid, k)
+        ]
 
     def search_knn_items(self, item, k):
         iid = self.data_info.item2id.get(item)
         if iid is None:
             return None
-        query = self.item_embeds_np[iid]
-        sims = self.item_embeds_np[:-1] @ query
-        top = np.argsort(-sims)[: k + 1]
-        top = [int(t) for t in top if t != iid][:k]
-        return [self.data_info.id2item[t] for t in top]
+        return [
+            self.data_info.id2item[t] for t in self._search_knn("item", iid, k)
+        ]
 
     # --------------------------------------------------------- persistence
     def save(self, path, model_name=None, inference_only=False, **kwargs):

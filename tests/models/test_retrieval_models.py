@@ -82,6 +82,20 @@ def test_knn_search(feat_builds, feat_frames):
     sims_u = model.search_knn_users(user, 5)
     assert len(sims_u) == 5 and user not in sims_u
 
+    # init_knn selects the search space (reference embed_base.py:415):
+    # exact cosine, exact inner-product, and approximate must all work
+    with pytest.raises(ValueError):
+        model.init_knn(approximate=False, sim_type="dot")
+    model.init_knn(approximate=False, sim_type="cosine")
+    cos = model.search_knn_items(item, 5)
+    model.init_knn(approximate=False, sim_type="inner-product")
+    ip = model.search_knn_items(item, 5)
+    assert len(cos) == len(ip) == 5
+    model.init_knn(approximate=True, sim_type="cosine")
+    approx = model.search_knn_items(item, 5)
+    # IVF over the tiny test catalog probes nearly everything -> high overlap
+    assert len(set(approx) & set(cos)) >= 3
+
 
 @pytest.mark.parametrize("ssl_pattern", ["rfm", "rfm-complementary", "cfm"])
 def test_two_tower_ssl(feat_builds, ssl_pattern):
