@@ -40,6 +40,11 @@ class GraphEmbedBase(EmbedBase):
         if loss_type in ("bpr", "max_margin"):
             self.paradigm = "pairwise"
 
+    def _margin_loss(self, pos, neg, w):
+        """max_margin with the model's configured margin (reference torch
+        graph models' ``margin`` kwarg, e.g. libreco/algorithms/lightgcn.py)."""
+        return max_margin_loss(pos, neg, w, margin=getattr(self, "margin", 1.0))
+
     def _propagate(self, params, rng, train):
         """-> (user_out (u_rows, D'), item_out (i_rows, D'))."""
         raise NotImplementedError
@@ -90,7 +95,7 @@ class GraphEmbedBase(EmbedBase):
         pos_scores = jnp.sum(a * p, axis=1)
         neg_scores = jnp.einsum("pd,psd->ps", a, n)
         if self.loss_type in ("bpr", "max_margin"):
-            pair_loss = bpr_loss if self.loss_type == "bpr" else max_margin_loss
+            pair_loss = bpr_loss if self.loss_type == "bpr" else self._margin_loss
             loss = pair_loss(
                 jnp.repeat(pos_scores[:, None], s, axis=1).reshape(-1),
                 neg_scores.reshape(-1),
@@ -128,7 +133,7 @@ class GraphEmbedBase(EmbedBase):
             S = neg.shape[1]
             pos_scores = jnp.sum(u * item_out[items], axis=1)
             neg_scores = jnp.einsum("bd,bsd->bs", u, item_out[neg])
-            pair_loss = bpr_loss if self.loss_type == "bpr" else max_margin_loss
+            pair_loss = bpr_loss if self.loss_type == "bpr" else self._margin_loss
             loss = pair_loss(
                 jnp.repeat(pos_scores[:, None], S, axis=1).reshape(-1),
                 neg_scores.reshape(-1),

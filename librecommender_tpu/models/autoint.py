@@ -27,6 +27,8 @@ class AutoInt(FeatBase):
         batch_size=256,
         sampler="random",
         num_neg=1,
+        use_bn=True,
+        dropout_rate=None,  # accepted but unused, as in the reference (autoint.py:125 stores, never applies)
         att_embed_size=(8, 8, 8),
         num_heads=2,
         use_residual=True,

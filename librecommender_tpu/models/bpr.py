@@ -32,8 +32,11 @@ class BPR(EmbedBase):
         sampler="random",
         num_neg=1,
         use_tf=None,  # accepted for API familiarity; ignored
+        optimizer="adam",
+        num_threads=1,  # accepted for API familiarity (Cython-path knob); ignored
         sparse_optimizer=False,
         seed=42,
+        lower_upper_bound=None,  # accepted for API familiarity (ranking-only)
     ):
         self.all_args = {
             k: v
@@ -56,9 +59,26 @@ class BPR(EmbedBase):
         self.batch_size = batch_size
         self.sampler = sampler
         self.num_neg = num_neg
+        # reference BPR's Cython path offers sgd/momentum/adam
+        # (libreco/algorithms/bpr.py:87); mapped to optax here
+        if optimizer not in ("adam", "sgd", "momentum"):
+            raise ValueError("optimizer must be one of ('adam', 'sgd', 'momentum')")
+        if optimizer != "adam" and sparse_optimizer:
+            raise ValueError("sparse_optimizer (LazyAdam) requires optimizer='adam'")
+        self.optimizer = optimizer
         # row-sparse LazyAdam for huge vocab tables (docs/implementation_details.md)
         self.sparse_optimizer = sparse_optimizer
         self.sparse_tables = ("user_embed", "item_embed")
+
+    def _custom_optimizer(self):
+        if self.optimizer == "adam":
+            return None  # default Adam path (lr_decay-aware)
+        import optax
+
+        return (
+            optax.sgd(self.lr) if self.optimizer == "sgd"
+            else optax.sgd(self.lr, momentum=0.9)
+        )
 
     def touched_indices(self, batch):
         items = batch["item"]

@@ -24,6 +24,8 @@ class Caser(DynEmbedBase):
         lr=0.001,
         lr_decay=False,
         epsilon=1e-5,
+        use_bn=False,
+        dropout_rate=None,  # accepted but unused, as in the reference (caser.py:129 stores, never applies)
         nh_filters=2,
         nv_filters=4,
         reg=None,

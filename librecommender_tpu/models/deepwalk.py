@@ -23,7 +23,9 @@ class DeepWalk(W2VBase):
         learning_rate=0.005,
         batch_size=10000,
         num_neg=5,
+        n_threads=0,  # accepted for API familiarity (gensim workers); ignored
         seed=42,
+        lower_upper_bound=None,  # accepted for API familiarity (ranking-only)
     ):
         self.all_args = {
             k: v for k, v in locals().items()

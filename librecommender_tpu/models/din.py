@@ -41,6 +41,7 @@ class DIN(SeqFeatBase):
         hidden_units=(128, 64, 32),
         recent_num=10,
         random_num=None,
+        use_tf_attention=False,  # accepted for API familiarity (TF-impl switch); ignored
         multi_sparse_combiner="sqrtn",
         sparse_optimizer=False,
         seed=42,

@@ -10,6 +10,7 @@ import jax.numpy as jnp
 
 from ..bases.feat_base import FeatBase
 from ..ops.initializers import truncated_normal
+from ..ops.nn import dropout, init_layer_norm, layer_norm
 from ..parallel.mesh import aligned_rows
 
 
@@ -28,6 +29,8 @@ class FM(FeatBase):
         batch_size=256,
         sampler="random",
         num_neg=1,
+        use_bn=True,
+        dropout_rate=None,
         multi_sparse_combiner="sqrtn",
         seed=42,
         lower_upper_bound=None,
@@ -41,6 +44,11 @@ class FM(FeatBase):
             epsilon, reg, batch_size, sampler, num_neg, seed,
             lower_upper_bound, multi_sparse_combiner,
         )
+        # norm + dropout on the pairwise-interaction vector before the head
+        # (reference fm.py:165-169 applies BN there; LN is the fusion-friendly
+        # TPU analog used framework-wide)
+        self.use_bn = use_bn
+        self.dropout_rate = dropout_rate or 0.0
 
     def _init_params(self, rng):
         D = self.embed_size
@@ -51,6 +59,8 @@ class FM(FeatBase):
             "item_embed": truncated_normal(r[1], (i_rows, D)),
             "pair_head": truncated_normal(r[2], (D,), scale=D ** -0.5),
         }
+        if self.use_bn:
+            params["pair_ln"] = init_layer_norm(D)
         params.update(self._init_linear(r[3], u_rows, i_rows))
         if self.feats.has_sparse:
             params["sparse_embed"] = truncated_normal(r[4], (self._sparse_rows(), D))
@@ -67,4 +77,8 @@ class FM(FeatBase):
         sum_sq = jnp.square(jnp.sum(embeds, axis=1))
         sq_sum = jnp.sum(jnp.square(embeds), axis=1)
         pairwise = 0.5 * (sum_sq - sq_sum)                      # (B, D)
+        if self.use_bn:
+            pairwise = layer_norm(params["pair_ln"], pairwise)
+        if train and self.dropout_rate > 0.0:
+            pairwise = dropout(pairwise, self.dropout_rate, rng)
         return linear + pairwise @ params["pair_head"]

@@ -17,6 +17,8 @@ positive. The walks themselves run in-kernel (graph/walks.py) instead of in
 a host collator (collators.py:348), and at inference a user is the mean of
 their consumed items' embeddings.
 """
+import warnings
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -24,7 +26,7 @@ import numpy as np
 from ..bases.graph_base import GraphEmbedBase
 from ..graph.adjacency import build_neighbor_table
 from ..ops.initializers import truncated_normal
-from ..ops.nn import dense, init_dense
+from ..ops.nn import dense, dropout, init_dense
 from ..parallel.mesh import aligned_rows
 
 
@@ -43,6 +45,10 @@ class GraphSage(GraphEmbedBase):
         batch_size=256,
         sampler="random",
         num_neg=1,
+        dropout_rate=None,
+        margin=1.0,
+        amsgrad=False,
+        remove_edges=False,
         num_layers=2,
         num_neighbors=10,
         max_stored_neighbors=50,
@@ -52,6 +58,7 @@ class GraphSage(GraphEmbedBase):
         start_node="random",
         focus_start=False,
         seed=42,
+        lower_upper_bound=None,  # accepted for API familiarity (ranking-only)
     ):
         self.all_args = {
             k: v for k, v in locals().items()
@@ -81,6 +88,21 @@ class GraphSage(GraphEmbedBase):
         self.batch_size = batch_size
         self.sampler = sampler
         self.num_neg = num_neg
+        self.dropout_rate = dropout_rate or 0.0
+        self.margin = margin
+        self.amsgrad = amsgrad
+        if remove_edges:
+            # the reference removes target<->positive edges from per-example
+            # sampled subgraphs (libreco/algorithms/graphsage.py:55); this
+            # design propagates over the FULL graph once per step, so there
+            # is no per-example subgraph to drop edges from — neighbor
+            # sampling already re-randomizes every step
+            warnings.warn(
+                "remove_edges has no effect under full-graph propagation; "
+                "per-step neighbor re-sampling plays the same role",
+                stacklevel=2,
+            )
+        self.remove_edges = remove_edges
         self.num_layers = num_layers
         self.num_neighbors = num_neighbors
         self.max_stored_neighbors = max_stored_neighbors
@@ -188,6 +210,10 @@ class GraphSage(GraphEmbedBase):
                     jnp.concatenate([item_h[:n_i], i_nbr_mean], axis=1),
                 )
             )
+            if train and self.dropout_rate > 0.0:
+                rng, rd1, rd2 = jax.random.split(rng, 3)
+                u_new = dropout(u_new, self.dropout_rate, rd1)
+                i_new = dropout(i_new, self.dropout_rate, rd2)
             user_h = jnp.zeros_like(user_h[:, : u_new.shape[1]]).at[:n_u].set(u_new)
             item_h = jnp.zeros_like(item_h[:, : i_new.shape[1]]).at[:n_i].set(i_new)
         return user_h, item_h

@@ -23,6 +23,7 @@ class ItemCF(CfBase):
         num_threads=0,
         min_common=1,
         mode=None,
+        block_size=None,  # accepted for API familiarity (Rust-path memory knob); ignored
         seed=42,
         lower_upper_bound=None,
     ):

@@ -32,6 +32,9 @@ class LightGCN(GraphEmbedBase):
         batch_size=256,
         sampler="random",
         num_neg=1,
+        margin=1.0,
+        amsgrad=False,
+        lower_upper_bound=None,  # accepted for API familiarity (ranking-only)
         n_layers=3,
         dropout_rate=0.0,
         dense_adj_limit=200_000_000,
@@ -46,6 +49,8 @@ class LightGCN(GraphEmbedBase):
             raise ValueError("LightGCN is only suitable for ranking")
         assert loss_type in ("cross_entropy", "focal", "bpr", "max_margin")
         super().__init__(task, data_info, loss_type, embed_size, None, seed)
+        self.margin = margin
+        self.amsgrad = amsgrad
         self.n_epochs = n_epochs
         self.lr = lr
         self.lr_decay = lr_decay

@@ -29,6 +29,9 @@ class NGCF(GraphEmbedBase):
         batch_size=256,
         sampler="random",
         num_neg=1,
+        margin=1.0,
+        amsgrad=False,
+        lower_upper_bound=None,  # accepted for API familiarity (ranking-only)
         hidden_units=(64, 64, 64),
         node_dropout=0.0,
         message_dropout=0.0,
@@ -42,6 +45,8 @@ class NGCF(GraphEmbedBase):
         if task != "ranking":
             raise ValueError("NGCF is only suitable for ranking")
         super().__init__(task, data_info, loss_type, embed_size, None, seed)
+        self.margin = margin
+        self.amsgrad = amsgrad
         self.n_epochs = n_epochs
         self.lr = lr
         self.lr_decay = lr_decay

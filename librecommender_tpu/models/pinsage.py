@@ -12,7 +12,7 @@ import jax.numpy as jnp
 
 from .graphsage import GraphSage
 from ..graph.adjacency import pinsage_neighbor_table
-from ..ops.nn import dense
+from ..ops.nn import dense, dropout
 
 
 class PinSage(GraphSage):
@@ -30,9 +30,14 @@ class PinSage(GraphSage):
         batch_size=256,
         sampler="random",
         num_neg=1,
+        dropout_rate=None,
+        margin=1.0,
+        amsgrad=False,
+        remove_edges=False,
         num_layers=2,
         num_neighbors=10,
         num_walks=10,
+        neighbor_walk_len=2,
         termination_prob=0.5,
         max_stored_neighbors=50,
         paradigm="u2i",
@@ -40,17 +45,23 @@ class PinSage(GraphSage):
         start_node="random",
         focus_start=False,
         seed=42,
+        lower_upper_bound=None,  # accepted for API familiarity (ranking-only)
     ):
         super().__init__(
             task, data_info, loss_type, embed_size, n_epochs, lr, lr_decay,
-            epsilon, reg, batch_size, sampler, num_neg, num_layers,
-            num_neighbors, max_stored_neighbors, paradigm=paradigm,
+            epsilon, reg, batch_size, sampler, num_neg,
+            dropout_rate=dropout_rate, margin=margin, amsgrad=amsgrad,
+            remove_edges=remove_edges, num_layers=num_layers,
+            num_neighbors=num_neighbors,
+            max_stored_neighbors=max_stored_neighbors, paradigm=paradigm,
             num_walks=num_walks, sample_walk_len=sample_walk_len,
             start_node=start_node, focus_start=focus_start, seed=seed,
         )
         self.all_args.update(
-            num_walks=num_walks, termination_prob=termination_prob
+            num_walks=num_walks, neighbor_walk_len=neighbor_walk_len,
+            termination_prob=termination_prob,
         )
+        self.neighbor_walk_len = neighbor_walk_len
         self.termination_prob = termination_prob
         self.item_item_nbr = None
         self.item_item_w = None
@@ -61,6 +72,7 @@ class PinSage(GraphSage):
             self.data_info.item_consumed,
             self.n_items,
             num_walks=self.num_walks,
+            walk_len=self.neighbor_walk_len,
             top_t=self.num_neighbors,
             termination_prob=self.termination_prob,
             seed=self.seed,
@@ -96,6 +108,10 @@ class PinSage(GraphSage):
                     jnp.concatenate([item_h[:n_i], i_nbr_mean], axis=1),
                 )
             )
+            if train and self.dropout_rate > 0.0:
+                rng, rd1, rd2 = jax.random.split(rng, 3)
+                u_new = dropout(u_new, self.dropout_rate, rd1)
+                i_new = dropout(i_new, self.dropout_rate, rd2)
             user_h = jnp.zeros_like(user_h).at[:n_u].set(u_new)
             item_h = jnp.zeros_like(item_h).at[:n_i].set(i_new)
         return user_h, item_h
@@ -106,6 +122,7 @@ class PinSage(GraphSage):
             self.data_info.item_consumed,
             self.n_items,
             num_walks=self.num_walks,
+            walk_len=self.neighbor_walk_len,
             top_t=self.num_neighbors,
             termination_prob=self.termination_prob,
             seed=self.seed,

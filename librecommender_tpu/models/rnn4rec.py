@@ -10,7 +10,10 @@ import jax.numpy as jnp
 
 from ..bases.dyn_embed_base import DynEmbedBase
 from ..ops.initializers import truncated_normal
-from ..ops.nn import dense, gru, init_dense, init_gru, init_lstm, lstm
+from ..ops.nn import (
+    dense, dropout, gru, init_dense, init_gru, init_layer_norm, init_lstm,
+    layer_norm, lstm,
+)
 from ..parallel.mesh import aligned_rows
 
 
@@ -31,6 +34,8 @@ class RNN4Rec(DynEmbedBase):
         batch_size=256,
         sampler="random",
         num_neg=1,
+        dropout_rate=None,
+        use_layer_norm=False,
         recent_num=10,
         random_num=None,
         norm_embed=False,
@@ -48,6 +53,11 @@ class RNN4Rec(DynEmbedBase):
         )
         self.rnn_type = rnn_type
         self.hidden_dim = tuple(hidden_units)[0]
+        # input dropout on the sequence embeddings + LN on the final state
+        # (reference layers/recurrent.py:36-43 applies keras dropout/LN per
+        # rnn layer; the recurrent state path here is a fixed tanh cell)
+        self.dropout_rate = dropout_rate or 0.0
+        self.use_layer_norm = use_layer_norm
         self.n_epochs = n_epochs
         self.lr = lr
         self.lr_decay = lr_decay
@@ -65,6 +75,8 @@ class RNN4Rec(DynEmbedBase):
         return {
             "item_embed_in": truncated_normal(r[0], (i_rows, D)),
             "rnn": init_rnn(r[1], D, self.hidden_dim),
+            **({"rnn_ln": init_layer_norm(self.hidden_dim)}
+               if self.use_layer_norm else {}),
             "proj": init_dense(r[2], self.hidden_dim, D),
             "item_embed": truncated_normal(r[3], (i_rows, D)),
             "item_bias": jnp.zeros((i_rows,)),
@@ -72,9 +84,14 @@ class RNN4Rec(DynEmbedBase):
 
     def _user_repr(self, params, users, seq, train, rng):
         embeds = params["item_embed_in"][seq]                   # (B, L, D)
+        if train and self.dropout_rate > 0.0:
+            rng, sub = jax.random.split(rng)
+            embeds = dropout(embeds, self.dropout_rate, sub)
         mask = seq != self.pad_id
         run = gru if self.rnn_type == "gru" else lstm
         h_final, _ = run(params["rnn"], embeds, mask=mask)
+        if self.use_layer_norm:
+            h_final = jnp.tanh(layer_norm(params["rnn_ln"], h_final))
         out = dense(params["proj"], h_final)
         if self.norm_embed:
             out = out / jnp.maximum(

@@ -59,6 +59,7 @@ class SIM(SeqFeatBase):
         recent_num=10,
         random_num=None,
         long_max_len=100,
+        short_max_len=None,  # reference name for the short window (sim.py:131); overrides recent_num
         search_topk=10,
         num_heads=2,
         multi_sparse_combiner="sqrtn",
@@ -73,7 +74,8 @@ class SIM(SeqFeatBase):
             task, data_info, loss_type, embed_size, n_epochs, lr, lr_decay,
             epsilon, reg, batch_size, sampler, num_neg, seed,
             lower_upper_bound, multi_sparse_combiner,
-            recent_num=recent_num, random_num=random_num,
+            recent_num=recent_num if short_max_len is None else short_max_len,
+            random_num=random_num,
         )
         assert search_topk <= long_max_len
         assert 0.0 <= alpha <= 1.0 and 0.0 <= beta <= 1.0

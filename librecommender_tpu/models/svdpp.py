@@ -33,6 +33,7 @@ class SVDpp(EmbedBase):
         batch_size=256,
         sampler="random",
         num_neg=1,
+        recent_num=None,
         max_implicit=128,
         dense_adj_limit=200_000_000,
         seed=42,
@@ -53,7 +54,16 @@ class SVDpp(EmbedBase):
         self.batch_size = batch_size
         self.sampler = sampler
         self.num_neg = num_neg
-        self.max_implicit = max_implicit
+        # reference svdpp.py:186 keeps each user's `recent_num` most recent
+        # consumed items for the implicit term (its default: 30); None keeps
+        # everything up to the `max_implicit` table width
+        assert recent_num is None or (
+            isinstance(recent_num, int) and recent_num > 0
+        ), "`recent_num` must be None or positive int"
+        self.recent_num = recent_num
+        self.max_implicit = (
+            max_implicit if recent_num is None else min(max_implicit, recent_num)
+        )
         self.dense_adj_limit = dense_adj_limit
         self.consumed_table = None
         self.consumed_counts = None
@@ -61,8 +71,13 @@ class SVDpp(EmbedBase):
 
     def _build_implicit(self):
         u_rows, i_rows = aligned_rows(self.n_users), aligned_rows(self.n_items)
+        consumed = self.data_info.user_consumed
+        if self.recent_num is not None:
+            consumed = {
+                u: list(items)[-self.recent_num:] for u, items in consumed.items()
+            }
         table, counts = build_neighbor_table(
-            self.data_info.user_consumed, self.n_users, self.max_implicit,
+            consumed, self.n_users, self.max_implicit,
             pad=self.n_items,  # pad indexes a zero-contribution row via mask
         )
         if u_rows * i_rows <= self.dense_adj_limit:

@@ -1,9 +1,17 @@
 """Transformer (BST): behavior-sequence transformer ranking model.
 
-Reference parity: libreco/algorithms/transformer.py:35 — the target item is
-appended to the behavior sequence, sinusoidal positions added, a stack of
-encoder layers attends over the (seq + target), and the output at the target
-position joins the other feature fields in an MLP head.
+Reference parity: libreco/algorithms/transformer.py:35 — each sequence token
+is the item embedding AGGREGATED WITH the item's unique features
+(``feat_agg_mode``: 'concat' flattens item sparse/dense field embeddings
+into the token, 'elementwise' sums layer-normed field embeddings into the
+item embedding — tfops/features.py `combine_seq_features`), the target item
+is appended to the behavior sequence, positions are added ('trainable' table
+or 'sinusoidal' — transformer.py:88), a stack of encoder layers (optionally
+causal-masked, transformer.py:90) attends over (seq + target), and the
+output at the target position joins the other feature fields in an MLP head.
+
+``feat_agg_mode=None`` is an extension: bare item-embedding tokens (skips
+the per-token feature gathers; the lean high-throughput variant).
 """
 import jax
 import jax.numpy as jnp
@@ -13,8 +21,10 @@ from ..ops.initializers import truncated_normal
 from ..ops.nn import (
     dense,
     init_dense,
+    init_layer_norm,
     init_mlp,
     init_transformer_layer,
+    layer_norm,
     mlp,
     positional_encoding,
     transformer_layer,
@@ -44,6 +54,9 @@ class Transformer(SeqFeatBase):
         random_num=None,
         num_heads=2,
         num_tfm_layers=1,
+        positional_embedding="trainable",
+        use_causal_mask=False,
+        feat_agg_mode="concat",
         multi_sparse_combiner="sqrtn",
         compute_dtype="bf16",
         seed=42,
@@ -62,16 +75,40 @@ class Transformer(SeqFeatBase):
         self.hidden_units = tuple(hidden_units)
         if compute_dtype not in ("bf16", "f32", None):
             raise ValueError("compute_dtype must be 'bf16', 'f32' or None")
+        if positional_embedding not in ("trainable", "sinusoidal"):
+            raise ValueError(
+                "`positional_embedding` must be `trainable` or `sinusoidal`."
+            )
+        if feat_agg_mode not in ("concat", "elementwise", None):
+            raise ValueError("`feat_agg_mode` must be `concat` or `elementwise`.")
         self.compute_dtype = compute_dtype
         self.use_bn = use_bn
         self.dropout_rate = dropout_rate or 0.0
         self.num_heads = num_heads
         self.num_tfm_layers = num_tfm_layers
+        self.positional_embedding = positional_embedding
+        self.use_causal_mask = use_causal_mask
+        self.feat_agg_mode = feat_agg_mode
+
+    # number of item sparse/dense fields folded into each token
+    def _token_field_counts(self):
+        if self.feat_agg_mode is None or self.feats is None:
+            return 0, 0
+        f_s = len(self.feats.item_sparse_pos) if self.feats.has_sparse else 0
+        f_d = len(self.feats.item_dense_pos) if self.feats.has_dense else 0
+        return f_s, f_d
+
+    @property
+    def token_dim(self):
+        f_s, f_d = self._token_field_counts()
+        if self.feat_agg_mode == "concat":
+            return self.embed_size * (1 + f_s + f_d)
+        return self.embed_size
 
     def _init_params(self, rng):
-        D = self.embed_size
+        D, TD = self.embed_size, self.token_dim
         u_rows, i_rows = aligned_rows(self.n_users), aligned_rows(self.n_items)
-        r = jax.random.split(rng, 6 + self.num_tfm_layers)
+        r = jax.random.split(rng, 7 + self.num_tfm_layers)
         params = {
             "user_embed": truncated_normal(r[0], (u_rows, D)),
             "item_embed": truncated_normal(r[1], (i_rows, D)),
@@ -82,17 +119,60 @@ class Transformer(SeqFeatBase):
             params["dense_embed"] = truncated_normal(
                 r[3], (self.feats.n_dense_fields, D)
             )
+        f_s, f_d = self._token_field_counts()
+        if self.feat_agg_mode == "elementwise":
+            if f_s:
+                params["tok_ln_sparse"] = init_layer_norm(D)
+            if f_d:
+                params["tok_ln_dense"] = init_layer_norm(D)
+        if self.positional_embedding == "trainable":
+            params["pos_embed"] = truncated_normal(
+                r[6], (self.max_seq_len + 1, TD), scale=0.02
+            )
         params["tfm_layers"] = [
-            init_transformer_layer(r[4 + li], D, self.num_heads, 4 * D)
+            init_transformer_layer(r[7 + li], TD, self.num_heads, 4 * TD)
             for li in range(self.num_tfm_layers)
         ]
-        in_dim = self.n_fields * D + D
+        in_dim = self.n_fields * D + TD
         params["mlp"] = init_mlp(
-            r[4 + self.num_tfm_layers], in_dim, list(self.hidden_units),
-            use_ln=self.use_bn,
+            r[4], in_dim, list(self.hidden_units), use_ln=self.use_bn,
         )
-        params["head"] = init_dense(r[5 + self.num_tfm_layers], self.hidden_units[-1], 1)
+        params["head"] = init_dense(r[5], self.hidden_units[-1], 1)
         return params
+
+    def _token_embeds(self, params, ids):
+        """Item ids (any shape) -> feature-aggregated tokens (..., token_dim)
+        (reference tfops/features.py `combine_seq_features`). Pad/OOV ids
+        index the OOV row of each table."""
+        base = params["item_embed"][ids]
+        f_s, f_d = self._token_field_counts()
+        if not (f_s or f_d):
+            return base
+        parts = [base]
+        if f_s:
+            rows = self.feats.item_sparse[ids]            # (..., F_s)
+            se = params["sparse_embed"][rows]             # (..., F_s, D)
+            if self.feat_agg_mode == "concat":
+                parts.append(se.reshape(*se.shape[:-2], -1))
+            else:
+                parts.append(
+                    jnp.sum(layer_norm(params["tok_ln_sparse"], se), axis=-2)
+                )
+        if f_d:
+            vals = self.feats.item_dense[ids]             # (..., F_d)
+            dvecs = params["dense_embed"][
+                jnp.asarray(self.feats.item_dense_pos)
+            ]                                             # (F_d, D)
+            de = vals[..., None] * dvecs                  # (..., F_d, D)
+            if self.feat_agg_mode == "concat":
+                parts.append(de.reshape(*de.shape[:-2], -1))
+            else:
+                parts.append(
+                    jnp.sum(layer_norm(params["tok_ln_dense"], de), axis=-2)
+                )
+        if self.feat_agg_mode == "concat":
+            return jnp.concatenate(parts, axis=-1)
+        return sum(parts)
 
     shared_seq = True  # pos/neg targets share each row's history tokens
 
@@ -100,21 +180,22 @@ class Transformer(SeqFeatBase):
         users, items = inputs["user"], inputs["item"]
         embeds, _, _ = self._field_embeds(params, inputs)
         seq = self._seq_for(inputs)
-        seq_emb, mask = self._seq_item_embeds(params, seq)
-        target = params["item_embed"][items]                    # (TB, D)
-        B, L, D = seq_emb.shape
+        seq_emb = self._token_embeds(params, seq)               # (B, L, TD)
+        mask = seq != self.pad_id
+        target = self._token_embeds(params, items)              # (TB, TD)
+        B, L, TD = seq_emb.shape
         shared = target.shape[0] != B
         if shared:
             # the encoder itself is target-dependent (target joins the
             # token sequence), but the seq token gather and its backward
             # scatter-add run once: the broadcast's backward is a cheap
-            # cross-target sum into the shared (B, L, D) embeddings
-            tgt = self._target_blocks(target, B)                # (T, B, D)
+            # cross-target sum into the shared (B, L, TD) embeddings
+            tgt = self._target_blocks(target, B)                # (T, B, TD)
             T = tgt.shape[0]
             x = jnp.concatenate([
-                jnp.broadcast_to(seq_emb[None], (T, B, L, D)).reshape(T * B, L, D),
-                tgt.reshape(T * B, 1, D),
-            ], axis=1)                                          # (TB, L+1, D)
+                jnp.broadcast_to(seq_emb[None], (T, B, L, TD)).reshape(T * B, L, TD),
+                tgt.reshape(T * B, 1, TD),
+            ], axis=1)                                          # (TB, L+1, TD)
             full_mask = jnp.concatenate([
                 jnp.broadcast_to(mask[None], (T, B, L)).reshape(T * B, L),
                 jnp.ones((T * B, 1), bool),
@@ -124,8 +205,11 @@ class Transformer(SeqFeatBase):
             full_mask = jnp.concatenate(
                 [mask, jnp.ones((mask.shape[0], 1), bool)], axis=1
             )
-        x = x + positional_encoding(x.shape[1], x.shape[2])[None]
-        # the encoder's cost is ~60 bandwidth passes over the (B, L+1, D)
+        if self.positional_embedding == "trainable":
+            x = x + params["pos_embed"][None, : x.shape[1]]
+        else:
+            x = x + positional_encoding(x.shape[1], TD)[None]
+        # the encoder's cost is ~60 bandwidth passes over the (B, L+1, TD)
         # activations (no single op dominates — profiled); bf16 halves
         # every pass and doubles the MXU rate. Params stay f32 (cast per
         # use); the head MLP and loss stay f32.
@@ -137,11 +221,12 @@ class Transformer(SeqFeatBase):
             )
         for layer in tfm_layers:
             x = transformer_layer(
-                layer, x, mask=full_mask, num_heads=self.num_heads
+                layer, x, mask=full_mask, causal=self.use_causal_mask,
+                num_heads=self.num_heads,
             )
-        target_out = x[:, -1, :].astype(jnp.float32)            # (TB, D)
+        target_out = x[:, -1, :].astype(jnp.float32)            # (TB, TD)
         if shared:
-            target_out = self._blocks_to_rows(target_out.reshape(T, B, D))
+            target_out = self._blocks_to_rows(target_out.reshape(T, B, TD))
         flat = jnp.concatenate(
             [embeds.reshape(embeds.shape[0], -1), target_out], axis=1
         )

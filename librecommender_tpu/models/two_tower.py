@@ -44,12 +44,14 @@ class TwoTower(EmbedBase):
         use_bn=True,
         dropout_rate=None,
         hidden_units=(128, 64, 32),
+        margin=1.0,
         use_correction=True,
         temperature=1.0,
         remove_accidental_hits=True,
         ssl_pattern=None,
         ssl_alpha=0.2,
         ssl_temperature=0.1,
+        alpha=None,  # reference name for ssl_alpha (two_tower.py:84)
         multi_sparse_combiner="sqrtn",
         seed=42,
     ):
@@ -81,8 +83,9 @@ class TwoTower(EmbedBase):
             assert ssl_pattern in ("rfm", "rfm-complementary", "cfm"), ssl_pattern
             assert loss_type == "softmax", "SSL requires softmax loss"
         self.ssl_pattern = ssl_pattern
-        self.ssl_alpha = ssl_alpha
+        self.ssl_alpha = ssl_alpha if alpha is None else alpha
         self.ssl_temperature = ssl_temperature
+        self.margin = margin
         self.multi_sparse_combiner = multi_sparse_combiner
         self.feats = None
         self.item_probs = None
@@ -261,7 +264,7 @@ class TwoTower(EmbedBase):
         if self.loss_type == "max_margin":
             return max_margin_loss(
                 jnp.repeat(pos_scores, S), neg_scores,
-                jnp.repeat(weight, S),
+                jnp.repeat(weight, S), margin=self.margin,
             )
         logits = jnp.concatenate([pos_scores, neg_scores])
         labels = jnp.concatenate(

@@ -26,6 +26,8 @@ class WaveNet(DynEmbedBase):
         epsilon=1e-5,
         n_blocks=1,
         n_layers_per_block=4,
+        use_bn=False,
+        dropout_rate=None,  # accepted but unused, as in the reference (wave_net.py:132 stores, never applies)
         n_filters=16,
         reg=None,
         batch_size=256,

@@ -43,6 +43,7 @@ class YouTubeRetrieval(DynEmbedBase):
         multi_sparse_combiner="sqrtn",
         sampler="uniform",
         seed=42,
+        lower_upper_bound=None,  # accepted for API familiarity (ranking-only)
     ):
         self.all_args = {
             k: v for k, v in locals().items()

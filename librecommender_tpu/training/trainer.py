@@ -29,12 +29,14 @@ from ..utils.misc import colorize, time_block
 
 
 def make_optimizer(lr, lr_decay, epsilon, n_batches_per_epoch, n_epochs,
-                   lr_schedule="exponential"):
+                   lr_schedule="exponential", amsgrad=False):
     """Adam with optional LR decay.
 
     Reference: Adam(eps=1e-5) + exponential decay (tfops/configs.py:38) for
     TF models, CosineAnnealingWarmRestarts (torch_trainer.py:27) for torch
-    models; both are offered here.
+    models; both are offered here. ``amsgrad`` matches the torch graph
+    family's option (torch Adam(amsgrad=...), configured in
+    libreco/training/torch_trainer.py).
     """
     if lr_decay:
         if lr_schedule == "cosine":
@@ -50,6 +52,8 @@ def make_optimizer(lr, lr_decay, epsilon, n_batches_per_epoch, n_epochs,
             )
     else:
         schedule = lr
+    if amsgrad:
+        return optax.amsgrad(schedule, eps=epsilon)
     return optax.adam(schedule, eps=epsilon)
 
 
@@ -286,6 +290,7 @@ class Trainer:
             optimizer = make_optimizer(
                 self.lr, self.lr_decay, self.epsilon, n_batches,
                 self.n_epochs, self.lr_schedule,
+                amsgrad=getattr(self.model, "amsgrad", False),
             )
         if self.mesh is not None:
             from ..parallel.mesh import shard_params

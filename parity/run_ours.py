@@ -100,7 +100,7 @@ def main():
         # compat batch_normalization the reference's BN path needs)
         "FM": ("feat", lambda di: FM(
             "ranking", di, embed_size=32, n_epochs=epochs, lr=0.001,
-            batch_size=2048)),
+            batch_size=2048, use_bn=False)),
         "DeepFM": ("feat", lambda di: DeepFM(
             "ranking", di, embed_size=32, n_epochs=epochs, lr=0.001,
             batch_size=2048, hidden_units=(128, 64, 32), use_bn=False)),

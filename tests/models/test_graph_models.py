@@ -227,3 +227,57 @@ def test_lightgcn_bf16_adjacency_close_to_f32():
                                rtol=0.05, atol=2e-3)
     np.testing.assert_allclose(np.asarray(i16), np.asarray(i32),
                                rtol=0.05, atol=2e-3)
+
+
+def test_graph_torch_family_options(pure_builds, pure_frames):
+    """Reference torch-family kwargs: margin (max_margin loss), amsgrad
+    (torch Adam option), dropout_rate, remove_edges (warned no-op under
+    full-graph propagation), neighbor_walk_len (PinSage walk length)."""
+    train_data, *_, data_info = pure_builds
+    m = GraphSage(
+        "ranking", data_info, loss_type="max_margin", embed_size=8,
+        n_epochs=1, batch_size=256, margin=0.5, amsgrad=True,
+        dropout_rate=0.3,
+    )
+    m.fit(train_data, neg_sampling=True, verbose=0)
+    ptest_preds(m, "ranking", pure_frames)
+
+    with pytest.warns(UserWarning, match="remove_edges"):
+        GraphSage("ranking", data_info, remove_edges=True)
+
+    p = PinSage(
+        "ranking", data_info, loss_type="max_margin", embed_size=8,
+        n_epochs=1, batch_size=256, neighbor_walk_len=3, margin=2.0,
+    )
+    p.fit(train_data, neg_sampling=True, verbose=0)
+    ptest_preds(p, "ranking", pure_frames)
+
+    g = LightGCN(
+        "ranking", data_info, loss_type="max_margin", embed_size=8,
+        n_epochs=1, batch_size=256, margin=0.2, amsgrad=True,
+    )
+    g.fit(train_data, neg_sampling=True, verbose=0)
+    ptest_preds(g, "ranking", pure_frames)
+
+
+def test_graph_margin_changes_loss(pure_builds):
+    """margin must actually reach the max_margin loss."""
+    train_data, *_, data_info = pure_builds
+    import jax
+
+    losses = []
+    for margin in (0.1, 5.0):
+        m = GraphSage(
+            "ranking", data_info, loss_type="max_margin", embed_size=8,
+            margin=margin, seed=7,
+        )
+        m.build_model()
+        batch = {
+            "user": np.arange(32) % data_info.n_users,
+            "item": np.arange(32) % data_info.n_items,
+            "item_neg": (np.arange(32)[:, None] + 7) % data_info.n_items,
+            "label": np.ones(32, np.float32),
+            "weight": np.ones(32, np.float32),
+        }
+        losses.append(float(m.loss_fn(m.params, batch, jax.random.PRNGKey(0))))
+    assert losses[1] > losses[0]  # larger margin -> larger hinge loss at init

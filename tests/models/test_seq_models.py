@@ -235,3 +235,53 @@ def test_din_sparse_optimizer(feat_builds):
     assert np.isfinite(auc_sparse)
     # lazy vs dense Adam differ in momentum semantics, not learnability
     assert auc_sparse > auc_dense - 0.1
+
+
+@pytest.mark.parametrize(
+    "opts",
+    [
+        {"positional_embedding": "sinusoidal"},
+        {"use_causal_mask": True},
+        {"feat_agg_mode": "elementwise"},
+        {"feat_agg_mode": None},  # extension: bare item tokens (lean path)
+    ],
+)
+def test_transformer_options(feat_builds, feat_frames, opts):
+    """BST option grid (reference transformer.py:88-93): positional mode,
+    causal masking, feature-aggregation mode."""
+    train_data, *_, data_info = feat_builds
+    model = Transformer(
+        "ranking", data_info, embed_size=8, n_epochs=1, batch_size=256,
+        recent_num=5, hidden_units=(16,), **opts,
+    )
+    model.fit(train_data, neg_sampling=True, verbose=0)
+    ptest_preds(model, "ranking", feat_frames)
+
+
+def test_transformer_invalid_options(feat_builds):
+    *_, data_info = feat_builds
+    with pytest.raises(ValueError):
+        Transformer("ranking", data_info, positional_embedding="learned")
+    with pytest.raises(ValueError):
+        Transformer("ranking", data_info, feat_agg_mode="sum")
+
+
+def test_transformer_token_dim_concat(feat_builds):
+    """concat mode folds each item sparse/dense field into the token."""
+    *_, data_info = feat_builds
+    m1 = Transformer("ranking", data_info, embed_size=8, feat_agg_mode="concat")
+    m2 = Transformer("ranking", data_info, embed_size=8, feat_agg_mode=None)
+    m1.build_model_shell() if hasattr(m1, "build_model_shell") else None
+    # token width must grow by embed_size per item feature field
+    f_i = len(data_info.item_sparse_col.index) + len(data_info.item_dense_col.index)
+    assert m2.token_dim == 8
+    if f_i:
+        assert m1.token_dim == 8 * (1 + f_i)
+
+
+def test_sim_short_max_len_alias(feat_builds):
+    """short_max_len (reference sim.py:131) sets the short window."""
+    *_, data_info = feat_builds
+    m = SIM("ranking", data_info, short_max_len=4, long_max_len=20,
+            search_topk=5)
+    assert m.max_seq_len == 4

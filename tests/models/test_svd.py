@@ -145,3 +145,32 @@ def test_svd_norm_embed(pure_builds):
     i_fac = model.item_embeds_np[: data_info.n_items, :8]
     np.testing.assert_allclose(np.linalg.norm(u_fac, axis=1), 1.0, rtol=1e-5)
     np.testing.assert_allclose(np.linalg.norm(i_fac, axis=1), 1.0, rtol=1e-5)
+
+
+def test_svdpp_recent_num(pure_builds, pure_frames):
+    """recent_num truncates the implicit-feedback set to the most recent
+    items (reference svdpp.py:186)."""
+    train_data, *_, data_info = pure_builds
+    m = SVDpp("ranking", data_info, embed_size=8, n_epochs=1,
+              batch_size=256, recent_num=3)
+    m.fit(train_data, neg_sampling=True, verbose=0)
+    assert m.max_implicit == 3
+    ptest_preds(m, "ranking", pure_frames)
+    with pytest.raises(AssertionError):
+        SVDpp("ranking", data_info, recent_num=-1)
+
+
+def test_bpr_optimizer_choices(pure_builds):
+    """BPR's Cython-path optimizers map to optax (reference bpr.py:87)."""
+    train_data, *_, data_info = pure_builds
+    from librecommender_tpu.models import BPR
+
+    for opt in ("sgd", "momentum"):
+        m = BPR("ranking", data_info, embed_size=8, n_epochs=1,
+                batch_size=256, lr=0.05, optimizer=opt)
+        m.fit(train_data, neg_sampling=True, verbose=0)
+        assert np.all(np.isfinite(m.user_embeds_np))
+    with pytest.raises(ValueError):
+        BPR("ranking", data_info, optimizer="rmsprop")
+    with pytest.raises(ValueError):
+        BPR("ranking", data_info, optimizer="sgd", sparse_optimizer=True)
