@@ -53,6 +53,7 @@ class TwoTower(EmbedBase):
         ssl_temperature=0.1,
         alpha=None,  # reference name for ssl_alpha (two_tower.py:84)
         multi_sparse_combiner="sqrtn",
+        sparse_optimizer=False,
         seed=42,
     ):
         self.all_args = {
@@ -86,6 +87,9 @@ class TwoTower(EmbedBase):
         self.ssl_alpha = ssl_alpha if alpha is None else alpha
         self.ssl_temperature = ssl_temperature
         self.margin = margin
+        # touched-rows LazyAdam over the id/feature tables (same contract as
+        # the feat family: sparse_tables + touched_indices)
+        self.sparse_optimizer = sparse_optimizer
         self.multi_sparse_combiner = multi_sparse_combiner
         self.feats = None
         self.item_probs = None
@@ -105,6 +109,30 @@ class TwoTower(EmbedBase):
             self._build_ssl_state()
         rng = jax.random.PRNGKey(self.seed)
         self.params = self._init_params(rng)
+
+    @property
+    def sparse_tables(self):
+        tabs = ["user_embed", "item_embed"]
+        if self.feats is not None and self.feats.has_sparse:
+            tabs.append("sparse_embed")
+        return tuple(t for t in tabs if t in (self.params or {}))
+
+    def touched_indices(self, batch):
+        users, items = batch["user"], batch["item"]
+        if "item_neg" in batch:
+            neg = batch["item_neg"]
+            users_all = jnp.concatenate([users, jnp.repeat(users, neg.shape[1])])
+            items_all = jnp.concatenate([items, neg.reshape(-1)])
+        else:
+            users_all, items_all = users, items
+        out = {"user_embed": users_all, "item_embed": items_all}
+        if self.feats is not None and self.feats.has_sparse:
+            rows = self.feats.sparse_for(users_all, items_all).reshape(-1)
+            if self.ssl_pattern is not None:
+                # SSL masked views embed per-field OOV rows every step
+                rows = jnp.concatenate([rows, self.item_field_oov])
+            out["sparse_embed"] = rows
+        return out
 
     def _build_ssl_state(self):
         """Per-item-field OOV indices + (for cfm) mutual-information field

@@ -147,3 +147,25 @@ def test_two_tower_pooled_multi_sparse(feat_frames):
     assert np.isfinite(np.asarray(pooled.predict(user=u, item=i))).all()
     recs = pooled.recommend_user(user=u, n_rec=4)
     assert len(recs[u]) == 4
+
+
+def test_two_tower_sparse_optimizer(feat_builds):
+    """Touched-rows LazyAdam on TwoTower's id + feature tables learns to
+    the dense path's quality (same contract as the feat family)."""
+    from librecommender_tpu.evaluation import evaluate
+
+    train_data, eval_data, *_, data_info = feat_builds
+    aucs = {}
+    for sparse in (False, True):
+        m = TwoTower("ranking", data_info, loss_type="softmax", embed_size=16,
+                     n_epochs=10, lr=0.02, batch_size=512, hidden_units=(32,),
+                     sparse_optimizer=sparse)
+        m.fit(train_data, neg_sampling=False, verbose=0)
+        train_auc = evaluate(
+            m, train_data, neg_sampling=True, metrics=["roc_auc"]
+        )["roc_auc"]
+        assert train_auc > 0.55, (sparse, train_auc)
+        aucs[sparse] = evaluate(
+            m, eval_data, neg_sampling=True, metrics=["roc_auc"]
+        )["roc_auc"]
+    assert abs(aucs[True] - aucs[False]) < 0.06
