@@ -55,7 +55,83 @@ class SeqFeatBase(FeatBase):
                 out["item_embed"] = jnp.concatenate(
                     [out["item_embed"], batch[key].reshape(-1)]
                 )
+                if self.feat_agg_mode is not None and self.feats.has_sparse \
+                        and self.feats.item_sparse is not None:
+                    # feature-augmented tokens also gradient the seq items'
+                    # sparse feature rows
+                    out["sparse_embed"] = jnp.concatenate([
+                        out["sparse_embed"],
+                        self.feats.item_sparse[batch[key]].reshape(-1),
+                    ])
         return out
+
+    # ------------------------------------------------- seq token construction
+    # feature-aggregated sequence tokens (reference tfops/features.py
+    # `combine_seq_features`): 'concat' flattens each item's sparse/dense
+    # field embeddings into its token, 'elementwise' adds layer-normed field
+    # sums, None keeps bare item embeddings (the lean extension).
+    feat_agg_mode = None
+
+    def _token_field_counts(self):
+        if self.feat_agg_mode is None or self.feats is None:
+            return 0, 0
+        f_s = len(self.feats.item_sparse_pos) if self.feats.has_sparse else 0
+        f_d = len(self.feats.item_dense_pos) if self.feats.has_dense else 0
+        return f_s, f_d
+
+    @property
+    def token_dim(self):
+        f_s, f_d = self._token_field_counts()
+        if self.feat_agg_mode == "concat":
+            return self.embed_size * (1 + f_s + f_d)
+        return self.embed_size
+
+    def _init_token_norms(self, params):
+        """Add the elementwise-mode LN params (no-op otherwise)."""
+        from ..ops.nn import init_layer_norm
+
+        f_s, f_d = self._token_field_counts()
+        if self.feat_agg_mode == "elementwise":
+            if f_s:
+                params["tok_ln_sparse"] = init_layer_norm(self.embed_size)
+            if f_d:
+                params["tok_ln_dense"] = init_layer_norm(self.embed_size)
+        return params
+
+    def _token_embeds(self, params, ids):
+        """Item ids (any shape) -> feature-aggregated tokens (..., token_dim).
+        Pad/OOV ids index the OOV row of each table."""
+        from ..ops.nn import layer_norm
+
+        base = params["item_embed"][ids]
+        f_s, f_d = self._token_field_counts()
+        if not (f_s or f_d):
+            return base
+        parts = [base]
+        if f_s:
+            rows = self.feats.item_sparse[ids]            # (..., F_s)
+            se = params["sparse_embed"][rows]             # (..., F_s, D)
+            if self.feat_agg_mode == "concat":
+                parts.append(se.reshape(*se.shape[:-2], -1))
+            else:
+                parts.append(
+                    jnp.sum(layer_norm(params["tok_ln_sparse"], se), axis=-2)
+                )
+        if f_d:
+            vals = self.feats.item_dense[ids]             # (..., F_d)
+            dvecs = params["dense_embed"][
+                jnp.asarray(self.feats.item_dense_pos)
+            ]                                             # (F_d, D)
+            de = vals[..., None] * dvecs                  # (..., F_d, D)
+            if self.feat_agg_mode == "concat":
+                parts.append(de.reshape(*de.shape[:-2], -1))
+            else:
+                parts.append(
+                    jnp.sum(layer_norm(params["tok_ln_dense"], de), axis=-2)
+                )
+        if self.feat_agg_mode == "concat":
+            return jnp.concatenate(parts, axis=-1)
+        return sum(parts)
 
     @staticmethod
     def _target_blocks(target, n_seq_rows):

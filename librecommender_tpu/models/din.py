@@ -42,6 +42,7 @@ class DIN(SeqFeatBase):
         recent_num=10,
         random_num=None,
         use_tf_attention=False,  # accepted for API familiarity (TF-impl switch); ignored
+        feat_agg_mode=None,
         multi_sparse_combiner="sqrtn",
         sparse_optimizer=False,
         seed=42,
@@ -61,6 +62,13 @@ class DIN(SeqFeatBase):
         self.use_bn = use_bn
         self.dropout_rate = dropout_rate or 0.0
         self.sparse_optimizer = sparse_optimizer
+        # the reference builds attention keys/targets from feature-augmented
+        # tokens unconditionally (din.py:207 combine_seq_features "concat");
+        # the default here keeps bare item tokens — the profiled-lean path —
+        # with 'concat'/'elementwise' giving the reference construction
+        if feat_agg_mode not in ("concat", "elementwise", None):
+            raise ValueError("`feat_agg_mode` must be `concat`, `elementwise` or None")
+        self.feat_agg_mode = feat_agg_mode
 
     def _init_params(self, rng):
         D = self.embed_size
@@ -69,7 +77,6 @@ class DIN(SeqFeatBase):
         params = {
             "user_embed": truncated_normal(r[0], (u_rows, D)),
             "item_embed": truncated_normal(r[1], (i_rows, D)),
-            "att": init_din_attention(r[2], D),
         }
         if self.feats.has_sparse:
             params["sparse_embed"] = truncated_normal(r[3], (self._sparse_rows(), D))
@@ -77,7 +84,9 @@ class DIN(SeqFeatBase):
             params["dense_embed"] = truncated_normal(
                 r[4], (self.feats.n_dense_fields, D)
             )
-        in_dim = self.n_fields * D + D  # fields + attended history
+        params["att"] = init_din_attention(r[2], self.token_dim)
+        self._init_token_norms(params)
+        in_dim = self.n_fields * D + self.token_dim  # fields + attended history
         params["mlp"] = init_mlp(r[5], in_dim, list(self.hidden_units),
                                  use_ln=self.use_bn)
         params["head"] = init_dense(r[6], self.hidden_units[-1], 1)
@@ -89,8 +98,9 @@ class DIN(SeqFeatBase):
         users, items = inputs["user"], inputs["item"]
         embeds, _, _ = self._field_embeds(params, inputs)
         seq = self._seq_for(inputs)
-        seq_emb, mask = self._seq_item_embeds(params, seq)
-        target = params["item_embed"][items]                    # (TB, D)
+        seq_emb = self._token_embeds(params, seq)               # (B, L, TD)
+        mask = seq != self.pad_id
+        target = self._token_embeds(params, items)              # (TB, TD)
         B = seq.shape[0]
         if target.shape[0] != B:
             # shared-seq training: attend all targets over the row's shared

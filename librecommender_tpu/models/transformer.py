@@ -21,10 +21,8 @@ from ..ops.initializers import truncated_normal
 from ..ops.nn import (
     dense,
     init_dense,
-    init_layer_norm,
     init_mlp,
     init_transformer_layer,
-    layer_norm,
     mlp,
     positional_encoding,
     transformer_layer,
@@ -90,21 +88,6 @@ class Transformer(SeqFeatBase):
         self.use_causal_mask = use_causal_mask
         self.feat_agg_mode = feat_agg_mode
 
-    # number of item sparse/dense fields folded into each token
-    def _token_field_counts(self):
-        if self.feat_agg_mode is None or self.feats is None:
-            return 0, 0
-        f_s = len(self.feats.item_sparse_pos) if self.feats.has_sparse else 0
-        f_d = len(self.feats.item_dense_pos) if self.feats.has_dense else 0
-        return f_s, f_d
-
-    @property
-    def token_dim(self):
-        f_s, f_d = self._token_field_counts()
-        if self.feat_agg_mode == "concat":
-            return self.embed_size * (1 + f_s + f_d)
-        return self.embed_size
-
     def _init_params(self, rng):
         D, TD = self.embed_size, self.token_dim
         u_rows, i_rows = aligned_rows(self.n_users), aligned_rows(self.n_items)
@@ -119,12 +102,7 @@ class Transformer(SeqFeatBase):
             params["dense_embed"] = truncated_normal(
                 r[3], (self.feats.n_dense_fields, D)
             )
-        f_s, f_d = self._token_field_counts()
-        if self.feat_agg_mode == "elementwise":
-            if f_s:
-                params["tok_ln_sparse"] = init_layer_norm(D)
-            if f_d:
-                params["tok_ln_dense"] = init_layer_norm(D)
+        self._init_token_norms(params)
         if self.positional_embedding == "trainable":
             params["pos_embed"] = truncated_normal(
                 r[6], (self.max_seq_len + 1, TD), scale=0.02
@@ -139,40 +117,6 @@ class Transformer(SeqFeatBase):
         )
         params["head"] = init_dense(r[5], self.hidden_units[-1], 1)
         return params
-
-    def _token_embeds(self, params, ids):
-        """Item ids (any shape) -> feature-aggregated tokens (..., token_dim)
-        (reference tfops/features.py `combine_seq_features`). Pad/OOV ids
-        index the OOV row of each table."""
-        base = params["item_embed"][ids]
-        f_s, f_d = self._token_field_counts()
-        if not (f_s or f_d):
-            return base
-        parts = [base]
-        if f_s:
-            rows = self.feats.item_sparse[ids]            # (..., F_s)
-            se = params["sparse_embed"][rows]             # (..., F_s, D)
-            if self.feat_agg_mode == "concat":
-                parts.append(se.reshape(*se.shape[:-2], -1))
-            else:
-                parts.append(
-                    jnp.sum(layer_norm(params["tok_ln_sparse"], se), axis=-2)
-                )
-        if f_d:
-            vals = self.feats.item_dense[ids]             # (..., F_d)
-            dvecs = params["dense_embed"][
-                jnp.asarray(self.feats.item_dense_pos)
-            ]                                             # (F_d, D)
-            de = vals[..., None] * dvecs                  # (..., F_d, D)
-            if self.feat_agg_mode == "concat":
-                parts.append(de.reshape(*de.shape[:-2], -1))
-            else:
-                parts.append(
-                    jnp.sum(layer_norm(params["tok_ln_dense"], de), axis=-2)
-                )
-        if self.feat_agg_mode == "concat":
-            return jnp.concatenate(parts, axis=-1)
-        return sum(parts)
 
     shared_seq = True  # pos/neg targets share each row's history tokens
 

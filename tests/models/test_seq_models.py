@@ -285,3 +285,32 @@ def test_sim_short_max_len_alias(feat_builds):
     m = SIM("ranking", data_info, short_max_len=4, long_max_len=20,
             search_topk=5)
     assert m.max_seq_len == 4
+
+
+@pytest.mark.parametrize("mode", ["concat", "elementwise"])
+def test_din_feat_agg_tokens(feat_builds, feat_frames, mode):
+    """DIN with the reference's feature-augmented attention tokens
+    (reference din.py:207 combine_seq_features)."""
+    train_data, *_, data_info = feat_builds
+    m = DIN("ranking", data_info, embed_size=8, n_epochs=1, batch_size=256,
+            recent_num=5, hidden_units=(16,), feat_agg_mode=mode)
+    m.fit(train_data, neg_sampling=True, verbose=0)
+    f_i = len(data_info.item_sparse_col.index) + len(data_info.item_dense_col.index)
+    if mode == "concat" and f_i:
+        assert m.token_dim == 8 * (1 + f_i)
+    else:
+        assert m.token_dim == 8
+    ptest_preds(m, "ranking", feat_frames)
+
+
+def test_din_feat_agg_sparse_optimizer(feat_builds):
+    """feat_agg tokens + touched-rows LazyAdam: seq items' feature rows are
+    gradient targets and must be in the touched set."""
+    train_data, *_, data_info = feat_builds
+    m = DIN("ranking", data_info, embed_size=8, n_epochs=2, batch_size=256,
+            recent_num=5, hidden_units=(16,), feat_agg_mode="concat",
+            sparse_optimizer=True)
+    m.fit(train_data, neg_sampling=True, verbose=0)
+    assert np.isfinite(
+        np.asarray(m.predict(user=1, item=2, cold_start="average"))
+    ).all()
