@@ -62,6 +62,7 @@ class SIM(SeqFeatBase):
         short_max_len=None,  # reference name for the short window (sim.py:131); overrides recent_num
         search_topk=10,
         num_heads=2,
+        feat_agg_mode=None,
         multi_sparse_combiner="sqrtn",
         seed=42,
         lower_upper_bound=None,
@@ -77,6 +78,12 @@ class SIM(SeqFeatBase):
             recent_num=recent_num if short_max_len is None else short_max_len,
             random_num=random_num,
         )
+        # reference SIM builds all seq tokens from feature-augmented items
+        # (sim.py:198 combine_seq_features "concat"); default here keeps the
+        # profiled-lean bare-token path, 'concat'/'elementwise' opt in
+        if feat_agg_mode not in ("concat", "elementwise", None):
+            raise ValueError("`feat_agg_mode` must be `concat`, `elementwise` or None")
+        self.feat_agg_mode = feat_agg_mode
         assert search_topk <= long_max_len
         assert 0.0 <= alpha <= 1.0 and 0.0 <= beta <= 1.0
         self.alpha = float(alpha)
@@ -122,8 +129,6 @@ class SIM(SeqFeatBase):
         params = {
             "user_embed": truncated_normal(r[0], (u_rows, D)),
             "item_embed": truncated_normal(r[1], (i_rows, D)),
-            "short_att": init_din_attention(r[2], D),
-            "esu_mha": init_mha(r[3], D, self.num_heads),
         }
         if self.feats.has_sparse:
             params["sparse_embed"] = truncated_normal(r[4], (self._sparse_rows(), D))
@@ -131,12 +136,16 @@ class SIM(SeqFeatBase):
             params["dense_embed"] = truncated_normal(
                 r[5], (self.feats.n_dense_fields, D)
             )
+        TD = self.token_dim
+        params["short_att"] = init_din_attention(r[2], TD)
+        params["esu_mha"] = init_mha(r[3], TD, self.num_heads)
+        self._init_token_norms(params)
         # first stage: target + sum-pooled long history (sim.py:229-247)
-        params["first_mlp"] = init_mlp(r[6], 2 * D, list(self.hidden_units),
+        params["first_mlp"] = init_mlp(r[6], 2 * TD, list(self.hidden_units),
                                        use_ln=self.use_bn)
         params["first_head"] = init_dense(r[7], self.hidden_units[-1], 1)
         # second stage: feature fields + ESU + short DIN (sim.py:249-262)
-        in_dim = self.n_fields * D + 2 * D
+        in_dim = self.n_fields * D + 2 * TD
         params["mlp"] = init_mlp(r[8], in_dim, list(self.hidden_units),
                                  use_ln=self.use_bn)
         params["head"] = init_dense(r[9], self.hidden_units[-1], 1)
@@ -152,12 +161,14 @@ class SIM(SeqFeatBase):
     def _forward(self, params, inputs, train, rng):
         users, items = inputs["user"], inputs["item"]
         embeds, _, _ = self._field_embeds(params, inputs)
-        target = params["item_embed"][items]                    # (TB, D)
+        target = self._token_embeds(params, items)              # (TB, TD)
 
         long_seq = self._long_seq_for(inputs)
-        long_emb, long_mask = self._seq_item_embeds(params, long_seq)
+        long_emb = self._token_embeds(params, long_seq)
+        long_mask = long_seq != self.pad_id
         short_seq = self._seq_for(inputs)
-        short_emb, short_mask = self._seq_item_embeds(params, short_seq)
+        short_emb = self._token_embeds(params, short_seq)
+        short_mask = short_seq != self.pad_id
 
         # shared-seq: the LONG history gather and its backward scatter-add
         # (B*long_max_len index rows — the dominant seq cost) run once per

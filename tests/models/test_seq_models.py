@@ -314,3 +314,15 @@ def test_din_feat_agg_sparse_optimizer(feat_builds):
     assert np.isfinite(
         np.asarray(m.predict(user=1, item=2, cold_start="average"))
     ).all()
+
+
+@pytest.mark.parametrize("mode", ["concat", "elementwise"])
+def test_sim_feat_agg_tokens(feat_builds, feat_frames, mode):
+    """SIM with feature-augmented GSU/ESU/short tokens (reference
+    sim.py:198 combine_seq_features)."""
+    train_data, *_, data_info = feat_builds
+    m = SIM("ranking", data_info, embed_size=8, n_epochs=1, batch_size=256,
+            hidden_units=(16,), long_max_len=20, search_topk=5,
+            feat_agg_mode=mode)
+    m.fit(train_data, neg_sampling=True, verbose=0)
+    ptest_preds(m, "ranking", feat_frames)
