@@ -49,8 +49,10 @@ def main():
         "YouTubeRanking": ("feat", dict(hidden_units=(128, 64, 32),
                                         recent_num=10), True),
         "DIN": ("feat", dict(hidden_units=(128, 64, 32), recent_num=10), True),
-        "Transformer": ("feat", dict(recent_num=10), True),
-        "SIM": ("feat", dict(recent_num=10, long_max_len=50,
+        "Transformer": ("feat", dict(recent_num=10, feat_agg_mode=None), True),
+        # reference-style feature-augmented tokens (concat = BST default)
+        "Transformer_feattok": ("feat", dict(recent_num=10), True),
+        "SIM": ("feat", dict(recent_num=10, feat_agg_mode=None, long_max_len=50,
                              search_topk=10), True),
         "RNN4Rec": ("pure", dict(recent_num=10), True),
         "Caser": ("pure", dict(recent_num=10), True),
