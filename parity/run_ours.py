@@ -157,6 +157,11 @@ def main():
         "Transformer": ("feat", lambda di: Transformer(
             "ranking", di, embed_size=32, n_epochs=epochs, lr=0.001,
             batch_size=2048, recent_num=10, use_bn=False)),
+        # lean bare-token extension mode, for the feat_agg quality delta
+        "Transformer_bare": ("feat", lambda di: Transformer(
+            "ranking", di, embed_size=32, n_epochs=epochs, lr=0.001,
+            batch_size=2048, recent_num=10, use_bn=False,
+            feat_agg_mode=None)),
         "SIM": ("feat", lambda di: SIM(
             "ranking", di, embed_size=32, n_epochs=epochs, lr=0.001,
             batch_size=2048, recent_num=10, long_max_len=50,
