@@ -162,6 +162,12 @@ def main():
             "ranking", di, embed_size=32, n_epochs=epochs, lr=0.001,
             batch_size=2048, recent_num=10, use_bn=False,
             feat_agg_mode=None)),
+        # reference DIN builds attention tokens this way implicitly
+        # (din.py:207) — the true apples-to-apples vs the reference column
+        "DIN_feattok": ("feat", lambda di: DIN(
+            "ranking", di, embed_size=32, n_epochs=epochs, lr=0.001,
+            batch_size=2048, hidden_units=(128, 64, 32), recent_num=10,
+            use_bn=False, feat_agg_mode="concat")),
         "SIM": ("feat", lambda di: SIM(
             "ranking", di, embed_size=32, n_epochs=epochs, lr=0.001,
             batch_size=2048, recent_num=10, long_max_len=50,
