@@ -26,6 +26,7 @@ from ..ops.nn import (
     mlp,
     positional_encoding,
     transformer_layer,
+    transformer_target_out,
 )
 from ..parallel.mesh import aligned_rows
 
@@ -129,6 +130,52 @@ class Transformer(SeqFeatBase):
         target = self._token_embeds(params, items)              # (TB, TD)
         B, L, TD = seq_emb.shape
         shared = target.shape[0] != B
+        if self.num_tfm_layers == 1 or self.use_causal_mask:
+            # only the target position feeds the head, and seq-token
+            # outputs are target-independent here (single layer, or causal
+            # mask with the target last) — share the seq-token work across
+            # targets instead of broadcasting the encoder over (T*B, L+1)
+            target_out = self._encode_fast(params, seq_emb, mask, target, B)
+        else:
+            target_out = self._encode_broadcast(
+                params, seq_emb, mask, target, B
+            )
+        flat = jnp.concatenate(
+            [embeds.reshape(embeds.shape[0], -1), target_out], axis=1
+        )
+        h = mlp(params["mlp"], flat, dropout_rate=self.dropout_rate,
+                train=train, rng=rng)
+        return dense(params["head"], h)[:, 0]
+
+    def _encode_fast(self, params, seq_emb, mask, target, B):
+        """Shared-seq encoder: seq K/V once, per-target rows only."""
+        L, TD = seq_emb.shape[1], seq_emb.shape[2]
+        shared = target.shape[0] != B
+        tgt = self._target_blocks(target, B) if shared else target[None]
+        if self.positional_embedding == "trainable":
+            pos = params["pos_embed"]
+        else:
+            pos = positional_encoding(L + 1, TD)
+        seq_tok = seq_emb + pos[None, :L]
+        tgt_tok = tgt + pos[L][None, None]
+        tfm_layers = params["tfm_layers"]
+        if self.compute_dtype == "bf16":
+            seq_tok = seq_tok.astype(jnp.bfloat16)
+            tgt_tok = tgt_tok.astype(jnp.bfloat16)
+            tfm_layers = jax.tree.map(
+                lambda a: a.astype(jnp.bfloat16), tfm_layers
+            )
+        out = transformer_target_out(
+            tfm_layers, seq_tok, mask, tgt_tok,
+            num_heads=self.num_heads, causal=self.use_causal_mask,
+        ).astype(jnp.float32)                                   # (T, B, TD)
+        return self._blocks_to_rows(out) if shared else out[0]
+
+    def _encode_broadcast(self, params, seq_emb, mask, target, B):
+        """Full encoder over every (target, seq) pair — the general path
+        (multi-layer, non-causal stacks need true seq-token outputs)."""
+        L, TD = seq_emb.shape[1], seq_emb.shape[2]
+        shared = target.shape[0] != B
         if shared:
             # the encoder itself is target-dependent (target joins the
             # token sequence), but the seq token gather and its backward
@@ -171,9 +218,4 @@ class Transformer(SeqFeatBase):
         target_out = x[:, -1, :].astype(jnp.float32)            # (TB, TD)
         if shared:
             target_out = self._blocks_to_rows(target_out.reshape(T, B, TD))
-        flat = jnp.concatenate(
-            [embeds.reshape(embeds.shape[0], -1), target_out], axis=1
-        )
-        h = mlp(params["mlp"], flat, dropout_rate=self.dropout_rate,
-                train=train, rng=rng)
-        return dense(params["head"], h)[:, 0]
+        return target_out

@@ -251,6 +251,76 @@ def transformer_layer(params, x, mask=None, causal=False, num_heads=1):
     return (xf + h).reshape(B, L, D)
 
 
+def transformer_target_out(layers, seq_x, seq_mask, tgt_x, num_heads=1,
+                           causal=False):
+    """Pre-LN encoder stack output at the TARGET position only.
+
+    BST-style models append the target item to the behavior sequence and
+    read only the target position's output (libreco/algorithms/
+    transformer.py:90 reads ``tfm_net[:, -1]``), so running the full
+    encoder over every (target, sequence) pair wastes the seq-token FFN /
+    projection / elementwise passes T times over. Whenever seq-token
+    outputs are target-independent — a single layer (their outputs are
+    never read) or causal masking (they cannot attend to the target, which
+    sits last) — the seq tokens are processed ONCE and shared across all T
+    target blocks: per layer, seq rows only need K/V projections, while the
+    Q/K/V + attention + FFN run on the (T, B) target rows alone.
+
+    layers: list of ``init_transformer_layer`` params. seq_x (B, L, D);
+    seq_mask (B, L) bool; tgt_x (T, B, D). Returns (T, B, D) — exact match
+    of ``transformer_layer`` applied to [seq, target] under the stated
+    conditions.
+    """
+    if len(layers) > 1 and not causal:
+        raise ValueError(
+            "shared-seq target output is exact only for 1 layer or with "
+            "causal masking"
+        )
+    H = num_heads
+    T, B, D = tgt_x.shape
+    L = seq_x.shape[1]
+    x_seq, x_tgt = seq_x, tgt_x
+    for li, layer in enumerate(layers):
+        p = layer["mha"]
+        h_seq = layer_norm(layer["ln1"], x_seq.reshape(B * L, D))
+        w_kv = jnp.concatenate([p["wk"], p["wv"]], axis=1).astype(h_seq.dtype)
+        kv = h_seq @ w_kv                                   # (B*L, 2*inner)
+        inner = kv.shape[1] // 2
+        d = inner // H
+        k_seq = kv[:, :inner].reshape(B, L, H, d)
+        v_seq = kv[:, inner:].reshape(B, L, H, d)
+        h_tgt = layer_norm(layer["ln1"], x_tgt.reshape(T * B, D))
+        w_qkv = jnp.concatenate(
+            [p["wq"], p["wk"], p["wv"]], axis=1
+        ).astype(h_tgt.dtype)
+        qkv = h_tgt @ w_qkv                                 # (T*B, 3*inner)
+        q_t = qkv[:, :inner].reshape(T, B, H, d)
+        k_t = qkv[:, inner:2 * inner].reshape(T, B, H, d)
+        v_t = qkv[:, 2 * inner:].reshape(T, B, H, d)
+        scale = jnp.sqrt(d).astype(q_t.dtype)
+        logit_seq = jnp.einsum("tbhd,blhd->tbhl", q_t, k_seq) / scale
+        logit_seq = jnp.where(seq_mask[None, :, None, :], logit_seq, -1e9)
+        logit_self = jnp.sum(q_t * k_t, axis=-1)[..., None] / scale
+        weights = jax.nn.softmax(
+            jnp.concatenate([logit_seq, logit_self], axis=-1), axis=-1
+        ).astype(v_t.dtype)                                 # (T, B, H, L+1)
+        att = (
+            jnp.einsum("tbhl,blhd->tbhd", weights[..., :L], v_seq)
+            + weights[..., L:] * v_t
+        ).reshape(T * B, inner)
+        xf = x_tgt.reshape(T * B, D) + (att @ p["wo"].astype(att.dtype))
+        h2 = layer_norm(layer["ln2"], xf)
+        h2 = dense(layer["ffn2"], jax.nn.relu(dense(layer["ffn1"], h2)))
+        x_tgt = (xf + h2).reshape(T, B, D)
+        if li < len(layers) - 1:
+            # causal case only: seq tokens attend among themselves exactly
+            # as in the full pass (tril(L+1)'s top-left block is tril(L))
+            x_seq = transformer_layer(
+                layer, x_seq, mask=seq_mask, causal=True, num_heads=H
+            )
+    return x_tgt
+
+
 def positional_encoding(seq_len, dim):
     """Sinusoidal positions (libreco/layers/transformer.py:147)."""
     pos = jnp.arange(seq_len)[:, None].astype(jnp.float32)

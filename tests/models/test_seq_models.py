@@ -326,3 +326,36 @@ def test_sim_feat_agg_tokens(feat_builds, feat_frames, mode):
             feat_agg_mode=mode)
     m.fit(train_data, neg_sampling=True, verbose=0)
     ptest_preds(m, "ranking", feat_frames)
+
+
+def test_transformer_multilayer_paths(feat_builds, feat_frames):
+    """2-layer stacks: causal uses the shared-seq fast path, non-causal
+    falls back to the broadcast encoder; both train and predict."""
+    train_data, *_, data_info = feat_builds
+    for opts in ({"use_causal_mask": True}, {"use_causal_mask": False}):
+        model = Transformer(
+            "ranking", data_info, embed_size=8, n_epochs=1, batch_size=256,
+            recent_num=5, hidden_units=(16,), num_tfm_layers=2, **opts,
+        )
+        model.fit(train_data, neg_sampling=True, verbose=0)
+        ptest_preds(model, "ranking", feat_frames)
+
+
+def test_transformer_fast_path_matches_broadcast(feat_builds, monkeypatch):
+    """Model-level: scoring through the shared-seq fast encoder equals the
+    full broadcast encoder on the same trained params (f32)."""
+    train_data, *_, data_info = feat_builds
+    model = Transformer(
+        "ranking", data_info, embed_size=8, n_epochs=1, batch_size=256,
+        recent_num=5, hidden_units=(16,), compute_dtype="f32",
+    )
+    model.fit(train_data, neg_sampling=True, verbose=0)
+    users = np.array([0, 1, 2, 3], dtype=np.int32)
+    items = np.array([0, 1, 2, 3], dtype=np.int32)
+    p_fast = np.asarray(model.predict(users, items, inner_id=True))
+    monkeypatch.setattr(
+        Transformer, "_encode_fast", Transformer._encode_broadcast
+    )
+    model._predict_fn = None
+    p_slow = np.asarray(model.predict(users, items, inner_id=True))
+    np.testing.assert_allclose(p_fast, p_slow, rtol=1e-4, atol=1e-5)

@@ -125,3 +125,43 @@ def test_mlp_dropout_train_eval(rng):
     out_train = nn.mlp(p, x, dropout_rate=0.5, train=True,
                        rng=jax.random.PRNGKey(1))
     assert not np.allclose(np.asarray(out_train), np.asarray(out_eval))
+
+
+@pytest.mark.parametrize("n_layers,causal", [(1, False), (1, True), (3, True)])
+def test_transformer_target_out_matches_full_stack(rng, n_layers, causal):
+    """The shared-seq target-position output equals running the full
+    encoder over every [seq, target] pair (exact for 1 layer or causal)."""
+    B, L, D, H, T = 4, 6, 16, 2, 3
+    rs = jax.random.split(rng, 4 + n_layers)
+    layers = [
+        nn.init_transformer_layer(rs[i], D, H, 4 * D) for i in range(n_layers)
+    ]
+    seq_x = jax.random.normal(rs[-4], (B, L, D))
+    tgt_x = jax.random.normal(rs[-3], (T, B, D))
+    seq_mask = jax.random.bernoulli(rs[-2], 0.7, (B, L))
+    seq_mask = seq_mask.at[:, 0].set(True)  # no empty rows
+    fast = nn.transformer_target_out(
+        layers, seq_x, seq_mask, tgt_x, num_heads=H, causal=causal
+    )
+    # reference: full encoder per target block
+    for t in range(T):
+        x = jnp.concatenate([seq_x, tgt_x[t][:, None, :]], axis=1)
+        full_mask = jnp.concatenate(
+            [seq_mask, jnp.ones((B, 1), bool)], axis=1
+        )
+        for layer in layers:
+            x = nn.transformer_layer(
+                layer, x, mask=full_mask, causal=causal, num_heads=H
+            )
+        np.testing.assert_allclose(
+            np.asarray(fast[t]), np.asarray(x[:, -1, :]), rtol=2e-4, atol=2e-5
+        )
+
+
+def test_transformer_target_out_rejects_inexact_config(rng):
+    layers = [nn.init_transformer_layer(rng, 8, 1, 16) for _ in range(2)]
+    with pytest.raises(ValueError):
+        nn.transformer_target_out(
+            layers, jnp.zeros((2, 3, 8)), jnp.ones((2, 3), bool),
+            jnp.zeros((1, 2, 8)), num_heads=1, causal=False,
+        )
