@@ -37,9 +37,14 @@
 #include <vector>
 
 #include <arpa/inet.h>
+#include <fcntl.h>
 #include <netinet/in.h>
+#include <netinet/tcp.h>
+#include <sys/epoll.h>
 #include <sys/socket.h>
 #include <unistd.h>
+
+#include <chrono>
 
 namespace {
 
@@ -392,18 +397,15 @@ std::string recommend_via_backend(const Artifacts& a, const Backend& be,
   return out + "]}";
 }
 
-void respond(int fd, int status, const std::string& body) {
+std::string http_response(int status, const std::string& body, bool keep) {
   std::string head = "HTTP/1.1 " + std::to_string(status) +
                      (status == 200 ? " OK" : " Bad Request") +
                      "\r\nContent-Type: application/json\r\nContent-Length: " +
-                     std::to_string(body.size()) + "\r\nConnection: close\r\n\r\n";
+                     std::to_string(body.size()) +
+                     (keep ? "\r\nConnection: keep-alive\r\n\r\n"
+                           : "\r\nConnection: close\r\n\r\n");
   head += body;
-  size_t off = 0;
-  while (off < head.size()) {
-    const auto n = ::send(fd, head.data() + off, head.size() - off, 0);
-    if (n <= 0) break;
-    off += n;
-  }
+  return head;
 }
 
 // Parse an integer field from untrusted JSON, clamped to [lo, hi]; any
@@ -422,59 +424,26 @@ int parse_int_field(const std::string& body, const std::string& key,
 
 constexpr size_t kMaxBody = 1 << 20;  // 1 MiB request cap
 
-void handle_checked(int fd, const Artifacts& a, const Backend& be) {
-  std::string req;
-  char buf[8192];
-  // read until headers complete (+ body via content-length)
-  size_t body_start = std::string::npos;
-  size_t content_len = 0;
-  while (true) {
-    const auto n = ::recv(fd, buf, sizeof(buf), 0);
-    if (n <= 0) break;
-    req.append(buf, n);
-    if (req.size() > kMaxBody + 8192) {
-      respond(fd, 400, "{\"error\": \"request too large\"}");
-      return;
-    }
-    if (body_start == std::string::npos) {
-      const auto p = req.find("\r\n\r\n");
-      if (p != std::string::npos) {
-        body_start = p + 4;
-        auto cl = req.find("Content-Length:");
-        if (cl == std::string::npos) cl = req.find("content-length:");
-        if (cl != std::string::npos) {
-          errno = 0;
-          char* end = nullptr;
-          const unsigned long v =
-              std::strtoul(req.c_str() + cl + 15, &end, 10);
-          if (errno != 0 || v > kMaxBody) {
-            respond(fd, 400, "{\"error\": \"bad content-length\"}");
-            return;
-          }
-          content_len = v;
-        }
-      }
-    }
-    if (body_start != std::string::npos &&
-        req.size() >= body_start + content_len)
-      break;
-  }
-  if (body_start == std::string::npos) return;
-  const std::string body = req.substr(body_start);
+// Dispatch one parsed request -> (status, response body). `req` is the
+// request line + headers; `body` is exactly the JSON payload.
+std::pair<int, std::string> dispatch_checked(const std::string& req,
+                                             const std::string& body,
+                                             const Artifacts& a,
+                                             const Backend& be) {
   if (req.rfind("GET /health", 0) == 0) {
-    respond(fd, 200, "{\"status\": \"ok\"}");
+    return {200, "{\"status\": \"ok\"}"};
   } else if (req.rfind("POST /embed/recommend", 0) == 0 && a.has_embed) {
     const auto user = json_str(body, "user");
     const int n_rec = parse_int_field(body, "n_rec", 10, 1, a.n_items);
     const auto it = a.user2id.find(user);
     const int32_t uid = it == a.user2id.end() ? -1 : it->second;
-    respond(fd, 200, recommend_embed(a, uid, n_rec));
+    return {200, recommend_embed(a, uid, n_rec)};
   } else if (req.rfind("POST /knn/recommend", 0) == 0 && a.has_knn) {
     const auto user = json_str(body, "user");
     const int n_rec = parse_int_field(body, "n_rec", 10, 1, a.n_items);
     const auto it = a.user2id.find(user);
     const int32_t uid = it == a.user2id.end() ? -1 : it->second;
-    respond(fd, 200, recommend_knn(a, uid, n_rec));
+    return {200, recommend_knn(a, uid, n_rec)};
   } else if ((req.rfind("POST /model/recommend", 0) == 0 ||
               req.rfind("POST /online/recommend", 0) == 0) &&
              be.configured()) {
@@ -486,24 +455,188 @@ void handle_checked(int fd, const Artifacts& a, const Backend& be) {
     const auto feats = online ? json_raw_value(body, "user_feats") : "";
     const auto seq = online ? json_raw_value(body, "seq") : "";
     const auto resp = recommend_via_backend(a, be, uid, n_rec, feats, seq);
-    if (resp.empty())
-      respond(fd, 502, "{\"error\": \"backend unavailable\"}");
-    else
-      respond(fd, 200, resp);
+    if (resp.empty()) return {502, "{\"error\": \"backend unavailable\"}"};
+    return {200, resp};
   } else {
-    respond(fd, 400, "{\"error\": \"unknown endpoint\"}");
+    return {400, "{\"error\": \"unknown endpoint\"}"};
   }
 }
 
-void handle(int fd, const Artifacts& a, const Backend& be) {
+std::pair<int, std::string> dispatch(const std::string& req,
+                                     const std::string& body,
+                                     const Artifacts& a, const Backend& be) {
   try {
-    handle_checked(fd, a, be);
+    return dispatch_checked(req, body, a, be);
   } catch (const std::exception& e) {
-    respond(fd, 400, std::string("{\"error\": \"") + e.what() + "\"}");
+    return {400, std::string("{\"error\": \"") + e.what() + "\"}"};
   } catch (...) {
-    respond(fd, 400, "{\"error\": \"internal\"}");
+    return {400, "{\"error\": \"internal\"}"};
   }
-  ::close(fd);
+}
+
+// ---------------------------------------------------------------- event loop
+// Each server thread runs its own epoll instance; the (non-blocking) listen
+// socket is registered in every instance with EPOLLEXCLUSIVE so the kernel
+// wakes exactly one loop per incoming connection, and a connection then
+// lives on the thread that accepted it (no cross-thread state). Requests
+// are parsed incrementally from a per-connection buffer and dispatched
+// inline — endpoint work is microseconds (dot products / neighbor-list
+// aggregation over in-memory artifacts), so an evented design serves
+// thousands of keep-alive connections per thread without a handoff queue.
+// The model/online families proxy to the Python backend with a blocking
+// call; those deployments should size n_threads to the expected in-flight
+// backend fan-out (mirrors the reference's actix worker sizing).
+struct Conn {
+  std::string in;
+  std::string out;
+  size_t out_off = 0;
+  std::chrono::steady_clock::time_point last;
+  bool close_after_write = false;
+};
+
+bool set_nonblocking(int fd) {
+  const int fl = ::fcntl(fd, F_GETFL, 0);
+  return fl >= 0 && ::fcntl(fd, F_SETFL, fl | O_NONBLOCK) == 0;
+}
+
+// Drain c.out to the socket; returns false on fatal error.
+bool flush_out(int fd, Conn& c) {
+  while (c.out_off < c.out.size()) {
+    const auto n =
+        ::send(fd, c.out.data() + c.out_off, c.out.size() - c.out_off,
+               MSG_NOSIGNAL);
+    if (n > 0) {
+      c.out_off += n;
+      continue;
+    }
+    if (n < 0 && (errno == EAGAIN || errno == EWOULDBLOCK)) return true;
+    return false;
+  }
+  c.out.clear();
+  c.out_off = 0;
+  return true;
+}
+
+// Parse + serve every complete pipelined request in c.in; sets
+// close_after_write on oversized/malformed input or Connection: close.
+void process_buffer(Conn& c, const Artifacts& a, const Backend& be) {
+  while (!c.close_after_write) {
+    const auto hdr_end = c.in.find("\r\n\r\n");
+    if (hdr_end == std::string::npos) {
+      if (c.in.size() > kMaxBody + 8192) {
+        c.out += http_response(400, "{\"error\": \"request too large\"}",
+                               false);
+        c.close_after_write = true;
+      }
+      return;
+    }
+    size_t content_len = 0;
+    auto cl = c.in.find("Content-Length:");
+    if (cl == std::string::npos) cl = c.in.find("content-length:");
+    if (cl != std::string::npos && cl < hdr_end) {
+      errno = 0;
+      char* end = nullptr;
+      const unsigned long v = std::strtoul(c.in.c_str() + cl + 15, &end, 10);
+      if (errno != 0 || v > kMaxBody) {
+        c.out += http_response(400, "{\"error\": \"bad content-length\"}",
+                               false);
+        c.close_after_write = true;
+        return;
+      }
+      content_len = v;
+    }
+    const size_t body_start = hdr_end + 4;
+    if (c.in.size() < body_start + content_len) return;  // need more bytes
+    const std::string head = c.in.substr(0, hdr_end);
+    const std::string body = c.in.substr(body_start, content_len);
+    c.in.erase(0, body_start + content_len);
+    const bool keep = head.find("Connection: close") == std::string::npos &&
+                      head.find("connection: close") == std::string::npos &&
+                      head.find("HTTP/1.0") == std::string::npos;
+    const auto res = dispatch(head, body, a, be);
+    c.out += http_response(res.first, res.second, keep);
+    if (!keep) c.close_after_write = true;
+  }
+}
+
+constexpr int kIdleTimeoutSec = 30;
+
+void run_loop(int listen_fd, const Artifacts& a, const Backend& be) {
+  const int ep = ::epoll_create1(0);
+  epoll_event lev{};
+  lev.events = EPOLLIN | EPOLLEXCLUSIVE;
+  lev.data.fd = listen_fd;
+  ::epoll_ctl(ep, EPOLL_CTL_ADD, listen_fd, &lev);
+  std::unordered_map<int, Conn> conns;
+  auto last_sweep = std::chrono::steady_clock::now();
+  epoll_event events[64];
+  char buf[16384];
+  while (true) {
+    const int n = ::epoll_wait(ep, events, 64, 1000);
+    const auto now = std::chrono::steady_clock::now();
+    for (int i = 0; i < n; ++i) {
+      const int fd = events[i].data.fd;
+      if (fd == listen_fd) {
+        while (true) {
+          const int cfd = ::accept(listen_fd, nullptr, nullptr);
+          if (cfd < 0) break;
+          set_nonblocking(cfd);
+          int one = 1;
+          ::setsockopt(cfd, IPPROTO_TCP, TCP_NODELAY, &one, sizeof(one));
+          epoll_event cev{};
+          cev.events = EPOLLIN;
+          cev.data.fd = cfd;
+          ::epoll_ctl(ep, EPOLL_CTL_ADD, cfd, &cev);
+          conns[cfd].last = now;
+        }
+        continue;
+      }
+      auto it = conns.find(fd);
+      if (it == conns.end()) continue;
+      Conn& c = it->second;
+      c.last = now;
+      bool dead = (events[i].events & (EPOLLERR | EPOLLHUP)) != 0;
+      if (!dead && (events[i].events & EPOLLIN)) {
+        while (true) {
+          const auto r = ::recv(fd, buf, sizeof(buf), 0);
+          if (r > 0) {
+            c.in.append(buf, r);
+            continue;
+          }
+          if (r == 0) dead = true;  // peer closed
+          if (r < 0 && errno != EAGAIN && errno != EWOULDBLOCK) dead = true;
+          break;
+        }
+        if (!dead) process_buffer(c, a, be);
+      }
+      if (!dead && !flush_out(fd, c)) dead = true;
+      if (!dead && c.out.empty() && c.close_after_write) dead = true;
+      if (dead) {
+        ::epoll_ctl(ep, EPOLL_CTL_DEL, fd, nullptr);
+        ::close(fd);
+        conns.erase(it);
+        continue;
+      }
+      // arm/disarm EPOLLOUT depending on pending writes
+      epoll_event cev{};
+      cev.events = EPOLLIN | (c.out.empty() ? 0 : EPOLLOUT);
+      cev.data.fd = fd;
+      ::epoll_ctl(ep, EPOLL_CTL_MOD, fd, &cev);
+    }
+    if (now - last_sweep > std::chrono::seconds(5)) {
+      last_sweep = now;
+      for (auto it = conns.begin(); it != conns.end();) {
+        if (now - it->second.last >
+            std::chrono::seconds(kIdleTimeoutSec)) {
+          ::epoll_ctl(ep, EPOLL_CTL_DEL, it->first, nullptr);
+          ::close(it->first);
+          it = conns.erase(it);
+        } else {
+          ++it;
+        }
+      }
+    }
+  }
 }
 
 }  // namespace
@@ -534,35 +667,15 @@ int main(int argc, char** argv) {
     std::cerr << "bind failed\n";
     return 1;
   }
-  ::listen(server_fd, 128);
+  ::listen(server_fd, 512);
+  set_nonblocking(server_fd);
   std::cout << "native server listening on 127.0.0.1:" << port << std::endl;
 
-  std::queue<int> jobs;
-  std::mutex mu;
-  std::condition_variable cv;
-  std::vector<std::thread> workers;
-  for (int t = 0; t < n_threads; ++t) {
-    workers.emplace_back([&] {
-      while (true) {
-        int fd;
-        {
-          std::unique_lock<std::mutex> lock(mu);
-          cv.wait(lock, [&] { return !jobs.empty(); });
-          fd = jobs.front();
-          jobs.pop();
-        }
-        if (fd < 0) return;
-        handle(fd, artifacts, backend);
-      }
-    });
-  }
-  while (true) {
-    const int fd = ::accept(server_fd, nullptr, nullptr);
-    if (fd < 0) continue;
-    {
-      std::lock_guard<std::mutex> lock(mu);
-      jobs.push(fd);
-    }
-    cv.notify_one();
-  }
+  std::vector<std::thread> loops;
+  for (int t = 1; t < n_threads; ++t)
+    loops.emplace_back(
+        [&] { run_loop(server_fd, artifacts, backend); });
+  run_loop(server_fd, artifacts, backend);
+  for (auto& th : loops) th.join();
+  return 0;
 }

@@ -40,13 +40,19 @@ def _post(port, url, payload):
 
 
 def hammer(port, url, payloads, n_threads, n_requests):
-    """n_threads workers issue sequential POSTs until n_requests total."""
+    """n_threads workers issue sequential POSTs over PERSISTENT (keep-alive)
+    connections until n_requests total — one http.client connection per
+    worker, mirroring a production client pool (both tiers speak HTTP/1.1
+    keep-alive; per-request TCP setup would otherwise dominate)."""
+    import http.client
+
     latencies = []
     lock = threading.Lock()
     counter = {"n": 0}
 
     def worker(tid):
         rng = np.random.default_rng(tid)
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
         local = []
         while True:
             with lock:
@@ -54,9 +60,21 @@ def hammer(port, url, payloads, n_threads, n_requests):
                     break
                 counter["n"] += 1
             payload = payloads[rng.integers(0, len(payloads))]
+            body = json.dumps(payload)
             t0 = time.perf_counter()
-            _post(port, url, payload)
+            try:
+                conn.request("POST", url, body=body,
+                             headers={"Content-Type": "application/json"})
+                resp = conn.getresponse()
+                resp.read()
+            except Exception:
+                conn.close()
+                conn = http.client.HTTPConnection(
+                    "127.0.0.1", port, timeout=30
+                )
+                continue
             local.append(time.perf_counter() - t0)
+        conn.close()
         with lock:
             latencies.extend(local)
 
