@@ -270,6 +270,11 @@ class FeatBase(Base):
 
             @functools.partial(jax.jit, static_argnums=(2,))
             def score_all(params, users, n_users_call):
+                if hasattr(self, "_score_catalog"):
+                    # model-provided full-catalog scorer: shares the
+                    # target-independent per-user work (e.g. seq-token K/V)
+                    # across all items instead of recomputing it per pair
+                    return self._score_catalog(params, users, n_users_call)
                 items = jnp.tile(jnp.arange(n_items, dtype=jnp.int32), n_users_call)
                 users_rep = jnp.repeat(users, n_items)
                 logits = self._forward(

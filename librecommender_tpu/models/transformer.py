@@ -171,6 +171,60 @@ class Transformer(SeqFeatBase):
         ).astype(jnp.float32)                                   # (T, B, TD)
         return self._blocks_to_rows(out) if shared else out[0]
 
+    def _score_catalog(self, params, users, n_users_call):
+        """Full-catalog scoring with per-user seq work shared across items.
+
+        The generic score_all repeats each user's (L,) history once per
+        item, paying the seq-token gather + K/V projections n_items times;
+        here the catalog is the target-block axis of the shared-seq encoder
+        (T = n_items), so those run once per user. Exact under the same
+        conditions as the training fast path; otherwise defers to the
+        generic pair loop.
+        """
+        n_items = self.n_items
+        items = jnp.arange(n_items, dtype=jnp.int32)
+        users_rep = jnp.repeat(users, n_items)
+        items_tile = jnp.tile(items, n_users_call)
+        if self.num_tfm_layers > 1 and not self.use_causal_mask:
+            logits = self._forward(
+                params, {"user": users_rep, "item": items_tile},
+                train=False, rng=None,
+            )
+            return logits.reshape(n_users_call, n_items)
+        seq = self.recent_seq_table[users]
+        seq_emb = self._token_embeds(params, seq)           # (U, L, TD)
+        mask = seq != self.pad_id
+        target = self._token_embeds(params, items)          # (n_items, TD)
+        U, L, TD = seq_emb.shape
+        if self.positional_embedding == "trainable":
+            pos = params["pos_embed"]
+        else:
+            pos = positional_encoding(L + 1, TD)
+        seq_tok = seq_emb + pos[None, :L]
+        tgt_tok = jnp.broadcast_to(
+            target[:, None, :], (n_items, U, TD)
+        ) + pos[L][None, None]
+        tfm_layers = params["tfm_layers"]
+        if self.compute_dtype == "bf16":
+            seq_tok = seq_tok.astype(jnp.bfloat16)
+            tgt_tok = tgt_tok.astype(jnp.bfloat16)
+            tfm_layers = jax.tree.map(
+                lambda a: a.astype(jnp.bfloat16), tfm_layers
+            )
+        out = transformer_target_out(
+            tfm_layers, seq_tok, mask, tgt_tok,
+            num_heads=self.num_heads, causal=self.use_causal_mask,
+        ).astype(jnp.float32)                               # (n_items, U, TD)
+        target_out = out.transpose(1, 0, 2).reshape(U * n_items, TD)
+        embeds, _, _ = self._field_embeds(
+            params, {"user": users_rep, "item": items_tile}
+        )
+        flat = jnp.concatenate(
+            [embeds.reshape(embeds.shape[0], -1), target_out], axis=1
+        )
+        h = mlp(params["mlp"], flat, dropout_rate=0.0, train=False, rng=None)
+        return dense(params["head"], h)[:, 0].reshape(n_users_call, n_items)
+
     def _encode_broadcast(self, params, seq_emb, mask, target, B):
         """Full encoder over every (target, seq) pair — the general path
         (multi-layer, non-causal stacks need true seq-token outputs)."""

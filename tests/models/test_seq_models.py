@@ -359,3 +359,25 @@ def test_transformer_fast_path_matches_broadcast(feat_builds, monkeypatch):
     model._predict_fn = None
     p_slow = np.asarray(model.predict(users, items, inner_id=True))
     np.testing.assert_allclose(p_fast, p_slow, rtol=1e-4, atol=1e-5)
+
+
+def test_transformer_catalog_scorer_matches_generic(feat_builds, monkeypatch):
+    """Full-catalog scoring through _score_catalog (shared seq K/V across
+    items) equals the generic per-pair loop."""
+    import jax.numpy as jnp
+
+    train_data, *_, data_info = feat_builds
+    model = Transformer(
+        "ranking", data_info, embed_size=8, n_epochs=1, batch_size=256,
+        recent_num=5, hidden_units=(16,), compute_dtype="f32",
+    )
+    model.fit(train_data, neg_sampling=True, verbose=0)
+    model._ensure_inference_fns()
+    users = jnp.asarray([0, 1, 2], dtype=jnp.int32)
+    fast = np.asarray(model._recommend_fn(model.params, users, 3))
+    monkeypatch.delattr(Transformer, "_score_catalog")
+    model._recommend_fn = None
+    model._ensure_inference_fns()
+    slow = np.asarray(model._recommend_fn(model.params, users, 3))
+    assert fast.shape == slow.shape == (3, model.n_items)
+    np.testing.assert_allclose(fast, slow, rtol=1e-4, atol=1e-5)
