@@ -94,6 +94,35 @@ class DIN(SeqFeatBase):
 
     shared_seq = True  # pos/neg targets share each row's history (loss_fn)
 
+    def _score_catalog(self, params, users, n_users_call):
+        """Full-catalog scoring with per-user seq work shared across items:
+        the catalog is the multi-target axis of din_attention, so the
+        seq-token gather/embedding runs once per user instead of n_items
+        times (the generic pair loop repeats it per item)."""
+        n_items = self.n_items
+        items = jnp.arange(n_items, dtype=jnp.int32)
+        users_rep = jnp.repeat(users, n_items)
+        items_tile = jnp.tile(items, n_users_call)
+        seq = self.recent_seq_table[users]
+        seq_emb = self._token_embeds(params, seq)           # (U, L, TD)
+        mask = seq != self.pad_id
+        target = self._token_embeds(params, items)          # (n_items, TD)
+        tgt = jnp.broadcast_to(
+            target[:, None, :], (n_items, n_users_call, target.shape[1])
+        )
+        att = din_attention(params["att"], tgt, seq_emb, mask)
+        att_out = att.transpose(1, 0, 2).reshape(
+            n_users_call * n_items, att.shape[-1]
+        )
+        embeds, _, _ = self._field_embeds(
+            params, {"user": users_rep, "item": items_tile}
+        )
+        x = jnp.concatenate(
+            [embeds.reshape(embeds.shape[0], -1), att_out], axis=1
+        )
+        h = mlp(params["mlp"], x, dropout_rate=0.0, train=False, rng=None)
+        return dense(params["head"], h)[:, 0].reshape(n_users_call, n_items)
+
     def _forward(self, params, inputs, train, rng):
         users, items = inputs["user"], inputs["item"]
         embeds, _, _ = self._field_embeds(params, inputs)
