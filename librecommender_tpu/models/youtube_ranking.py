@@ -74,6 +74,31 @@ class YouTubeRanking(SeqFeatBase):
 
     shared_seq = True  # pooling is target-independent: pool once per row
 
+    def _score_catalog(self, params, users, n_users_call):
+        """Full-catalog scoring: pooling is target-independent, so the
+        (L,)-history gather + mean-pool run once per user and the pooled
+        vector repeats across the catalog (the generic pair loop re-pools
+        per item)."""
+        n_items = self.n_items
+        items = jnp.arange(n_items, dtype=jnp.int32)
+        seq = self.recent_seq_table[users]
+        seq_emb, mask = self._seq_item_embeds(params, seq)
+        maskf = mask.astype(seq_emb.dtype)[:, :, None]
+        pooled = jnp.sum(seq_emb * maskf, axis=1) / jnp.maximum(
+            jnp.sum(maskf, axis=1), 1.0
+        )                                                    # (U, D)
+        pooled = jnp.repeat(pooled, n_items, axis=0)
+        embeds, _, _ = self._field_embeds(
+            params,
+            {"user": jnp.repeat(users, n_items),
+             "item": jnp.tile(items, n_users_call)},
+        )
+        x = jnp.concatenate(
+            [embeds.reshape(embeds.shape[0], -1), pooled], axis=1
+        )
+        h = mlp(params["mlp"], x, dropout_rate=0.0, train=False, rng=None)
+        return dense(params["head"], h)[:, 0].reshape(n_users_call, n_items)
+
     def _forward(self, params, inputs, train, rng):
         users, items = inputs["user"], inputs["item"]
         embeds, _, _ = self._field_embeds(params, inputs)
