@@ -154,9 +154,14 @@ def save_exported(path, name, model):
     predict_exp = jax_export.export(model._predict_fn)(specs, ids, ids)
 
     forward = model._forward
+    catalog = getattr(model, "_score_catalog", None)
 
     @jax.jit
     def score_all(p, users):
+        if catalog is not None:
+            # model-provided catalog scorer (shares per-user seq work
+            # across items); shape arithmetic is symbolic-dim safe
+            return catalog(p, users, users.shape[0])
         items = jnp.broadcast_to(
             jnp.arange(n_items, dtype=jnp.int32)[None, :],
             (users.shape[0], n_items),
