@@ -158,27 +158,12 @@ class SIM(SeqFeatBase):
 
     shared_seq = True  # pos/neg targets share each row's (long) history
 
-    def _forward(self, params, inputs, train, rng):
-        users, items = inputs["user"], inputs["item"]
-        embeds, _, _ = self._field_embeds(params, inputs)
-        target = self._token_embeds(params, items)              # (TB, TD)
-
-        long_seq = self._long_seq_for(inputs)
-        long_emb = self._token_embeds(params, long_seq)
-        long_mask = long_seq != self.pad_id
-        short_seq = self._seq_for(inputs)
-        short_emb = self._token_embeds(params, short_seq)
-        short_mask = short_seq != self.pad_id
-
-        # shared-seq: the LONG history gather and its backward scatter-add
-        # (B*long_max_len index rows — the dominant seq cost) run once per
-        # row; every target block attends over the shared embeddings
-        B = long_seq.shape[0]
-        shared = target.shape[0] != B
-        tgt = self._target_blocks(target, B) if shared else target[None]
-        T, _, D = tgt.shape
-
-        # ---- second stage (also the inference output, sim.py:206-209)
+    def _second_stage(self, params, tgt, long_emb, long_mask, short_emb,
+                      short_mask):
+        """GSU soft-search + ESU attention + short-window attention for
+        (T, B) target blocks over shared per-row histories; also the whole
+        inference output (sim.py:206-209)."""
+        T, B, D = tgt.shape
         # GSU: soft search over the long history
         sims = jnp.einsum("tbd,bld->tbl", tgt, long_emb)
         sims = jnp.where(long_mask[None], sims, -jnp.inf)
@@ -204,7 +189,70 @@ class SIM(SeqFeatBase):
         )[:, 0, :].reshape(T, B, D)
 
         # short recent window: DIN-style target attention (multi-target form)
-        short_out = din_attention(params["short_att"], tgt, short_emb, short_mask)
+        short_out = din_attention(
+            params["short_att"], tgt, short_emb, short_mask
+        )
+        return esu_out, short_out
+
+    def _score_catalog(self, params, users, n_users_call):
+        """Full-catalog scoring with the (long_max_len,) history gathered
+        ONCE per user: the catalog is the target-block axis of the
+        GSU/ESU/short-attention stack, where the generic pair loop would
+        re-gather the long history per item (the dominant inference cost
+        at the per-index-row floor)."""
+        n_items = self.n_items
+        items = jnp.arange(n_items, dtype=jnp.int32)
+        users_rep = jnp.repeat(users, n_items)
+        items_tile = jnp.tile(items, n_users_call)
+        long_seq = self.recent_long_table[users]
+        long_emb = self._token_embeds(params, long_seq)
+        long_mask = long_seq != self.pad_id
+        short_seq = self.recent_seq_table[users]
+        short_emb = self._token_embeds(params, short_seq)
+        short_mask = short_seq != self.pad_id
+        target = self._token_embeds(params, items)          # (n_items, TD)
+        tgt = jnp.broadcast_to(
+            target[:, None, :], (n_items, n_users_call, target.shape[1])
+        )
+        esu_out, short_out = self._second_stage(
+            params, tgt, long_emb, long_mask, short_emb, short_mask
+        )
+        D = esu_out.shape[-1]
+        esu_rows = esu_out.transpose(1, 0, 2).reshape(-1, D)
+        short_rows = short_out.transpose(1, 0, 2).reshape(-1, D)
+        embeds, _, _ = self._field_embeds(
+            params, {"user": users_rep, "item": items_tile}
+        )
+        x = jnp.concatenate(
+            [embeds.reshape(embeds.shape[0], -1), esu_rows, short_rows],
+            axis=1,
+        )
+        h = mlp(params["mlp"], x, dropout_rate=0.0, train=False, rng=None)
+        return dense(params["head"], h)[:, 0].reshape(n_users_call, n_items)
+
+    def _forward(self, params, inputs, train, rng):
+        users, items = inputs["user"], inputs["item"]
+        embeds, _, _ = self._field_embeds(params, inputs)
+        target = self._token_embeds(params, items)              # (TB, TD)
+
+        long_seq = self._long_seq_for(inputs)
+        long_emb = self._token_embeds(params, long_seq)
+        long_mask = long_seq != self.pad_id
+        short_seq = self._seq_for(inputs)
+        short_emb = self._token_embeds(params, short_seq)
+        short_mask = short_seq != self.pad_id
+
+        # shared-seq: the LONG history gather and its backward scatter-add
+        # (B*long_max_len index rows — the dominant seq cost) run once per
+        # row; every target block attends over the shared embeddings
+        B = long_seq.shape[0]
+        shared = target.shape[0] != B
+        tgt = self._target_blocks(target, B) if shared else target[None]
+        T, _, D = tgt.shape
+
+        esu_out, short_out = self._second_stage(
+            params, tgt, long_emb, long_mask, short_emb, short_mask
+        )
 
         if shared:
             esu_rows = self._blocks_to_rows(esu_out)

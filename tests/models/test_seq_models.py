@@ -419,3 +419,22 @@ def test_ytb_ranking_catalog_scorer_matches_generic(feat_builds, monkeypatch):
     model._ensure_inference_fns()
     slow = np.asarray(model._recommend_fn(model.params, users, 3))
     np.testing.assert_allclose(fast, slow, rtol=1e-4, atol=1e-5)
+
+
+def test_sim_catalog_scorer_matches_generic(feat_builds, monkeypatch):
+    import jax.numpy as jnp
+
+    train_data, *_, data_info = feat_builds
+    model = SIM(
+        "ranking", data_info, embed_size=8, n_epochs=1, batch_size=256,
+        recent_num=4, long_max_len=12, search_topk=3, hidden_units=(16,),
+    )
+    model.fit(train_data, neg_sampling=True, verbose=0)
+    model._ensure_inference_fns()
+    users = jnp.asarray([0, 1, 2], dtype=jnp.int32)
+    fast = np.asarray(model._recommend_fn(model.params, users, 3))
+    monkeypatch.delattr(SIM, "_score_catalog")
+    model._recommend_fn = None
+    model._ensure_inference_fns()
+    slow = np.asarray(model._recommend_fn(model.params, users, 3))
+    np.testing.assert_allclose(fast, slow, rtol=1e-4, atol=1e-5)
