@@ -27,6 +27,20 @@ def build_server():
     )
 
 
+_BENCH_SRC = _HERE / "benchmark.cpp"
+_BENCH_BIN = _HERE / "benchmark"
+
+
+def build_benchmark():
+    """Native load generator (reference analog: actix benchmark.rs);
+    the Python client is GIL-bound and measures itself at high rates."""
+    return build_native(
+        _BENCH_SRC, _BENCH_BIN,
+        ["g++", "-O3", "-std=c++17", "-pthread", str(_BENCH_SRC),
+         "-o", str(_BENCH_BIN)],
+    )
+
+
 def export_native(path, model):
     """Write flat binary artifacts the C++ server mmap-loads.
 

@@ -120,16 +120,35 @@ def main():
     ]
     results = {}
 
+    def native_hammer(port, url):
+        """Drive the server with the C++ load generator (one persistent
+        connection per thread) — measures the SERVER, not the Python GIL."""
+        import subprocess
+
+        from librecommender_tpu.serving.native_server import build_benchmark
+
+        bench_bin = build_benchmark()
+        out = subprocess.run(
+            [str(bench_bin), "127.0.0.1", str(port), url,
+             str(args.threads), str(max(args.requests * 10, 50000)),
+             str(len(users))],
+            capture_output=True, text=True, timeout=600,
+        )
+        return json.loads(out.stdout)
+
     # ----- knn family (ItemCF) -----
     cf = ItemCF("ranking", data_info, k_sim=20)
     cf.fit(train, neg_sampling=True, verbose=0)
     with tempfile.TemporaryDirectory() as td:
         art = export_native(Path(td) / "knn", cf)
-        proc, port = start_native_server(art)
+        proc, port = start_native_server(art, n_threads=args.threads)
         try:
             _post(port, "/knn/recommend", payloads[0])  # warmup
             results["native_knn"] = hammer(
                 port, "/knn/recommend", payloads, args.threads, args.requests
+            )
+            results["native_knn_cpp_client"] = native_hammer(
+                port, "/knn/recommend"
             )
         finally:
             proc.kill()
@@ -140,11 +159,14 @@ def main():
     bpr.fit(train, neg_sampling=True, verbose=0)
     with tempfile.TemporaryDirectory() as td:
         art = export_native(Path(td) / "embed", bpr)
-        proc, port = start_native_server(art)
+        proc, port = start_native_server(art, n_threads=args.threads)
         try:
             _post(port, "/embed/recommend", payloads[0])
             results["native_embed"] = hammer(
                 port, "/embed/recommend", payloads, args.threads, args.requests
+            )
+            results["native_embed_cpp_client"] = native_hammer(
+                port, "/embed/recommend"
             )
         finally:
             proc.kill()

@@ -142,3 +142,63 @@ def test_native_model_online_endpoints(pure_builds, pure_frames, tmp_path):
         proc.kill()
         proc.wait()
         loop.call_soon_threadsafe(loop.stop)
+
+
+def test_native_benchmark_client(pure_builds, tmp_path):
+    """The C++ load generator round-trips keep-alive requests without
+    failures and reports sane latency stats."""
+    import subprocess
+
+    from librecommender_tpu.serving.native_server import build_benchmark
+
+    train_data, *_, data_info = pure_builds
+    model = BPR("ranking", data_info, embed_size=8, n_epochs=1, batch_size=256)
+    model.fit(train_data, neg_sampling=True, verbose=0)
+    artifact_dir = export_native(tmp_path / "native_bench", model)
+    proc, port = start_native_server(artifact_dir)
+    try:
+        bench_bin = build_benchmark()
+        out = subprocess.run(
+            [str(bench_bin), "127.0.0.1", str(port), "/embed/recommend",
+             "2", "300", str(data_info.n_users)],
+            capture_output=True, text=True, timeout=60,
+        )
+        stats = json.loads(out.stdout)
+        assert stats["n_fail"] == 0 and stats["n_ok"] >= 299
+        assert stats["req_per_s"] > 100
+    finally:
+        proc.kill()
+        proc.wait()
+
+
+def test_native_keepalive_and_pipelining(pure_builds, tmp_path):
+    """Two sequential requests on ONE connection (keep-alive), then a
+    Connection: close request is honored."""
+    import http.client
+
+    train_data, *_, data_info = pure_builds
+    model = BPR("ranking", data_info, embed_size=8, n_epochs=1, batch_size=256)
+    model.fit(train_data, neg_sampling=True, verbose=0)
+    artifact_dir = export_native(tmp_path / "native_ka", model)
+    proc, port = start_native_server(artifact_dir)
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=10)
+        for _ in range(2):
+            conn.request("POST", "/embed/recommend",
+                         body=json.dumps({"user": 1, "n_rec": 3}),
+                         headers={"Content-Type": "application/json"})
+            resp = conn.getresponse()
+            assert resp.status == 200
+            assert resp.headers["Connection"] == "keep-alive"
+            assert len(json.loads(resp.read())["rec_list"]) == 3
+        conn.request("POST", "/embed/recommend",
+                     body=json.dumps({"user": 1, "n_rec": 3}),
+                     headers={"Content-Type": "application/json",
+                              "Connection": "close"})
+        resp = conn.getresponse()
+        assert resp.status == 200
+        assert resp.headers["Connection"] == "close"
+        conn.close()
+    finally:
+        proc.kill()
+        proc.wait()
