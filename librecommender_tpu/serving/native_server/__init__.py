@@ -21,9 +21,12 @@ _SRC = _HERE / "server.cpp"
 
 
 def build_server():
+    # -march=native is safe here: the binary is always compiled from
+    # source on first use on the serving host (hash-keyed, never shipped)
     return build_native(
         _SRC, _BIN,
-        ["g++", "-O3", "-std=c++17", "-pthread", str(_SRC), "-o", str(_BIN)],
+        ["g++", "-O3", "-march=native", "-std=c++17", "-pthread",
+         str(_SRC), "-o", str(_BIN)],
     )
 
 
