@@ -44,16 +44,35 @@ def build_benchmark():
     )
 
 
-def export_native(path, model):
+def export_native(path, model, ivf=False, n_ivf_clusters=None, n_probe=8):
     """Write flat binary artifacts the C++ server mmap-loads.
 
     Item ids must be integers (MovieLens-style); other id types serve
     through the Python tier.
+
+    ``ivf=True`` additionally exports an IVF ANN index over the item
+    embeddings; the server then answers /embed/recommend by probing
+    ``n_probe`` clusters instead of scanning the catalog (the reference's
+    actix embed tier is faiss-backed the same way, embed_deploy.rs).
     """
     path = Path(path)
     path.mkdir(parents=True, exist_ok=True)
     data_info = model.data_info
     meta = {"n_items": int(model.n_items), "n_users": int(model.n_users)}
+    if ivf:
+        from ...retrieval.ivf import IVFIndex
+
+        index = IVFIndex.build(
+            np.asarray(model.item_embeds_np)[: model.n_items],
+            n_clusters=n_ivf_clusters, seed=getattr(model, "seed", 0),
+        )
+        cent = np.ascontiguousarray(index.centroids, np.float32)
+        lists = np.ascontiguousarray(index.lists, np.int32)
+        np.asarray(cent.shape, np.int64).tofile(path / "ivf_centroids_shape.bin")
+        cent.tofile(path / "ivf_centroids.bin")
+        np.asarray(lists.shape, np.int64).tofile(path / "ivf_lists_shape.bin")
+        lists.tofile(path / "ivf_lists.bin")
+        meta["ivf_n_probe"] = int(n_probe)
 
     with open(path / "user2id.json", "w") as f:
         json.dump({str(u): int(i) for u, i in data_info.user2id.items()}, f)

@@ -72,6 +72,13 @@ struct Artifacts {
   std::vector<std::vector<int32_t>> consumed;
   int32_t n_items = 0;
   bool has_embed = false, has_knn = false;
+  // IVF ANN index over item embeddings (reference: faiss-backed
+  // embed_deploy.rs): coarse centroids + padded inverted lists
+  Matrix ivf_centroids;
+  std::vector<int32_t> ivf_lists;  // (C, L) padded with -1
+  int64_t ivf_list_len = 0;
+  int ivf_n_probe = 8;
+  bool has_ivf = false;
 };
 
 template <typename T>
@@ -166,6 +173,21 @@ Artifacts load_artifacts(const std::string& dir) {
       a.has_embed = true;
     }
   }
+  // IVF artifacts (optional)
+  {
+    const auto cshape = read_bin<int64_t>(dir + "/ivf_centroids_shape.bin");
+    const auto lshape = read_bin<int64_t>(dir + "/ivf_lists_shape.bin");
+    if (cshape.size() == 2 && lshape.size() == 2) {
+      a.ivf_centroids.rows = cshape[0];
+      a.ivf_centroids.cols = cshape[1];
+      a.ivf_centroids.data = read_bin<float>(dir + "/ivf_centroids.bin");
+      a.ivf_lists = read_bin<int32_t>(dir + "/ivf_lists.bin");
+      a.ivf_list_len = lshape[1];
+      const auto np = json_str(meta, "ivf_n_probe");
+      if (!np.empty()) a.ivf_n_probe = std::atoi(np.c_str());
+      a.has_ivf = a.has_embed && !a.ivf_lists.empty();
+    }
+  }
   // knn artifacts
   {
     const auto shape = read_bin<int64_t>(dir + "/sims_shape.bin");
@@ -199,25 +221,74 @@ std::vector<int32_t> topk_filtered(std::vector<float>& scores,
   return ids;
 }
 
+// 8 independent accumulators: explicit reassociation lets the compiler
+// vectorize the reduction under plain -O3 (a single-chain float dot
+// cannot be auto-vectorized without -ffast-math, which we avoid for
+// deterministic scoring) — ~2.5x on the embed endpoint
+inline float dotf(const float* u, const float* v, int64_t D) {
+  float acc[8] = {0.f};
+  int64_t d = 0;
+  for (; d + 8 <= D; d += 8)
+    for (int j = 0; j < 8; ++j) acc[j] += u[d + j] * v[d + j];
+  for (; d < D; ++d) acc[0] += u[d] * v[d];
+  return ((acc[0] + acc[4]) + (acc[1] + acc[5])) +
+         ((acc[2] + acc[6]) + (acc[3] + acc[7]));
+}
+
+// IVF probe: top-n_probe centroids by score, then exact dots over their
+// inverted lists only (mirrors retrieval/ivf.py `_ivf_search`).
+std::vector<int32_t> ivf_candidates(const Artifacts& a, const float* u) {
+  const auto C = a.ivf_centroids.rows;
+  const auto D = a.ivf_centroids.cols;
+  std::vector<float> cscores(C);
+  for (int64_t c = 0; c < C; ++c)
+    cscores[c] = dotf(u, a.ivf_centroids.row(c), D);
+  const int probe = std::min<int64_t>(a.ivf_n_probe, C);
+  std::vector<int32_t> cids(C);
+  for (int64_t c = 0; c < C; ++c) cids[c] = (int32_t)c;
+  std::partial_sort(cids.begin(), cids.begin() + probe, cids.end(),
+                    [&](int32_t x, int32_t y) { return cscores[x] > cscores[y]; });
+  std::vector<int32_t> cand;
+  cand.reserve(probe * a.ivf_list_len);
+  for (int p = 0; p < probe; ++p) {
+    const int32_t* lst = a.ivf_lists.data() + (int64_t)cids[p] * a.ivf_list_len;
+    for (int64_t j = 0; j < a.ivf_list_len; ++j)
+      if (lst[j] >= 0) cand.push_back(lst[j]);
+  }
+  return cand;
+}
+
 std::string recommend_embed(const Artifacts& a, int32_t uid, int k) {
   const auto D = a.user_embed.cols;
   const float* u = a.user_embed.row(
       uid >= 0 && uid < a.user_embed.rows ? uid : a.user_embed.rows - 1);
-  std::vector<float> scores(a.n_items);
-  for (int32_t i = 0; i < a.n_items; ++i) {
-    const float* v = a.item_embed.row(i);
-    // 8 independent accumulators: explicit reassociation lets the
-    // compiler vectorize the reduction under plain -O3 (a single-chain
-    // float dot cannot be auto-vectorized without -ffast-math, which
-    // we avoid for deterministic scoring) — ~2.5x on this endpoint
-    float acc[8] = {0.f};
-    int64_t d = 0;
-    for (; d + 8 <= D; d += 8)
-      for (int j = 0; j < 8; ++j) acc[j] += u[d + j] * v[d + j];
-    for (; d < D; ++d) acc[0] += u[d] * v[d];
-    scores[i] = ((acc[0] + acc[4]) + (acc[1] + acc[5])) +
-                ((acc[2] + acc[6]) + (acc[3] + acc[7]));
+  if (a.has_ivf) {
+    const auto cand = ivf_candidates(a, u);
+    const auto& consumed =
+        (uid >= 0 && uid < (int32_t)a.consumed.size()) ? a.consumed[uid]
+                                                       : std::vector<int32_t>{};
+    std::unordered_set<int32_t> skip(consumed.begin(), consumed.end());
+    std::vector<std::pair<float, int32_t>> scored;
+    scored.reserve(cand.size());
+    for (const auto i : cand)
+      if (!skip.count(i))
+        scored.emplace_back(dotf(u, a.item_embed.row(i), D), i);
+    const int take = std::min<int>(k, scored.size());
+    std::partial_sort(
+        scored.begin(), scored.begin() + take, scored.end(),
+        [](const auto& x, const auto& y) {
+          return x.first > y.first || (x.first == y.first && x.second < y.second);
+        });
+    std::string out = "{\"rec_list\": [";
+    for (int i = 0; i < take; ++i) {
+      if (i) out += ", ";
+      out += a.id2item[scored[i].second];
+    }
+    return out + "]}";
   }
+  std::vector<float> scores(a.n_items);
+  for (int32_t i = 0; i < a.n_items; ++i)
+    scores[i] = dotf(u, a.item_embed.row(i), D);
   const auto& consumed =
       (uid >= 0 && uid < (int32_t)a.consumed.size()) ? a.consumed[uid]
                                                      : std::vector<int32_t>{};

@@ -202,3 +202,39 @@ def test_native_keepalive_and_pipelining(pure_builds, tmp_path):
     finally:
         proc.kill()
         proc.wait()
+
+
+def test_native_embed_ivf(pure_builds, pure_frames, tmp_path):
+    """IVF-probed embed endpoint matches the Python IVF index search with
+    consumed filtering (same exported index, same n_probe)."""
+    from librecommender_tpu.retrieval.ivf import IVFIndex
+
+    train_data, *_, data_info = pure_builds
+    model = BPR("ranking", data_info, embed_size=8, n_epochs=1, batch_size=256)
+    model.fit(train_data, neg_sampling=True, verbose=0)
+    artifact_dir = export_native(
+        tmp_path / "native_ivf", model, ivf=True, n_probe=4
+    )
+    assert (tmp_path / "native_ivf" / "ivf_centroids.bin").exists()
+    proc, port = start_native_server(artifact_dir)
+    try:
+        user = pure_frames[0].user.iloc[0]
+        uid = data_info.user2id[user]
+        out = _post(port, "/embed/recommend", {"user": int(user), "n_rec": 5})
+        index = IVFIndex.build(
+            np.asarray(model.item_embeds_np)[: model.n_items],
+            seed=model.seed,
+        )
+        consumed = set(map(int, data_info.user_consumed.get(uid, [])))
+        ids, _ = index.search(
+            np.asarray(model.user_embeds_np)[uid],
+            k=5 + len(consumed), n_probe=4,
+        )
+        expected = [
+            int(data_info.id2item[i]) for i in ids[0]
+            if i >= 0 and int(i) not in consumed
+        ][:5]
+        assert list(map(int, out["rec_list"])) == expected
+    finally:
+        proc.kill()
+        proc.wait()
