@@ -11,8 +11,10 @@
 // mapping, delegating only the jitted forward to a backend scorer URL (the
 // Python model app), exactly as tf_deploy.rs delegates to TF Serving.
 //
-// Design: blocking accept loop + worker thread pool; per-request work is a
-// dense dot product over the item matrix + partial_sort. No external
+// Design: per-thread epoll event loops (EPOLLEXCLUSIVE-shared listen
+// socket) with HTTP/1.1 keep-alive and pipelined request parsing;
+// per-request work is a vectorized dot product over the item matrix (or
+// an IVF probe when the index is exported) + partial_sort. No external
 // dependencies: a ~60-line scanner handles the flat JSON bodies and a
 // loopback POSIX-socket client talks to the backend.
 //
