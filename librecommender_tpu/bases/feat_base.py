@@ -379,8 +379,12 @@ class FeatBase(Base):
         for start in range(0, len(main_idx), U):
             chunk = main_idx[start : start + U]
             uids = inner_ids[chunk]
-            uids_p = np.pad(uids, (0, U - len(uids))).astype(np.int32)
-            scores = self._recommend_fn(self.params, uids_p, U)
+            # pad the tail chunk to the next power of two, not the full
+            # chunk size: a single-user request then scores 1 catalog, not
+            # users_per_call of them (bounded set of compiled variants)
+            u_call = 1 << (len(uids) - 1).bit_length()
+            uids_p = np.pad(uids, (0, u_call - len(uids))).astype(np.int32)
+            scores = self._recommend_fn(self.params, uids_p, u_call)
             if random_rec:
                 from ..recommendation.ranking import rank_recommendations
 
