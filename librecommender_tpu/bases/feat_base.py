@@ -62,6 +62,7 @@ class FeatBase(Base):
         self.feats = None
         self._predict_fn = None
         self._recommend_fn = None
+        self._dyn_score_fn = None
         self._users_per_rec_call = None
 
     # row-sparse LazyAdam opt-in for huge vocab tables (set the attribute
@@ -254,6 +255,7 @@ class FeatBase(Base):
             self.feats = FeatureTables(self.data_info)
             self._predict_fn = None
             self._recommend_fn = None
+            self._dyn_score_fn = None
 
     def _ensure_inference_fns(self):
         self._sync_feature_tables()
@@ -487,9 +489,13 @@ class FeatBase(Base):
                 inputs["seq"] = jnp.tile(
                     jnp.asarray(seq_arr, jnp.int32)[None, :], (n_items, 1)
                 )
-            all_scores[i] = np.asarray(
-                self._forward(self.params, inputs, train=False, rng=None)
-            )
+            # jitted per inputs-structure (which overrides are present) —
+            # the online-serving hot path must not run op-by-op eager
+            if self._dyn_score_fn is None:
+                self._dyn_score_fn = jax.jit(
+                    lambda p, inp: self._forward(p, inp, train=False, rng=None)
+                )
+            all_scores[i] = np.asarray(self._dyn_score_fn(self.params, inputs))
         consumed = (
             pad_consumed(self.user_consumed, uids) if filter_consumed else None
         )
@@ -525,6 +531,7 @@ class FeatBase(Base):
     def post_fit(self):
         self._predict_fn = None
         self._recommend_fn = None
+        self._dyn_score_fn = None
         self.build_default_recs()
 
     def post_load(self):
