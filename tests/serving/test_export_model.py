@@ -12,15 +12,22 @@ from librecommender_tpu.models import DIN, DeepFM
 from librecommender_tpu.serving import load_exported, save_exported
 
 
-@pytest.mark.parametrize("family", ["DeepFM", "DIN", "WideDeep"])
+@pytest.mark.parametrize("family", ["DeepFM", "DIN", "WideDeep", "Transformer", "SIM"])
 def test_exported_matches_model(feat_builds, family, tmp_path):
     train_data, *_, data_info = feat_builds
-    from librecommender_tpu.models import WideDeep
+    from librecommender_tpu.models import SIM, Transformer, WideDeep
 
-    cls = {"DeepFM": DeepFM, "DIN": DIN, "WideDeep": WideDeep}[family]
+    cls = {"DeepFM": DeepFM, "DIN": DIN, "WideDeep": WideDeep,
+           "Transformer": Transformer, "SIM": SIM}[family]
     kwargs = {"recent_num": 5} if family == "DIN" else {}
     if family == "WideDeep":
         kwargs = {"lr": {"wide": 0.01, "deep": 1e-3}}
+    elif family == "Transformer":
+        # f32 so the exported program bit-matches the in-process scorer
+        kwargs = {"recent_num": 5, "hidden_units": (16,), "compute_dtype": "f32"}
+    elif family == "SIM":
+        kwargs = {"recent_num": 4, "long_max_len": 12, "search_topk": 3,
+                  "hidden_units": (16,)}
     model = cls("ranking", data_info, embed_size=8, n_epochs=1,
                 batch_size=256, **kwargs)
     model.fit(train_data, neg_sampling=True, verbose=0)
