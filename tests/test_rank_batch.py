@@ -134,3 +134,19 @@ def test_pack_epoch_arrays_roundtrip():
         cols = packed[mat][:, start:start + ncols]
         got = cols.reshape((N,) + tail) if tail else cols[:, 0]
         np.testing.assert_array_equal(got, host[k].astype(got.dtype))
+
+
+def test_recommend_chunk_padding_consistency(feat_builds):
+    """Batch recommends equal single-user recommends (tail chunks pad to
+    the next power of two, not the full users_per_call shape)."""
+    from librecommender_tpu.models import DeepFM
+
+    train_data, *_, data_info = feat_builds
+    model = DeepFM("ranking", data_info, embed_size=8, n_epochs=1,
+                   batch_size=256, hidden_units=(16,))
+    model.fit(train_data, neg_sampling=True, verbose=0)
+    users = list(range(5))  # 5 -> chunks of 5 (pads to 8) vs singles (pad 1)
+    batch = model.recommend_user(user=users, n_rec=7, inner_id=True)
+    for u in users:
+        single = model.recommend_user(user=u, n_rec=7, inner_id=True)
+        assert list(batch[u]) == list(single[u])
