@@ -349,10 +349,17 @@ class FeatBase(Base):
         cold_start="average",
         filter_consumed=True,
         random_rec=False,
-        users_per_call=8,
+        users_per_call=None,
         user_feats=None,
         seq=None,
     ):
+        """``users_per_call=None`` auto-sizes the per-dispatch user chunk:
+        start at 64 catalogs per device call (each dispatch costs a full
+        host<->device round trip, so small chunks are latency-bound) and
+        halve on HBM exhaustion — the catalog scorers materialize
+        O(users x n_items x seq) activations, so the fitting chunk depends
+        on the model and catalog. The learned cap is remembered on the
+        instance."""
         if user_feats is not None or seq is not None:
             return self._recommend_dynamic(
                 user, n_rec, inner_id, filter_consumed, user_feats, seq
@@ -377,8 +384,9 @@ class FeatBase(Base):
 
         result = {}
         main_idx = np.nonzero(~popular_mask)[0]
-        U = users_per_call
-        for start in range(0, len(main_idx), U):
+        U = users_per_call or getattr(self, "_users_per_call_cap", 64)
+        start = 0
+        while start < len(main_idx):
             chunk = main_idx[start : start + U]
             uids = inner_ids[chunk]
             # pad the tail chunk to the next power of two, not the full
@@ -386,7 +394,18 @@ class FeatBase(Base):
             # users_per_call of them (bounded set of compiled variants)
             u_call = 1 << (len(uids) - 1).bit_length()
             uids_p = np.pad(uids, (0, u_call - len(uids))).astype(np.int32)
-            scores = self._recommend_fn(self.params, uids_p, u_call)
+            try:
+                scores = self._recommend_fn(self.params, uids_p, u_call)
+                scores = jax.block_until_ready(scores)  # surface exec OOM here
+            except Exception as exc:  # noqa: BLE001 — OOM backoff only
+                msg = str(exc)
+                oom = ("RESOURCE_EXHAUSTED" in msg or "exceed memory" in msg
+                       or "Out of memory" in msg)
+                if oom and U > 1:
+                    U = max(1, u_call // 2)
+                    self._users_per_call_cap = U
+                    continue
+                raise
             if random_rec:
                 from ..recommendation.ranking import rank_recommendations
 
@@ -410,6 +429,7 @@ class FeatBase(Base):
                 ids = np.asarray(ids)[: len(uids)]
             for r, i in enumerate(chunk):
                 result[_key(raw_users[i])] = ids[r]
+            start += len(chunk)
         for i in np.nonzero(popular_mask)[0]:
             result[_key(raw_users[i])] = popular_recommendations(
                 self.data_info, inner_id=True, n_rec=n_rec

@@ -64,12 +64,13 @@ def main():
             model._recommend_fn = None
             model._ensure_inference_fns()
             model.recommend_user(user=users[: args.chunk], n_rec=10,
-                                 inner_id=True)  # warmup/compile
+                                 inner_id=True,
+                                 users_per_call=args.chunk)  # warmup/compile
             t0 = time.perf_counter()
             for start in range(0, len(users), args.chunk):
                 model.recommend_user(
                     user=users[start : start + args.chunk], n_rec=10,
-                    inner_id=True,
+                    inner_id=True, users_per_call=args.chunk,
                 )
             dt = time.perf_counter() - t0
             print(

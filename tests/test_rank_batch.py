@@ -150,3 +150,40 @@ def test_recommend_chunk_padding_consistency(feat_builds):
     for u in users:
         single = model.recommend_user(user=u, n_rec=7, inner_id=True)
         assert list(batch[u]) == list(single[u])
+
+
+def test_recommend_oom_backoff(feat_builds):
+    """HBM exhaustion during a chunked recommend halves users_per_call,
+    remembers the cap on the instance, and still returns every user's
+    recommendations (the catalog scorers materialize O(users x n_items)
+    activations, so the fitting chunk is model/catalog dependent)."""
+    from librecommender_tpu.models import DeepFM
+
+    train_data, *_, data_info = feat_builds
+    model = DeepFM("ranking", data_info, embed_size=8, n_epochs=1,
+                   batch_size=256, hidden_units=(16,))
+    model.fit(train_data, neg_sampling=True, verbose=0)
+    users = list(range(11))
+    expected = model.recommend_user(user=users, n_rec=5, inner_id=True)
+
+    model._recommend_fn = None
+    model._ensure_inference_fns()
+    real_fn, calls = model._recommend_fn, []
+
+    def fake_oom(params, uids, u_call):
+        calls.append(u_call)
+        if u_call > 4:
+            raise RuntimeError("RESOURCE_EXHAUSTED: Out of memory in HBM")
+        return real_fn(params, uids, u_call)
+
+    model._recommend_fn = fake_oom
+    got = model.recommend_user(user=users, n_rec=5, inner_id=True,
+                               users_per_call=16)
+    for u in users:
+        assert list(got[u]) == list(expected[u])
+    assert model._users_per_call_cap == 4
+    assert max(c for c in calls if c <= 4) <= 4
+    # the learned cap sticks for the next call (no users_per_call given)
+    calls.clear()
+    model.recommend_user(user=users, n_rec=5, inner_id=True)
+    assert all(c <= 4 for c in calls)
