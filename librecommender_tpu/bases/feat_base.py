@@ -268,6 +268,10 @@ class FeatBase(Base):
             self._predict_fn = jax.jit(predict)
 
         if self._recommend_fn is None:
+            # a transient-OOM-learned chunk cap (`_users_per_call_cap`) is
+            # tied to the compiled scorer; recover it whenever the scorer
+            # itself is rebuilt (feature updates, load, retrain)
+            self.__dict__.pop("_users_per_call_cap", None)
             n_items = self.n_items
 
             @functools.partial(jax.jit, static_argnums=(2,))
@@ -384,7 +388,10 @@ class FeatBase(Base):
 
         result = {}
         main_idx = np.nonzero(~popular_mask)[0]
-        U = users_per_call or getattr(self, "_users_per_call_cap", 64)
+        if users_per_call is not None and users_per_call < 1:
+            raise ValueError(f"users_per_call must be >= 1, got {users_per_call}")
+        U = (users_per_call if users_per_call is not None
+             else getattr(self, "_users_per_call_cap", 64))
         start = 0
         while start < len(main_idx):
             chunk = main_idx[start : start + U]

@@ -27,9 +27,9 @@ def _check_metrics(task, metric_names, k):
     return metric_names
 
 
-def build_eval_data(data, model=None, neg_sampling=False, seed=42):
-    """Normalize input into a TransformedEvalSet, sampling eval negatives
-    for ranking data that only carries positives."""
+def build_eval_data(data, model=None, neg_sampling=False, seed=42, num_neg=1):
+    """Normalize input into a TransformedEvalSet, sampling `num_neg` eval
+    negatives per positive for ranking data that only carries positives."""
     if isinstance(data, TransformedSet):
         data = TransformedEvalSet(data.user_indices, data.item_indices, data.labels)
     assert isinstance(data, TransformedEvalSet), (
@@ -37,7 +37,7 @@ def build_eval_data(data, model=None, neg_sampling=False, seed=42):
         "`Dataset.build_evalset/build_testset`"
     )
     if neg_sampling and not data.has_sampled:
-        data.build_negatives(model.n_items, num_neg=1, seed=seed)
+        data.build_negatives(model.n_items, num_neg=num_neg, seed=seed)
     return data
 
 
@@ -83,13 +83,17 @@ def evaluate(
     k=10,
     sample_user_num=None,
     seed=42,
+    num_neg=1,
     **kwargs,
 ):
-    """Evaluate a fitted model; returns {metric_name: value}."""
+    """Evaluate a fitted model; returns {metric_name: value}.
+
+    ``num_neg``: eval negatives sampled per positive when ``neg_sampling``
+    (reference hardcodes 1; surfaced as a knob here)."""
     if metrics is None:
         metrics = ["loss"]
     metrics = _check_metrics(model.task, metrics, k)
-    data = build_eval_data(data, model, neg_sampling, seed)
+    data = build_eval_data(data, model, neg_sampling, seed, num_neg=num_neg)
     result = {}
 
     if model.task == "rating":

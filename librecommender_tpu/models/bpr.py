@@ -34,7 +34,7 @@ class BPR(EmbedBase):
         use_tf=None,  # accepted for API familiarity; ignored
         optimizer="adam",
         num_threads=1,  # accepted for API familiarity (Cython-path knob); ignored
-        sparse_optimizer=False,
+        sparse_optimizer=None,
         seed=42,
         lower_upper_bound=None,  # accepted for API familiarity (ranking-only)
     ):
@@ -66,7 +66,13 @@ class BPR(EmbedBase):
         if optimizer != "adam" and sparse_optimizer:
             raise ValueError("sparse_optimizer (LazyAdam) requires optimizer='adam'")
         self.optimizer = optimizer
-        # row-sparse LazyAdam for huge vocab tables (docs/implementation_details.md)
+        # Row-sparse LazyAdam is the DEFAULT on the adam path: the reference's
+        # Cython/TF updates are lazy (untouched rows never move), and dense
+        # Adam's stale momentum visibly diverges on small datasets
+        # (PARITY.md BPR row: 0.6353 dense vs 0.7238 reference at matched lr).
+        # Pass sparse_optimizer=False explicitly for dense Adam semantics.
+        if sparse_optimizer is None:
+            sparse_optimizer = optimizer == "adam"
         self.sparse_optimizer = sparse_optimizer
         self.sparse_tables = ("user_embed", "item_embed")
 

@@ -3,9 +3,9 @@
 Reference parity: libreco/algorithms/two_tower.py:13 — user/item feature
 towers; losses: cross_entropy / max_margin / in-batch `softmax` with
 log-popularity correction, temperature (fixed or learnable) and
-accidental-hit removal (two_tower.py:189 has an additional SSL branch —
-tracked as a follow-up). Post-fit both towers are exported as embeddings, so
-serving is a dot product + top-k.
+accidental-hit removal, and the SSL contrastive branch (two_tower.py:189;
+ours in `_ssl_loss` below, wired into the training loss). Post-fit both
+towers are exported as embeddings, so serving is a dot product + top-k.
 """
 import jax
 import jax.numpy as jnp

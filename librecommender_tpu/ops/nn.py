@@ -195,7 +195,7 @@ def mha(params, queries, keys, mask=None, causal=False, num_heads=1):
     einsum (GSU top-k), and flattening+concatenating the k/v weights puts
     a reshape between that einsum and the projections, forcing XLA to
     materialize the selected keys instead of fusing selection into the
-    k/v matmuls (measured: -35%% SIM fit throughput on a v5e)."""
+    k/v matmuls (measured: -35% SIM fit throughput on a v5e)."""
     H = num_heads
     B, Lq, D = queries.shape
     Lk = keys.shape[1]

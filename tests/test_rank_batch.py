@@ -182,7 +182,8 @@ def test_recommend_oom_backoff(feat_builds):
     for u in users:
         assert list(got[u]) == list(expected[u])
     assert model._users_per_call_cap == 4
-    assert max(c for c in calls if c <= 4) <= 4
+    # 11 users @ cap 16: OOM at 16, OOM at 8, then chunks 4+4+3 (pad 4)
+    assert calls == [16, 8, 4, 4, 4]
     # the learned cap sticks for the next call (no users_per_call given)
     calls.clear()
     model.recommend_user(user=users, n_rec=5, inner_id=True)
