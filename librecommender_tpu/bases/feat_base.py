@@ -62,7 +62,6 @@ class FeatBase(Base):
         self.feats = None
         self._predict_fn = None
         self._recommend_fn = None
-        self._dyn_score_fn = None
         self._users_per_rec_call = None
 
     # row-sparse LazyAdam opt-in for huge vocab tables (set the attribute
@@ -255,7 +254,33 @@ class FeatBase(Base):
             self.feats = FeatureTables(self.data_info)
             self._predict_fn = None
             self._recommend_fn = None
-            self._dyn_score_fn = None
+    
+    def _catalog_pair_inputs(self, users, n_users_call, overrides=None):
+        """(U,) users -> flat cross-product inputs (U*n_items rows) for the
+        generic pair-loop scorer. Per-user override rows ((U, F) sparse/dense,
+        (U, L) seq) are repeated across the catalog ON DEVICE, inside the
+        jitted program — XLA fuses the broadcast into the downstream gathers,
+        so no (n_items, F) arrays are built host-side or shipped over PCIe."""
+        n_items = self.n_items
+        inputs = {
+            "user": jnp.repeat(users, n_items),
+            "item": jnp.tile(jnp.arange(n_items, dtype=jnp.int32), n_users_call),
+        }
+        if overrides:
+            for key, val in overrides.items():
+                if val is not None and not key.startswith("seq"):
+                    inputs[key] = jnp.repeat(val, n_items, axis=0)
+        return inputs
+
+    def _catalog_seq(self, users, overrides, key="seq"):
+        """Per-user history for a catalog scorer: the (U, L) request-time
+        override when present, else the stored recent table gathered on
+        device."""
+        if overrides and overrides.get(key) is not None:
+            return overrides[key]
+        table = (self.recent_long_table if key == "seq_long"
+                 else self.recent_seq_table)
+        return table[users]
 
     def _ensure_inference_fns(self):
         self._sync_feature_tables()
@@ -275,18 +300,16 @@ class FeatBase(Base):
             n_items = self.n_items
 
             @functools.partial(jax.jit, static_argnums=(2,))
-            def score_all(params, users, n_users_call):
+            def score_all(params, users, n_users_call, overrides=None):
                 if hasattr(self, "_score_catalog"):
                     # model-provided full-catalog scorer: shares the
                     # target-independent per-user work (e.g. seq-token K/V)
                     # across all items instead of recomputing it per pair
-                    return self._score_catalog(params, users, n_users_call)
-                items = jnp.tile(jnp.arange(n_items, dtype=jnp.int32), n_users_call)
-                users_rep = jnp.repeat(users, n_items)
-                logits = self._forward(
-                    params, {"user": users_rep, "item": items},
-                    train=False, rng=None,
-                )
+                    return self._score_catalog(
+                        params, users, n_users_call, overrides=overrides
+                    )
+                inputs = self._catalog_pair_inputs(users, n_users_call, overrides)
+                logits = self._forward(params, inputs, train=False, rng=None)
                 return logits.reshape(n_users_call, n_items)
 
             self._recommend_fn = score_all
@@ -491,38 +514,62 @@ class FeatBase(Base):
             else:
                 uids[i] = self.data_info.user2id.get(u, self.n_users)
 
+        # ---- per-user override rows, (U, F)/(U, L) — NEVER tiled to the
+        # catalog: the jitted scorers broadcast them over items on device
+        # (catalog scorers share each user's seq/feature work across items)
+        self._ensure_inference_fns()
+        overrides = {}
+        if any(f is not None for f in feats_list):
+            if self.feats.user_sparse is not None:
+                rows = np.stack([
+                    self.feats.build_user_sparse_row(int(uids[i]), feats_list[i])
+                    if feats_list[i] is not None
+                    else np.asarray(self.data_info.user_sparse_unique)[int(uids[i])]
+                    for i in range(U)
+                ])
+                overrides["user_sparse_row"] = rows.astype(np.int32)
+            if self.feats.user_dense is not None:
+                rows = np.stack([
+                    self.feats.build_user_dense_row(int(uids[i]), feats_list[i])
+                    if feats_list[i] is not None
+                    else np.asarray(self.data_info.user_dense_unique)[int(uids[i])]
+                    for i in range(U)
+                ])
+                overrides["user_dense_row"] = rows.astype(np.float32)
+        if any(s is not None for s in seq_list):
+            overrides.update(self._request_seq_overrides(uids, seq_list, inner_id))
+
         n_items = self.n_items
-        item_range = jnp.arange(n_items, dtype=jnp.int32)
         all_scores = np.empty((U, n_items), np.float32)
-        for i in range(U):
-            uid = int(uids[i])
-            inputs = {
-                "user": jnp.full((n_items,), uid, jnp.int32),
-                "item": item_range,
+        cap = getattr(self, "_users_per_call_cap", 64)
+        start = 0
+        while start < U:
+            uids_chunk = uids[start : start + cap]
+            u_call = 1 << (len(uids_chunk) - 1).bit_length()
+            pad = u_call - len(uids_chunk)
+            uids_p = np.pad(uids_chunk, (0, pad)).astype(np.int32)
+            ov = {
+                k: jnp.asarray(np.pad(v[start : start + cap],
+                                      [(0, pad)] + [(0, 0)] * (v.ndim - 1)))
+                for k, v in overrides.items()
             }
-            if feats_list[i] is not None:
-                if self.feats.user_sparse is not None:
-                    row = self.feats.build_user_sparse_row(uid, feats_list[i])
-                    inputs["user_sparse_row"] = jnp.tile(
-                        jnp.asarray(row, jnp.int32)[None, :], (n_items, 1)
-                    )
-                if self.feats.user_dense is not None:
-                    row = self.feats.build_user_dense_row(uid, feats_list[i])
-                    inputs["user_dense_row"] = jnp.tile(
-                        jnp.asarray(row, jnp.float32)[None, :], (n_items, 1)
-                    )
-            if seq_list[i] is not None:
-                seq_arr = self._convert_request_seq(seq_list[i], inner_id)
-                inputs["seq"] = jnp.tile(
-                    jnp.asarray(seq_arr, jnp.int32)[None, :], (n_items, 1)
-                )
-            # jitted per inputs-structure (which overrides are present) —
-            # the online-serving hot path must not run op-by-op eager
-            if self._dyn_score_fn is None:
-                self._dyn_score_fn = jax.jit(
-                    lambda p, inp: self._forward(p, inp, train=False, rng=None)
-                )
-            all_scores[i] = np.asarray(self._dyn_score_fn(self.params, inputs))
+            try:
+                scores = self._recommend_fn(self.params, jnp.asarray(uids_p),
+                                            u_call, ov)
+                scores = jax.block_until_ready(scores)
+            except Exception as exc:  # noqa: BLE001 — OOM backoff only
+                msg = str(exc)
+                oom = ("RESOURCE_EXHAUSTED" in msg or "exceed memory" in msg
+                       or "Out of memory" in msg)
+                if oom and cap > 1:
+                    cap = max(1, u_call // 2)
+                    self._users_per_call_cap = cap
+                    continue
+                raise
+            all_scores[start : start + len(uids_chunk)] = (
+                np.asarray(scores)[: len(uids_chunk)]
+            )
+            start += len(uids_chunk)
         consumed = (
             pad_consumed(self.user_consumed, uids) if filter_consumed else None
         )
@@ -531,9 +578,24 @@ class FeatBase(Base):
         result = {_key(users[i]): ids[i] for i in range(U)}
         return self.finalize_rec(result, users, inner_id)
 
-    def _convert_request_seq(self, seq, inner_id):
+    def _request_seq_overrides(self, uids, seq_list, inner_id):
+        """Per-user request seqs -> {"seq": (U, L)} override array; users
+        with no request seq fall back to their stored recent history.
+        Dual-seq models (SIM) override this to split long/short windows."""
+        rows = []
+        table = None
+        for i, s in enumerate(seq_list):
+            if s is None:
+                if table is None:
+                    table = np.asarray(self.recent_seq_table)
+                rows.append(table[int(uids[i])])
+            else:
+                rows.append(self._convert_request_seq(s, inner_id))
+        return {"seq": np.stack(rows).astype(np.int32)}
+
+    def _convert_request_seq(self, seq, inner_id, max_len=None):
         """Raw item list -> right-aligned padded inner-id array."""
-        L = getattr(self, "max_seq_len", len(seq))
+        L = max_len or getattr(self, "max_seq_len", len(seq))
         if inner_id:
             ids = [int(i) for i in seq if 0 <= int(i) < self.n_items]
         else:
@@ -558,7 +620,6 @@ class FeatBase(Base):
     def post_fit(self):
         self._predict_fn = None
         self._recommend_fn = None
-        self._dyn_score_fn = None
         self.build_default_recs()
 
     def post_load(self):

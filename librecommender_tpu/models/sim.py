@@ -156,6 +156,35 @@ class SIM(SeqFeatBase):
             return inputs["seq_long"]
         return self.recent_long_table[inputs["user"]]
 
+    def _request_seq_overrides(self, uids, seq_list, inner_id):
+        """Dual-seq request override: the short window is the request seq's
+        last ``max_seq_len`` items, the long window its last ``long_max_len``
+        (matching our training layout, where the short window is a suffix of
+        the long one — the reference instead splits them disjointly,
+        recommendation/preprocess.py:49 build_dual_seq). Users without a
+        request seq keep their stored histories."""
+        import numpy as np
+
+        short_rows, long_rows = [], []
+        short_tab = long_tab = None
+        for i, s in enumerate(seq_list):
+            if s is None:
+                if short_tab is None:
+                    short_tab = np.asarray(self.recent_seq_table)
+                    long_tab = np.asarray(self.recent_long_table)
+                short_rows.append(short_tab[int(uids[i])])
+                long_rows.append(long_tab[int(uids[i])])
+            else:
+                short_rows.append(self._convert_request_seq(s, inner_id))
+                long_rows.append(
+                    self._convert_request_seq(s, inner_id,
+                                              max_len=self.long_max_len)
+                )
+        return {
+            "seq": np.stack(short_rows).astype(np.int32),
+            "seq_long": np.stack(long_rows).astype(np.int32),
+        }
+
     shared_seq = True  # pos/neg targets share each row's (long) history
 
     def _second_stage(self, params, tgt, long_emb, long_mask, short_emb,
@@ -194,20 +223,19 @@ class SIM(SeqFeatBase):
         )
         return esu_out, short_out
 
-    def _score_catalog(self, params, users, n_users_call):
+    def _score_catalog(self, params, users, n_users_call, overrides=None):
         """Full-catalog scoring with the (long_max_len,) history gathered
         ONCE per user: the catalog is the target-block axis of the
         GSU/ESU/short-attention stack, where the generic pair loop would
         re-gather the long history per item (the dominant inference cost
-        at the per-index-row floor)."""
+        at the per-index-row floor). ``overrides``: per-user (U, L) "seq" /
+        (U, long_L) "seq_long" / (U, F) feature rows for dynamic requests."""
         n_items = self.n_items
         items = jnp.arange(n_items, dtype=jnp.int32)
-        users_rep = jnp.repeat(users, n_items)
-        items_tile = jnp.tile(items, n_users_call)
-        long_seq = self.recent_long_table[users]
+        long_seq = self._catalog_seq(users, overrides, key="seq_long")
         long_emb = self._token_embeds(params, long_seq)
         long_mask = long_seq != self.pad_id
-        short_seq = self.recent_seq_table[users]
+        short_seq = self._catalog_seq(users, overrides)
         short_emb = self._token_embeds(params, short_seq)
         short_mask = short_seq != self.pad_id
         target = self._token_embeds(params, items)          # (n_items, TD)
@@ -221,7 +249,7 @@ class SIM(SeqFeatBase):
         esu_rows = esu_out.transpose(1, 0, 2).reshape(-1, D)
         short_rows = short_out.transpose(1, 0, 2).reshape(-1, D)
         embeds, _, _ = self._field_embeds(
-            params, {"user": users_rep, "item": items_tile}
+            params, self._catalog_pair_inputs(users, n_users_call, overrides)
         )
         x = jnp.concatenate(
             [embeds.reshape(embeds.shape[0], -1), esu_rows, short_rows],

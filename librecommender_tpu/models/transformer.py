@@ -171,7 +171,7 @@ class Transformer(SeqFeatBase):
         ).astype(jnp.float32)                                   # (T, B, TD)
         return self._blocks_to_rows(out) if shared else out[0]
 
-    def _score_catalog(self, params, users, n_users_call):
+    def _score_catalog(self, params, users, n_users_call, overrides=None):
         """Full-catalog scoring with per-user seq work shared across items.
 
         The generic score_all repeats each user's (L,) history once per
@@ -179,19 +179,20 @@ class Transformer(SeqFeatBase):
         here the catalog is the target-block axis of the shared-seq encoder
         (T = n_items), so those run once per user. Exact under the same
         conditions as the training fast path; otherwise defers to the
-        generic pair loop.
+        generic pair loop. ``overrides``: per-user (U, L) "seq" / (U, F)
+        feature rows for dynamic requests.
         """
         n_items = self.n_items
         items = jnp.arange(n_items, dtype=jnp.int32)
-        users_rep = jnp.repeat(users, n_items)
-        items_tile = jnp.tile(items, n_users_call)
         if self.num_tfm_layers > 1 and not self.use_causal_mask:
-            logits = self._forward(
-                params, {"user": users_rep, "item": items_tile},
-                train=False, rng=None,
-            )
+            # general encoder path: every (target, seq) pair is distinct, so
+            # the per-user rows genuinely fan out over items (device-side)
+            inputs = self._catalog_pair_inputs(users, n_users_call, overrides)
+            if overrides and overrides.get("seq") is not None:
+                inputs["seq"] = jnp.repeat(overrides["seq"], n_items, axis=0)
+            logits = self._forward(params, inputs, train=False, rng=None)
             return logits.reshape(n_users_call, n_items)
-        seq = self.recent_seq_table[users]
+        seq = self._catalog_seq(users, overrides)
         seq_emb = self._token_embeds(params, seq)           # (U, L, TD)
         mask = seq != self.pad_id
         target = self._token_embeds(params, items)          # (n_items, TD)
@@ -217,7 +218,7 @@ class Transformer(SeqFeatBase):
         ).astype(jnp.float32)                               # (n_items, U, TD)
         target_out = out.transpose(1, 0, 2).reshape(U * n_items, TD)
         embeds, _, _ = self._field_embeds(
-            params, {"user": users_rep, "item": items_tile}
+            params, self._catalog_pair_inputs(users, n_users_call, overrides)
         )
         flat = jnp.concatenate(
             [embeds.reshape(embeds.shape[0], -1), target_out], axis=1

@@ -74,14 +74,14 @@ class YouTubeRanking(SeqFeatBase):
 
     shared_seq = True  # pooling is target-independent: pool once per row
 
-    def _score_catalog(self, params, users, n_users_call):
+    def _score_catalog(self, params, users, n_users_call, overrides=None):
         """Full-catalog scoring: pooling is target-independent, so the
         (L,)-history gather + mean-pool run once per user and the pooled
         vector repeats across the catalog (the generic pair loop re-pools
-        per item)."""
+        per item). ``overrides``: per-user (U, L) "seq" / (U, F) feature
+        rows for dynamic requests."""
         n_items = self.n_items
-        items = jnp.arange(n_items, dtype=jnp.int32)
-        seq = self.recent_seq_table[users]
+        seq = self._catalog_seq(users, overrides)
         seq_emb, mask = self._seq_item_embeds(params, seq)
         maskf = mask.astype(seq_emb.dtype)[:, :, None]
         pooled = jnp.sum(seq_emb * maskf, axis=1) / jnp.maximum(
@@ -89,9 +89,7 @@ class YouTubeRanking(SeqFeatBase):
         )                                                    # (U, D)
         pooled = jnp.repeat(pooled, n_items, axis=0)
         embeds, _, _ = self._field_embeds(
-            params,
-            {"user": jnp.repeat(users, n_items),
-             "item": jnp.tile(items, n_users_call)},
+            params, self._catalog_pair_inputs(users, n_users_call, overrides)
         )
         x = jnp.concatenate(
             [embeds.reshape(embeds.shape[0], -1), pooled], axis=1
