@@ -11,12 +11,14 @@ import subprocess
 from pathlib import Path
 
 
-def build_native(src: Path, out: Path, cmd: list) -> Path:
+def build_native(src: Path, out: Path, cmd: list, extra_dep=None) -> Path:
     """Compile ``src`` into ``out`` with ``cmd`` unless the cached artifact
-    matches the current source hash."""
+    matches the current source hash. ``extra_dep``: additional source file
+    (e.g. an #include'd header) folded into the hash key."""
     src, out = Path(src), Path(out)
+    dep_bytes = Path(extra_dep).read_bytes() if extra_dep else b""
     key = hashlib.sha256(
-        src.read_bytes() + "\x00".join(cmd).encode()
+        src.read_bytes() + dep_bytes + "\x00".join(cmd).encode()
     ).hexdigest()
     sidecar = out.with_name(out.name + ".build_hash")
     if out.exists() and sidecar.exists() and sidecar.read_text().strip() == key:

@@ -1,0 +1,285 @@
+"""Jaxpr -> flat native program serialization for the C++ serving runtime.
+
+The reference's high-performance serving tier never executes Python on the
+scoring path: its Rust server delegates to TF Serving's C++ runtime
+(libserving/actix_serving/src/tf_deploy.rs:1, online_deploy_grpc.rs:38).
+The TPU-native analog: the SAME jitted scoring functions that run on TPU
+are traced to a jaxpr, which is serialized here to a flat op-list program
+(JSON) plus a binary constant blob; the C++ server executes it in-process
+(native_server/jaxpr_interp.hpp) — no Python, no extra network hop (one hop
+fewer than the reference's actix -> TF Serving architecture).
+
+Design notes:
+- Model params and feature tables are closed over at trace time, so they
+  land in the constant blob and the artifact is self-contained, like a
+  frozen SavedModel graph.
+- Shapes are fixed at trace time (the serving dispatch width, e.g. one
+  user per request); call-like primitives (pjit/custom_jvp/...) are inlined
+  during serialization so the interpreter only sees ~40 flat primitives
+  plus `scan` (kept as a loop with a nested sub-program).
+- Constants are deduplicated by id; the blob stores little-endian
+  row-major arrays at 64-byte-aligned offsets.
+"""
+import json
+from pathlib import Path
+
+import jax
+import numpy as np
+from jax import core as jax_core
+
+try:  # jax >= 0.4.x moves Literal around; keep a single name
+    Literal = jax_core.Literal
+except AttributeError:  # pragma: no cover
+    from jax._src.core import Literal
+
+# call-like primitives whose body is inlined at serialization time
+_CALL_PRIMS = {
+    "jit", "pjit", "closed_call", "core_call", "xla_call",
+    "custom_jvp_call", "custom_vjp_call", "custom_jvp_call_jaxpr",
+    "remat", "remat2", "checkpoint",
+}
+
+_IDENTITY_PRIMS = {"stop_gradient", "copy", "sharding_constraint"}
+
+_DTYPE_NAMES = {
+    np.dtype(np.float32): "f32",
+    np.dtype(np.float64): "f64",
+    np.dtype(np.int32): "i32",
+    np.dtype(np.int64): "i64",
+    np.dtype(np.uint32): "u32",
+    np.dtype(np.bool_): "bool",
+}
+
+
+def _dtype_name(dt):
+    dt = np.dtype(dt)
+    if dt in _DTYPE_NAMES:
+        return _DTYPE_NAMES[dt]
+    if str(dt) == "bfloat16":
+        return "bf16"
+    raise NotImplementedError(f"native program: unsupported dtype {dt}")
+
+
+def _attr_value(v):
+    """Primitive params -> JSON-serializable attrs."""
+    import enum
+
+    if v is None or isinstance(v, (bool, int, float, str)):
+        return v
+    if isinstance(v, np.integer):
+        return int(v)
+    if isinstance(v, np.floating):
+        return float(v)
+    if isinstance(v, enum.Enum):
+        return str(v.name)
+    if isinstance(v, np.dtype) or (isinstance(v, type) and
+                                   issubclass(v, np.generic)):
+        return _dtype_name(v)
+    if hasattr(v, "dtype") and not hasattr(v, "shape"):
+        return _dtype_name(v.dtype)
+    if isinstance(v, (tuple, list)):
+        return [_attr_value(x) for x in v]
+    if hasattr(v, "_fields"):  # NamedTuple (GatherDimensionNumbers, ...)
+        return {f: _attr_value(getattr(v, f)) for f in v._fields}
+    # jnp dtypes like jnp.float32 arrive as type objects handled above;
+    # anything else: stringify (never load-bearing for our primitive set)
+    return str(v)
+
+
+class _Blob:
+    """Constant pool with 64-byte alignment and array dedup by id()."""
+
+    def __init__(self):
+        self.chunks = []
+        self.size = 0
+        self._seen = {}
+
+    def add(self, arr):
+        """Append `arr`; returns (offset, stored_dtype_name). The
+        interpreter computes floats in f32, so bf16/f64 constants are
+        stored rounded-through; bools store as one byte each."""
+        arr = np.asarray(arr)
+        if str(arr.dtype) == "bfloat16" or arr.dtype == np.float64:
+            arr = arr.astype(np.float32)
+        if arr.dtype == np.bool_:
+            arr = arr.astype(np.int8)
+        arr = np.ascontiguousarray(arr)
+        pad = (-self.size) % 64
+        if pad:
+            self.chunks.append(b"\0" * pad)
+            self.size += pad
+        offset = self.size
+        data = arr.tobytes()
+        self.chunks.append(data)
+        self.size += len(data)
+        stored = {"float32": "f32", "int32": "i32", "int64": "i64",
+                  "uint32": "u32", "int8": "i8"}[str(arr.dtype)]
+        return offset, stored
+
+    def tobytes(self):
+        return b"".join(self.chunks)
+
+
+class _Serializer:
+    def __init__(self):
+        self.ops = []
+        self.constants = []
+        self.blob = _Blob()
+        self.next_id = 0
+
+    def new_id(self):
+        i = self.next_id
+        self.next_id += 1
+        return i
+
+    def tensor_decl(self, aval):
+        return {
+            "id": self.new_id(),
+            "shape": [int(d) for d in aval.shape],
+            "dtype": _dtype_name(aval.dtype),
+        }
+
+    def add_constant(self, value):
+        arr = np.asarray(value)
+        offset, stored = self.blob.add(arr)
+        decl = {
+            "id": self.new_id(),
+            "shape": [int(d) for d in arr.shape],
+            "dtype": _dtype_name(arr.dtype),  # logical dtype in the program
+            "stored": stored,                 # physical dtype in the blob
+            "offset": offset,
+        }
+        self.constants.append(decl)
+        return decl["id"]
+
+    def serialize_jaxpr(self, jaxpr, consts, input_ids):
+        """Emit ops for `jaxpr` with invars bound to `input_ids`.
+        Returns the output tensor ids."""
+        env = {}
+        for var, cval in zip(jaxpr.constvars, consts):
+            env[var] = self.add_constant(cval)
+        for var, tid in zip(jaxpr.invars, input_ids):
+            env[var] = tid
+
+        def read(atom):
+            if isinstance(atom, Literal):
+                return self.add_constant(atom.val)
+            return env[atom]
+
+        for eqn in jaxpr.eqns:
+            prim = eqn.primitive.name
+            in_ids = [read(v) for v in eqn.invars]
+            if prim in _CALL_PRIMS:
+                sub = eqn.params.get("jaxpr") or eqn.params.get("call_jaxpr")
+                if hasattr(sub, "jaxpr"):  # ClosedJaxpr
+                    sub_consts, sub = sub.consts, sub.jaxpr
+                else:
+                    sub_consts = ()
+                if prim == "custom_vjp_call":
+                    # drop the residual-producing fwd; call_jaxpr is primal
+                    pass
+                n_expected = len(sub.invars)
+                out_ids = self.serialize_jaxpr(
+                    sub, sub_consts, in_ids[len(in_ids) - n_expected:]
+                )
+                for var, oid in zip(eqn.outvars, out_ids):
+                    if type(var).__name__ != "DropVar":
+                        env[var] = oid
+                continue
+            if prim in _IDENTITY_PRIMS:
+                env[eqn.outvars[0]] = in_ids[0]
+                continue
+            attrs = {}
+            for k, v in eqn.params.items():
+                if k in ("jaxpr", "call_jaxpr", "branches", "cond_jaxpr",
+                         "body_jaxpr"):
+                    continue
+                attrs[k] = _attr_value(v)
+            op = {"prim": prim, "inputs": in_ids, "attrs": attrs,
+                  "outputs": []}
+            if prim == "scan":
+                closed = eqn.params["jaxpr"]
+                body = _Serializer()
+                body_inputs = [
+                    body.tensor_decl(v.aval) for v in closed.jaxpr.invars
+                ]
+                body_out = body.serialize_jaxpr(
+                    closed.jaxpr, closed.consts,
+                    [d["id"] for d in body_inputs],
+                )
+                op["body"] = {
+                    "inputs": body_inputs,
+                    "ops": body.ops,
+                    "constants": body.constants,
+                    "outputs": body_out,
+                }
+                # nested constants append to the parent blob: align, copy,
+                # rebase the body's offsets
+                pad = (-self.blob.size) % 64
+                if pad:
+                    self.blob.chunks.append(b"\0" * pad)
+                    self.blob.size += pad
+                base_off = self.blob.size
+                raw = body.blob.tobytes()
+                self.blob.chunks.append(raw)
+                self.blob.size += len(raw)
+
+                def _rebase(prog):
+                    for c in prog["constants"]:
+                        c["offset"] += base_off
+                    for o in prog["ops"]:
+                        if "body" in o:
+                            _rebase(o["body"])
+
+                _rebase(op["body"])
+            for var in eqn.outvars:
+                if type(var).__name__ == "DropVar":
+                    decl = self.tensor_decl(var.aval)
+                    decl["drop"] = True
+                else:
+                    decl = self.tensor_decl(var.aval)
+                    env[var] = decl["id"]
+                op["outputs"].append(decl)
+            self.ops.append(op)
+        return [read(v) for v in jaxpr.outvars]
+
+
+def trace_to_program(fn, *example_args):
+    """Trace `fn` at the example shapes and serialize the closed jaxpr.
+
+    Returns (program_dict, blob_bytes). `example_args` become the program
+    inputs (flattened in pytree order); everything `fn` closes over is
+    baked into the constant pool.
+    """
+    closed = jax.make_jaxpr(fn)(*example_args)
+    flat_args, _ = jax.tree.flatten(example_args)
+    ser = _Serializer()
+    input_decls = []
+    for a in flat_args:
+        arr = np.asarray(a)
+        input_decls.append({
+            "id": ser.new_id(),
+            "shape": [int(d) for d in arr.shape],
+            "dtype": _dtype_name(arr.dtype),
+        })
+    out_ids = ser.serialize_jaxpr(
+        closed.jaxpr, closed.consts, [d["id"] for d in input_decls]
+    )
+    program = {
+        "version": 1,
+        "inputs": input_decls,
+        "constants": ser.constants,
+        "ops": ser.ops,
+        "outputs": out_ids,
+    }
+    return program, ser.blob.tobytes()
+
+
+def save_program(path, name, fn, *example_args):
+    """Write `{name}.program.json` + `{name}.blob.bin` under `path`."""
+    path = Path(path)
+    path.mkdir(parents=True, exist_ok=True)
+    program, blob = trace_to_program(fn, *example_args)
+    (path / f"{name}.program.json").write_text(json.dumps(program))
+    (path / f"{name}.blob.bin").write_bytes(blob)
+    return program

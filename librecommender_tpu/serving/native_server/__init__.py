@@ -30,6 +30,20 @@ def build_server():
     )
 
 
+_INTERP_SRC = _HERE / "interp_cli.cpp"
+_INTERP_BIN = _HERE / "interp_cli"
+
+
+def build_interp_cli():
+    """Golden-test driver for the native jaxpr interpreter."""
+    return build_native(
+        _INTERP_SRC, _INTERP_BIN,
+        ["g++", "-O2", "-std=c++17", str(_INTERP_SRC),
+         "-o", str(_INTERP_BIN)],
+        extra_dep=_HERE / "jaxpr_interp.hpp",
+    )
+
+
 _BENCH_SRC = _HERE / "benchmark.cpp"
 _BENCH_BIN = _HERE / "benchmark"
 

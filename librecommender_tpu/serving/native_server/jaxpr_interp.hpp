@@ -1,0 +1,1327 @@
+// jaxpr_interp.hpp — native (C++) executor for the flat scoring programs
+// serialized by serving/native_program.py.
+//
+// Role in the architecture: the reference's serving tier delegates model
+// scoring to TF Serving's C++ runtime (reference
+// libserving/actix_serving/src/tf_deploy.rs:1, online_deploy_grpc.rs:38);
+// here the SAME jitted jax scoring function that runs on TPU is traced to a
+// jaxpr, serialized to a flat op list + constant blob, and executed
+// in-process by this interpreter — model/online endpoints never leave the
+// server process and never touch Python.
+//
+// Scope: the ~30 lax primitives that appear in this framework's scoring
+// programs (dot_general, gather with batching dims, scan, conv_general_
+// dilated, pad, dynamic_slice, elementwise/reduce/shape ops). Floats
+// compute in f32 (bf16 constants are stored rounded-through); ints in
+// int64. Shapes are fixed at export time (one program per dispatch width).
+//
+// Unknown primitives throw std::runtime_error naming the primitive, so a
+// model whose forward uses something new fails loudly at load/first-run.
+#pragma once
+
+#include <algorithm>
+#include <cassert>
+#include <cctype>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <fstream>
+#include <map>
+#include <memory>
+#include <stdexcept>
+#include <string>
+#include <vector>
+
+namespace jxi {
+
+// ------------------------------------------------------------- minimal JSON
+struct JV {
+  enum T { NUL, BOO, NUM, STR, ARR, OBJ } t = NUL;
+  bool boo = false;
+  double num = 0;
+  std::string str;
+  std::vector<JV> arr;
+  std::vector<std::pair<std::string, JV>> obj;
+
+  const JV* find(const std::string& k) const {
+    for (const auto& kv : obj)
+      if (kv.first == k) return &kv.second;
+    return nullptr;
+  }
+  const JV& at(const std::string& k) const {
+    const JV* v = find(k);
+    if (!v) throw std::runtime_error("json: missing key " + k);
+    return *v;
+  }
+  int64_t asi() const { return static_cast<int64_t>(num); }
+  std::vector<int64_t> ints() const {
+    std::vector<int64_t> out;
+    out.reserve(arr.size());
+    for (const auto& v : arr) out.push_back(v.asi());
+    return out;
+  }
+};
+
+class JsonParser {
+ public:
+  explicit JsonParser(const std::string& s) : s_(s) {}
+  JV parse() {
+    JV v = value();
+    ws();
+    return v;
+  }
+
+ private:
+  const std::string& s_;
+  size_t p_ = 0;
+
+  void ws() {
+    while (p_ < s_.size() && std::isspace(static_cast<unsigned char>(s_[p_])))
+      ++p_;
+  }
+  char peek() {
+    ws();
+    if (p_ >= s_.size()) throw std::runtime_error("json: eof");
+    return s_[p_];
+  }
+  JV value() {
+    switch (peek()) {
+      case '{': return object();
+      case '[': return array();
+      case '"': { JV v; v.t = JV::STR; v.str = string(); return v; }
+      case 't': p_ += 4; { JV v; v.t = JV::BOO; v.boo = true; return v; }
+      case 'f': p_ += 5; { JV v; v.t = JV::BOO; v.boo = false; return v; }
+      case 'n': p_ += 4; return JV{};
+      default: return number();
+    }
+  }
+  JV number() {
+    size_t start = p_;
+    while (p_ < s_.size() && (std::isdigit(static_cast<unsigned char>(s_[p_])) ||
+           s_[p_] == '-' || s_[p_] == '+' || s_[p_] == '.' || s_[p_] == 'e' ||
+           s_[p_] == 'E'))
+      ++p_;
+    JV v;
+    v.t = JV::NUM;
+    v.num = std::strtod(s_.c_str() + start, nullptr);
+    return v;
+  }
+  std::string string() {
+    ws();
+    ++p_;  // opening quote
+    std::string out;
+    while (s_[p_] != '"') {
+      if (s_[p_] == '\\') {
+        ++p_;
+        char c = s_[p_++];
+        switch (c) {
+          case 'n': out += '\n'; break;
+          case 't': out += '\t'; break;
+          case 'u': p_ += 4; out += '?'; break;  // not needed for our keys
+          default: out += c;
+        }
+      } else {
+        out += s_[p_++];
+      }
+    }
+    ++p_;
+    return out;
+  }
+  JV array() {
+    JV v;
+    v.t = JV::ARR;
+    ++p_;  // [
+    if (peek() == ']') { ++p_; return v; }
+    while (true) {
+      v.arr.push_back(value());
+      char c = peek();
+      ++p_;
+      if (c == ']') break;
+      if (c != ',') throw std::runtime_error("json: bad array");
+    }
+    return v;
+  }
+  JV object() {
+    JV v;
+    v.t = JV::OBJ;
+    ++p_;  // {
+    if (peek() == '}') { ++p_; return v; }
+    while (true) {
+      std::string key = string();
+      if (peek() != ':') throw std::runtime_error("json: bad object");
+      ++p_;
+      v.obj.emplace_back(std::move(key), value());
+      char c = peek();
+      ++p_;
+      if (c == '}') break;
+      if (c != ',') throw std::runtime_error("json: bad object");
+    }
+    return v;
+  }
+};
+
+// ------------------------------------------------------------------ tensors
+enum class DT : uint8_t { F32, I64, I32, I8, U32 };
+
+inline DT dt_from(const std::string& s) {
+  if (s == "f32" || s == "bf16" || s == "f64") return DT::F32;
+  if (s == "i64") return DT::I64;
+  if (s == "i32") return DT::I32;
+  if (s == "bool" || s == "i8") return DT::I8;
+  if (s == "u32") return DT::U32;
+  throw std::runtime_error("unknown dtype " + s);
+}
+inline bool dt_is_float(DT d) { return d == DT::F32; }
+
+struct Tensor {
+  DT dt = DT::F32;
+  std::vector<int64_t> shape;
+  std::vector<float> f;
+  std::vector<int64_t> i;
+
+  int64_t numel() const {
+    int64_t n = 1;
+    for (int64_t d : shape) n *= d;
+    return n;
+  }
+  bool isf() const { return dt_is_float(dt); }
+  void alloc() {
+    if (isf()) { f.assign(numel(), 0.0f); i.clear(); }
+    else { i.assign(numel(), 0); f.clear(); }
+  }
+  double get(int64_t k) const { return isf() ? f[k] : double(i[k]); }
+};
+
+inline std::vector<int64_t> strides_of(const std::vector<int64_t>& shape) {
+  std::vector<int64_t> st(shape.size(), 1);
+  for (int d = int(shape.size()) - 2; d >= 0; --d)
+    st[d] = st[d + 1] * shape[d + 1];
+  return st;
+}
+
+// ------------------------------------------------------------------ program
+struct TensorDecl {
+  int id = -1;
+  std::vector<int64_t> shape;
+  DT dt = DT::F32;
+  std::string dtype_name;  // logical dtype ("bf16" retains rounding hints)
+};
+
+struct SubProgram;
+
+struct Op {
+  std::string prim;
+  std::vector<int> inputs;
+  std::vector<TensorDecl> outputs;
+  JV attrs;
+  std::shared_ptr<SubProgram> body;  // scan
+};
+
+struct ConstDecl {
+  TensorDecl decl;
+  int64_t offset = 0;
+  std::string stored;  // physical dtype in the blob
+};
+
+struct SubProgram {
+  std::vector<TensorDecl> inputs;
+  std::vector<ConstDecl> constants;
+  std::vector<Op> ops;
+  std::vector<int> outputs;
+  int max_id = 0;
+};
+
+struct Program {
+  SubProgram main;
+  std::vector<char> blob;
+};
+
+inline TensorDecl parse_decl(const JV& j) {
+  TensorDecl d;
+  d.id = int(j.at("id").asi());
+  d.shape = j.at("shape").ints();
+  d.dtype_name = j.at("dtype").str;
+  d.dt = dt_from(d.dtype_name);
+  return d;
+}
+
+inline void parse_subprogram(const JV& j, SubProgram* sp) {
+  for (const auto& v : j.at("inputs").arr) {
+    sp->inputs.push_back(parse_decl(v));
+    sp->max_id = std::max(sp->max_id, sp->inputs.back().id);
+  }
+  for (const auto& v : j.at("constants").arr) {
+    ConstDecl c;
+    c.decl = parse_decl(v);
+    c.offset = v.at("offset").asi();
+    const JV* st = v.find("stored");
+    c.stored = st ? st->str : c.decl.dtype_name;
+    sp->constants.push_back(c);
+    sp->max_id = std::max(sp->max_id, c.decl.id);
+  }
+  for (const auto& v : j.at("ops").arr) {
+    Op op;
+    op.prim = v.at("prim").str;
+    for (const auto& x : v.at("inputs").arr) op.inputs.push_back(int(x.asi()));
+    for (const auto& x : v.at("outputs").arr) {
+      op.outputs.push_back(parse_decl(x));
+      sp->max_id = std::max(sp->max_id, op.outputs.back().id);
+    }
+    op.attrs = v.at("attrs");
+    if (const JV* b = v.find("body")) {
+      op.body = std::make_shared<SubProgram>();
+      parse_subprogram(*b, op.body.get());
+    }
+    sp->ops.push_back(std::move(op));
+  }
+  for (const auto& v : j.at("outputs").arr) sp->outputs.push_back(int(v.asi()));
+}
+
+inline std::string read_file(const std::string& path) {
+  std::ifstream in(path, std::ios::binary);
+  if (!in) throw std::runtime_error("cannot open " + path);
+  std::string data((std::istreambuf_iterator<char>(in)),
+                   std::istreambuf_iterator<char>());
+  return data;
+}
+
+inline Program load_program(const std::string& json_path,
+                            const std::string& blob_path) {
+  Program p;
+  const std::string text = read_file(json_path);
+  JV root = JsonParser(text).parse();
+  parse_subprogram(root, &p.main);
+  const std::string blob = read_file(blob_path);
+  p.blob.assign(blob.begin(), blob.end());
+  return p;
+}
+
+// -------------------------------------------------------------- interpreter
+class Executor {
+ public:
+  explicit Executor(const Program& p) : prog_(p) {}
+
+  std::vector<Tensor> run(std::vector<Tensor> inputs) const {
+    return run_sub(prog_.main, std::move(inputs));
+  }
+
+ private:
+  const Program& prog_;
+
+  Tensor load_const(const ConstDecl& c) const {
+    Tensor t;
+    t.dt = c.decl.dt;
+    t.shape = c.decl.shape;
+    const char* src = prog_.blob.data() + c.offset;
+    const int64_t n = t.numel();
+    if (c.stored == "f32") {
+      t.f.resize(n);
+      std::memcpy(t.f.data(), src, n * 4);
+      t.dt = DT::F32;
+    } else if (c.stored == "i64") {
+      t.i.resize(n);
+      std::memcpy(t.i.data(), src, n * 8);
+    } else if (c.stored == "i32" || c.stored == "u32") {
+      t.i.resize(n);
+      const int32_t* s = reinterpret_cast<const int32_t*>(src);
+      for (int64_t k = 0; k < n; ++k) t.i[k] = s[k];
+    } else if (c.stored == "i8") {
+      t.i.resize(n);
+      const int8_t* s = reinterpret_cast<const int8_t*>(src);
+      for (int64_t k = 0; k < n; ++k) t.i[k] = s[k];
+    } else {
+      throw std::runtime_error("bad stored dtype " + c.stored);
+    }
+    if (!t.isf() && t.i.empty() && n) throw std::runtime_error("const load");
+    return t;
+  }
+
+  std::vector<Tensor> run_sub(const SubProgram& sp,
+                              std::vector<Tensor> inputs) const {
+    std::vector<Tensor> regs(sp.max_id + 1);
+    if (inputs.size() != sp.inputs.size())
+      throw std::runtime_error("input arity mismatch");
+    for (size_t k = 0; k < inputs.size(); ++k) {
+      Tensor& t = inputs[k];
+      const TensorDecl& d = sp.inputs[k];
+      if (t.numel() != [&] { int64_t n = 1; for (auto x : d.shape) n *= x; return n; }())
+        throw std::runtime_error("input shape mismatch");
+      t.shape = d.shape;
+      regs[d.id] = std::move(t);
+    }
+    for (const auto& c : sp.constants) regs[c.decl.id] = load_const(c);
+    for (const auto& op : sp.ops) exec_op(op, regs);
+    std::vector<Tensor> outs;
+    outs.reserve(sp.outputs.size());
+    for (int oid : sp.outputs) outs.push_back(regs[oid]);
+    return outs;
+  }
+
+  static Tensor make_out(const TensorDecl& d) {
+    Tensor t;
+    t.dt = d.dt;
+    t.shape = d.shape;
+    t.alloc();
+    return t;
+  }
+
+  // ---- op dispatch
+  void exec_op(const Op& op, std::vector<Tensor>& regs) const {
+    const std::string& p = op.prim;
+    auto in = [&](size_t k) -> const Tensor& { return regs[op.inputs[k]]; };
+    auto set = [&](size_t k, Tensor&& t) { regs[op.outputs[k].id] = std::move(t); };
+
+    // -- elementwise binaries (same-shape operands, per jaxpr contract)
+    static const std::map<std::string, int> kBin = {
+        {"add", 0}, {"sub", 1}, {"mul", 2}, {"div", 3}, {"max", 4},
+        {"min", 5}, {"pow", 6}, {"rem", 7}, {"atan2", 8},
+    };
+    static const std::map<std::string, int> kCmp = {
+        {"lt", 0}, {"gt", 1}, {"le", 2}, {"ge", 3}, {"eq", 4}, {"ne", 5},
+    };
+    static const std::map<std::string, int> kLogic = {
+        {"and", 0}, {"or", 1}, {"xor", 2},
+    };
+    static const std::map<std::string, int> kUn = {
+        {"exp", 0}, {"log", 1}, {"tanh", 2}, {"logistic", 3}, {"sqrt", 4},
+        {"rsqrt", 5}, {"square", 6}, {"abs", 7}, {"neg", 8}, {"sign", 9},
+        {"floor", 10}, {"ceil", 11}, {"round", 12}, {"erf", 13},
+        {"is_finite", 14}, {"not", 15}, {"log1p", 16}, {"expm1", 17},
+        {"cbrt", 18}, {"sin", 19}, {"cos", 20},
+    };
+
+    auto bit = kBin.find(p);
+    if (bit != kBin.end()) { set(0, binop(bit->second, in(0), in(1), op.outputs[0])); return; }
+    auto cit = kCmp.find(p);
+    if (cit != kCmp.end()) { set(0, cmpop(cit->second, in(0), in(1), op.outputs[0])); return; }
+    auto lit = kLogic.find(p);
+    if (lit != kLogic.end()) { set(0, logicop(lit->second, in(0), in(1), op.outputs[0])); return; }
+    auto uit = kUn.find(p);
+    if (uit != kUn.end()) { set(0, unop(uit->second, in(0), op.outputs[0])); return; }
+
+    if (p == "integer_pow") {
+      const int64_t y = op.attrs.at("y").asi();
+      Tensor out = make_out(op.outputs[0]);
+      const Tensor& a = in(0);
+      for (int64_t k = 0; k < out.numel(); ++k) {
+        if (out.isf()) out.f[k] = float(std::pow(double(a.f[k]), double(y)));
+        else out.i[k] = int64_t(std::llround(std::pow(double(a.i[k]), double(y))));
+      }
+      set(0, std::move(out));
+    } else if (p == "clamp") {
+      Tensor out = make_out(op.outputs[0]);
+      const Tensor &lo = in(0), &x = in(1), &hi = in(2);
+      const auto ost = strides_of(out.shape);
+      const BIdx il = bidx_for(lo, out.shape), ix = bidx_for(x, out.shape),
+                 ih = bidx_for(hi, out.shape);
+      for (int64_t k = 0; k < out.numel(); ++k) {
+        if (out.isf()) {
+          const float l = lo.f[il(k, ost, out.shape)];
+          const float h = hi.f[ih(k, ost, out.shape)];
+          out.f[k] = std::min(std::max(x.f[ix(k, ost, out.shape)], l), h);
+        } else {
+          const int64_t l = lo.i[il(k, ost, out.shape)];
+          const int64_t h = hi.i[ih(k, ost, out.shape)];
+          out.i[k] = std::min(std::max(x.i[ix(k, ost, out.shape)], l), h);
+        }
+      }
+      set(0, std::move(out));
+    } else if (p == "select_n") {
+      Tensor out = make_out(op.outputs[0]);
+      const Tensor& pred = in(0);
+      const int ncase = int(op.inputs.size()) - 1;
+      const auto ost = strides_of(out.shape);
+      const BIdx ip = bidx_for(pred, out.shape);
+      std::vector<BIdx> ics;
+      for (int c = 0; c < ncase; ++c)
+        ics.push_back(bidx_for(in(1 + size_t(c)), out.shape));
+      for (int64_t k = 0; k < out.numel(); ++k) {
+        const int64_t pk = ip(k, ost, out.shape);
+        int64_t c = pred.i.empty() ? int64_t(pred.f[pk]) : pred.i[pk];
+        if (c < 0) c = 0;
+        if (c >= ncase) c = ncase - 1;
+        const Tensor& src = in(1 + size_t(c));
+        const int64_t sk = ics[size_t(c)](k, ost, out.shape);
+        if (out.isf()) out.f[k] = src.f[sk]; else out.i[k] = src.i[sk];
+      }
+      set(0, std::move(out));
+    } else if (p == "convert_element_type") {
+      set(0, convert(in(0), op.outputs[0]));
+    } else if (p == "reduce_precision") {
+      // bf16 rounding pass-through (exponent 8 / mantissa 7)
+      Tensor out = in(0);
+      for (auto& v : out.f) v = bf16_round(v);
+      out.shape = op.outputs[0].shape;
+      set(0, std::move(out));
+    } else if (p == "iota") {
+      Tensor out = make_out(op.outputs[0]);
+      const int64_t dim = op.attrs.at("dimension").asi();
+      const auto st = strides_of(out.shape);
+      for (int64_t k = 0; k < out.numel(); ++k) {
+        const int64_t v = (k / st[dim]) % out.shape[dim];
+        if (out.isf()) out.f[k] = float(v); else out.i[k] = v;
+      }
+      set(0, std::move(out));
+    } else if (p == "reshape" || p == "squeeze" || p == "expand_dims") {
+      Tensor out = in(0);
+      out.shape = op.outputs[0].shape;
+      out.dt = op.outputs[0].dt;
+      set(0, std::move(out));
+    } else if (p == "broadcast_in_dim") {
+      set(0, broadcast_in_dim(in(0), op.outputs[0],
+                              op.attrs.at("broadcast_dimensions").ints()));
+    } else if (p == "transpose") {
+      set(0, transpose(in(0), op.outputs[0], op.attrs.at("permutation").ints()));
+    } else if (p == "tile") {
+      set(0, tile(in(0), op.outputs[0]));
+    } else if (p == "concatenate") {
+      set(0, concatenate(op, regs));
+    } else if (p == "slice") {
+      set(0, slice_op(in(0), op));
+    } else if (p == "rev") {
+      set(0, rev(in(0), op.outputs[0], op.attrs.at("dimensions").ints()));
+    } else if (p == "pad") {
+      set(0, pad(in(0), in(1), op));
+    } else if (p == "dynamic_slice") {
+      set(0, dynamic_slice(op, regs));
+    } else if (p == "dynamic_update_slice") {
+      set(0, dynamic_update_slice(op, regs));
+    } else if (p == "reduce_sum" || p == "reduce_max" || p == "reduce_min" ||
+               p == "reduce_prod" || p == "reduce_or" || p == "reduce_and") {
+      set(0, reduce(p, in(0), op));
+    } else if (p == "argmax" || p == "argmin") {
+      set(0, argreduce(p == "argmax", in(0), op));
+    } else if (p == "cumsum" || p == "cumprod" || p == "cummax" ||
+               p == "cummin") {
+      set(0, cumop(p, in(0), op));
+    } else if (p == "gather") {
+      set(0, gather(in(0), in(1), op));
+    } else if (p == "dot_general") {
+      set(0, dot_general(in(0), in(1), op));
+    } else if (p == "conv_general_dilated") {
+      set(0, conv(in(0), in(1), op));
+    } else if (p == "split") {
+      split(op, regs);
+    } else if (p == "scan") {
+      scan(op, regs);
+    } else if (p == "stop_gradient" || p == "copy") {
+      Tensor out = in(0);
+      set(0, std::move(out));
+    } else {
+      throw std::runtime_error("jaxpr_interp: unsupported primitive '" + p + "'");
+    }
+  }
+
+  // Per-output-dim input strides for NumPy-style right-aligned
+  // broadcasting (rank-0 scalars, size-1 dims). jax binary primitives
+  // carry such operands (e.g. add((3,4),(1,4)), max((3,4),())).
+  struct BIdx {
+    std::vector<int64_t> stride;       // per-output-dim input stride (0 = bcast)
+    bool direct = false;               // same shape: linear index passthrough
+
+    int64_t operator()(int64_t k, const std::vector<int64_t>& ost,
+                       const std::vector<int64_t>& oshape) const {
+      if (direct) return k;
+      int64_t src = 0;
+      for (size_t d = 0; d < oshape.size(); ++d) {
+        if (!stride[d]) continue;
+        src += ((k / ost[d]) % oshape[d]) * stride[d];
+      }
+      return src;
+    }
+  };
+
+  static BIdx bidx_for(const Tensor& t, const std::vector<int64_t>& oshape) {
+    BIdx b;
+    if (t.shape == oshape) { b.direct = true; return b; }
+    b.stride.assign(oshape.size(), 0);
+    const auto ist = strides_of(t.shape);
+    const size_t off = oshape.size() - t.shape.size();
+    for (size_t d = 0; d < t.shape.size(); ++d)
+      if (t.shape[d] != 1) b.stride[off + d] = ist[d];
+    return b;
+  }
+
+  static float bf16_round(float v) {
+    uint32_t bits;
+    std::memcpy(&bits, &v, 4);
+    const uint32_t lsb = (bits >> 16) & 1u;
+    bits += 0x7fffu + lsb;  // round to nearest even
+    bits &= 0xffff0000u;
+    float out;
+    std::memcpy(&out, &bits, 4);
+    return out;
+  }
+
+  Tensor binop(int kind, const Tensor& a, const Tensor& b,
+               const TensorDecl& od) const {
+    Tensor out = make_out(od);
+    const int64_t n = out.numel();
+    const BIdx ia = bidx_for(a, out.shape), ib = bidx_for(b, out.shape);
+    const auto ost = strides_of(out.shape);
+    if (out.isf()) {
+      const float *pa = a.f.data(), *pb = b.f.data();
+      float* po = out.f.data();
+      if (ia.direct && ib.direct) {  // fast path, vectorizable
+        switch (kind) {
+          case 0: for (int64_t k = 0; k < n; ++k) po[k] = pa[k] + pb[k]; return out;
+          case 1: for (int64_t k = 0; k < n; ++k) po[k] = pa[k] - pb[k]; return out;
+          case 2: for (int64_t k = 0; k < n; ++k) po[k] = pa[k] * pb[k]; return out;
+          case 3: for (int64_t k = 0; k < n; ++k) po[k] = pa[k] / pb[k]; return out;
+          case 4: for (int64_t k = 0; k < n; ++k) po[k] = std::max(pa[k], pb[k]); return out;
+          case 5: for (int64_t k = 0; k < n; ++k) po[k] = std::min(pa[k], pb[k]); return out;
+        }
+      }
+      for (int64_t k = 0; k < n; ++k) {
+        const float x = pa[ia(k, ost, out.shape)], y = pb[ib(k, ost, out.shape)];
+        float r = 0;
+        switch (kind) {
+          case 0: r = x + y; break;
+          case 1: r = x - y; break;
+          case 2: r = x * y; break;
+          case 3: r = x / y; break;
+          case 4: r = std::max(x, y); break;
+          case 5: r = std::min(x, y); break;
+          case 6: r = std::pow(x, y); break;
+          case 7: r = std::fmod(x, y); break;
+          case 8: r = std::atan2(x, y); break;
+        }
+        po[k] = r;
+      }
+    } else {
+      const int64_t *pa = a.i.data(), *pb = b.i.data();
+      int64_t* po = out.i.data();
+      for (int64_t k = 0; k < n; ++k) {
+        const int64_t x = pa[ia(k, ost, out.shape)], y = pb[ib(k, ost, out.shape)];
+        int64_t r = 0;
+        switch (kind) {
+          case 0: r = x + y; break;
+          case 1: r = x - y; break;
+          case 2: r = x * y; break;
+          case 3: r = y ? x / y : 0; break;
+          case 4: r = std::max(x, y); break;
+          case 5: r = std::min(x, y); break;
+          case 6: r = int64_t(std::pow(double(x), double(y))); break;
+          case 7: r = y ? x % y : 0; break;
+          default: throw std::runtime_error("int binop");
+        }
+        po[k] = r;
+      }
+    }
+    return out;
+  }
+
+  Tensor cmpop(int kind, const Tensor& a, const Tensor& b,
+               const TensorDecl& od) const {
+    Tensor out = make_out(od);
+    const int64_t n = out.numel();
+    const BIdx ia = bidx_for(a, out.shape), ib = bidx_for(b, out.shape);
+    const auto ost = strides_of(out.shape);
+    for (int64_t k = 0; k < n; ++k) {
+      const double x = a.get(ia(k, ost, out.shape));
+      const double y = b.get(ib(k, ost, out.shape));
+      bool r = false;
+      switch (kind) {
+        case 0: r = x < y; break;
+        case 1: r = x > y; break;
+        case 2: r = x <= y; break;
+        case 3: r = x >= y; break;
+        case 4: r = x == y; break;
+        case 5: r = x != y; break;
+      }
+      out.i[k] = r ? 1 : 0;
+    }
+    return out;
+  }
+
+  Tensor logicop(int kind, const Tensor& a, const Tensor& b,
+                 const TensorDecl& od) const {
+    Tensor out = make_out(od);
+    const BIdx ia = bidx_for(a, out.shape), ib = bidx_for(b, out.shape);
+    const auto ost = strides_of(out.shape);
+    for (int64_t k = 0; k < out.numel(); ++k) {
+      const int64_t x = a.i[ia(k, ost, out.shape)];
+      const int64_t y = b.i[ib(k, ost, out.shape)];
+      out.i[k] = kind == 0 ? (x & y) : kind == 1 ? (x | y) : (x ^ y);
+    }
+    return out;
+  }
+
+  Tensor unop(int kind, const Tensor& a, const TensorDecl& od) const {
+    Tensor out = make_out(od);
+    const int64_t n = out.numel();
+    for (int64_t k = 0; k < n; ++k) {
+      if (kind == 14) {  // is_finite -> bool
+        out.i[k] = std::isfinite(a.f[k]) ? 1 : 0;
+        continue;
+      }
+      if (kind == 15) {  // not
+        out.i[k] = a.i[k] ? 0 : 1;
+        continue;
+      }
+      if (!out.isf()) {  // int abs/neg/sign
+        const int64_t x = a.i[k];
+        switch (kind) {
+          case 7: out.i[k] = std::llabs(x); break;
+          case 8: out.i[k] = -x; break;
+          case 9: out.i[k] = (x > 0) - (x < 0); break;
+          default: throw std::runtime_error("int unop");
+        }
+        continue;
+      }
+      const float x = a.f[k];
+      float r = 0;
+      switch (kind) {
+        case 0: r = std::exp(x); break;
+        case 1: r = std::log(x); break;
+        case 2: r = std::tanh(x); break;
+        case 3: r = 1.0f / (1.0f + std::exp(-x)); break;
+        case 4: r = std::sqrt(x); break;
+        case 5: r = 1.0f / std::sqrt(x); break;
+        case 6: r = x * x; break;
+        case 7: r = std::fabs(x); break;
+        case 8: r = -x; break;
+        case 9: r = (x > 0.f) - (x < 0.f); break;
+        case 10: r = std::floor(x); break;
+        case 11: r = std::ceil(x); break;
+        case 12: r = std::nearbyint(x); break;
+        case 13: r = std::erf(x); break;
+        case 16: r = std::log1p(x); break;
+        case 17: r = std::expm1(x); break;
+        case 18: r = std::cbrt(x); break;
+        case 19: r = std::sin(x); break;
+        case 20: r = std::cos(x); break;
+      }
+      out.f[k] = r;
+    }
+    return out;
+  }
+
+  Tensor convert(const Tensor& a, const TensorDecl& od) const {
+    Tensor out = make_out(od);
+    const int64_t n = out.numel();
+    const bool to_bf16 = od.dtype_name == "bf16";
+    for (int64_t k = 0; k < n; ++k) {
+      if (out.isf()) {
+        float v = a.isf() ? a.f[k] : float(a.i[k]);
+        out.f[k] = to_bf16 ? bf16_round(v) : v;
+      } else {
+        out.i[k] = a.isf() ? int64_t(a.f[k]) : a.i[k];
+        if (od.dtype_name == "bool") out.i[k] = out.i[k] ? 1 : 0;
+      }
+    }
+    return out;
+  }
+
+  Tensor broadcast_in_dim(const Tensor& a, const TensorDecl& od,
+                          const std::vector<int64_t>& bdims) const {
+    Tensor out = make_out(od);
+    const auto ost = strides_of(out.shape);
+    const auto ist = strides_of(a.shape);
+    const int64_t n = out.numel();
+    for (int64_t k = 0; k < n; ++k) {
+      int64_t src = 0;
+      for (size_t d = 0; d < bdims.size(); ++d) {
+        const int64_t od_ = bdims[d];
+        const int64_t coord = (k / ost[od_]) % out.shape[od_];
+        if (a.shape[d] != 1) src += coord * ist[d];
+      }
+      if (out.isf()) out.f[k] = a.f[src]; else out.i[k] = a.i[src];
+    }
+    return out;
+  }
+
+  Tensor transpose(const Tensor& a, const TensorDecl& od,
+                   const std::vector<int64_t>& perm) const {
+    Tensor out = make_out(od);
+    const auto ost = strides_of(out.shape);
+    const auto ist = strides_of(a.shape);
+    const int64_t n = out.numel();
+    for (int64_t k = 0; k < n; ++k) {
+      int64_t src = 0;
+      for (size_t d = 0; d < perm.size(); ++d) {
+        const int64_t coord = (k / ost[d]) % out.shape[d];
+        src += coord * ist[perm[d]];
+      }
+      if (out.isf()) out.f[k] = a.f[src]; else out.i[k] = a.i[src];
+    }
+    return out;
+  }
+
+  Tensor tile(const Tensor& a, const TensorDecl& od) const {
+    Tensor out = make_out(od);
+    const auto ost = strides_of(out.shape);
+    const auto ist = strides_of(a.shape);
+    const size_t r = out.shape.size();
+    const size_t off = r - a.shape.size();
+    const int64_t n = out.numel();
+    for (int64_t k = 0; k < n; ++k) {
+      int64_t src = 0;
+      for (size_t d = 0; d < a.shape.size(); ++d) {
+        const int64_t coord = (k / ost[off + d]) % out.shape[off + d];
+        src += (coord % a.shape[d]) * ist[d];
+      }
+      if (out.isf()) out.f[k] = a.f[src]; else out.i[k] = a.i[src];
+    }
+    return out;
+  }
+
+  Tensor concatenate(const Op& op, std::vector<Tensor>& regs) const {
+    Tensor out = make_out(op.outputs[0]);
+    const int64_t dim = op.attrs.at("dimension").asi();
+    const auto ost = strides_of(out.shape);
+    int64_t dim_off = 0;
+    for (int ii : op.inputs) {
+      const Tensor& a = regs[ii];
+      const auto ist = strides_of(a.shape);
+      const int64_t n = a.numel();
+      for (int64_t k = 0; k < n; ++k) {
+        int64_t dst = 0;
+        for (size_t d = 0; d < a.shape.size(); ++d) {
+          int64_t coord = (k / ist[d]) % a.shape[d];
+          if (int64_t(d) == dim) coord += dim_off;
+          dst += coord * ost[d];
+        }
+        if (out.isf()) out.f[dst] = a.f[k]; else out.i[dst] = a.i[k];
+      }
+      dim_off += a.shape[dim];
+    }
+    return out;
+  }
+
+  Tensor slice_op(const Tensor& a, const Op& op) const {
+    Tensor out = make_out(op.outputs[0]);
+    const auto start = op.attrs.at("start_indices").ints();
+    std::vector<int64_t> strides(a.shape.size(), 1);
+    const JV* sv = op.attrs.find("strides");
+    if (sv && sv->t == JV::ARR) strides = sv->ints();
+    const auto ist = strides_of(a.shape);
+    const auto ost = strides_of(out.shape);
+    const int64_t n = out.numel();
+    for (int64_t k = 0; k < n; ++k) {
+      int64_t src = 0;
+      for (size_t d = 0; d < out.shape.size(); ++d) {
+        const int64_t coord = (k / ost[d]) % out.shape[d];
+        src += (start[d] + coord * strides[d]) * ist[d];
+      }
+      if (out.isf()) out.f[k] = a.f[src]; else out.i[k] = a.i[src];
+    }
+    return out;
+  }
+
+  Tensor rev(const Tensor& a, const TensorDecl& od,
+             const std::vector<int64_t>& dims) const {
+    Tensor out = make_out(od);
+    const auto st = strides_of(a.shape);
+    const int64_t n = out.numel();
+    std::vector<bool> isrev(a.shape.size(), false);
+    for (int64_t d : dims) isrev[d] = true;
+    for (int64_t k = 0; k < n; ++k) {
+      int64_t src = 0;
+      for (size_t d = 0; d < a.shape.size(); ++d) {
+        int64_t coord = (k / st[d]) % a.shape[d];
+        if (isrev[d]) coord = a.shape[d] - 1 - coord;
+        src += coord * st[d];
+      }
+      if (out.isf()) out.f[k] = a.f[src]; else out.i[k] = a.i[src];
+    }
+    return out;
+  }
+
+  Tensor pad(const Tensor& a, const Tensor& pv, const Op& op) const {
+    Tensor out = make_out(op.outputs[0]);
+    const double fill = pv.get(0);
+    for (int64_t k = 0; k < out.numel(); ++k) {
+      if (out.isf()) out.f[k] = float(fill); else out.i[k] = int64_t(fill);
+    }
+    std::vector<int64_t> lo, interior;
+    for (const auto& cfg : op.attrs.at("padding_config").arr) {
+      lo.push_back(cfg.arr[0].asi());
+      interior.push_back(cfg.arr[2].asi());
+    }
+    const auto ist = strides_of(a.shape);
+    const auto ost = strides_of(out.shape);
+    const int64_t n = a.numel();
+    for (int64_t k = 0; k < n; ++k) {
+      int64_t dst = 0;
+      bool ok = true;
+      for (size_t d = 0; d < a.shape.size(); ++d) {
+        const int64_t coord = (k / ist[d]) % a.shape[d];
+        const int64_t oc = lo[d] + coord * (interior[d] + 1);
+        if (oc < 0 || oc >= out.shape[d]) { ok = false; break; }
+        dst += oc * ost[d];
+      }
+      if (!ok) continue;  // negative low padding drops rows
+      if (out.isf()) out.f[dst] = a.f[k]; else out.i[dst] = a.i[k];
+    }
+    return out;
+  }
+
+  Tensor dynamic_slice(const Op& op, std::vector<Tensor>& regs) const {
+    const Tensor& a = regs[op.inputs[0]];
+    Tensor out = make_out(op.outputs[0]);
+    const auto sizes = op.attrs.at("slice_sizes").ints();
+    std::vector<int64_t> start(a.shape.size());
+    for (size_t d = 0; d < start.size(); ++d) {
+      const Tensor& s = regs[op.inputs[1 + d]];
+      int64_t v = s.isf() ? int64_t(s.f[0]) : s.i[0];
+      v = std::max<int64_t>(0, std::min(v, a.shape[d] - sizes[d]));
+      start[d] = v;
+    }
+    const auto ist = strides_of(a.shape);
+    const auto ost = strides_of(out.shape);
+    for (int64_t k = 0; k < out.numel(); ++k) {
+      int64_t src = 0;
+      for (size_t d = 0; d < out.shape.size(); ++d) {
+        const int64_t coord = (k / ost[d]) % out.shape[d];
+        src += (start[d] + coord) * ist[d];
+      }
+      if (out.isf()) out.f[k] = a.f[src]; else out.i[k] = a.i[src];
+    }
+    return out;
+  }
+
+  Tensor dynamic_update_slice(const Op& op, std::vector<Tensor>& regs) const {
+    Tensor out = regs[op.inputs[0]];
+    const Tensor& upd = regs[op.inputs[1]];
+    std::vector<int64_t> start(out.shape.size());
+    for (size_t d = 0; d < start.size(); ++d) {
+      const Tensor& s = regs[op.inputs[2 + d]];
+      int64_t v = s.isf() ? int64_t(s.f[0]) : s.i[0];
+      v = std::max<int64_t>(0, std::min(v, out.shape[d] - upd.shape[d]));
+      start[d] = v;
+    }
+    const auto ost = strides_of(out.shape);
+    const auto ust = strides_of(upd.shape);
+    for (int64_t k = 0; k < upd.numel(); ++k) {
+      int64_t dst = 0;
+      for (size_t d = 0; d < upd.shape.size(); ++d) {
+        const int64_t coord = (k / ust[d]) % upd.shape[d];
+        dst += (start[d] + coord) * ost[d];
+      }
+      if (out.isf()) out.f[dst] = upd.f[k]; else out.i[dst] = upd.i[k];
+    }
+    return out;
+  }
+
+  Tensor reduce(const std::string& p, const Tensor& a, const Op& op) const {
+    Tensor out = make_out(op.outputs[0]);
+    const auto axes = op.attrs.at("axes").ints();
+    std::vector<bool> isred(a.shape.size(), false);
+    for (int64_t d : axes) isred[d] = true;
+    const bool is_max = p == "reduce_max", is_min = p == "reduce_min";
+    const bool is_prod = p == "reduce_prod";
+    const bool is_or = p == "reduce_or", is_and = p == "reduce_and";
+    // init
+    for (int64_t k = 0; k < out.numel(); ++k) {
+      if (out.isf()) {
+        out.f[k] = is_max ? -INFINITY : is_min ? INFINITY : is_prod ? 1.f : 0.f;
+      } else {
+        out.i[k] = is_max ? INT64_MIN : is_min ? INT64_MAX
+                   : is_prod ? 1 : is_and ? 1 : 0;
+      }
+    }
+    const auto ist = strides_of(a.shape);
+    const auto ost = strides_of(out.shape);
+    const int64_t n = a.numel();
+    for (int64_t k = 0; k < n; ++k) {
+      int64_t dst = 0;
+      size_t oo = 0;
+      for (size_t d = 0; d < a.shape.size(); ++d) {
+        if (isred[d]) continue;
+        const int64_t coord = (k / ist[d]) % a.shape[d];
+        dst += coord * ost[oo++];
+      }
+      if (out.isf()) {
+        const float v = a.f[k];
+        float& o = out.f[dst];
+        if (is_max) o = std::max(o, v);
+        else if (is_min) o = std::min(o, v);
+        else if (is_prod) o *= v;
+        else o += v;
+      } else {
+        const int64_t v = a.i[k];
+        int64_t& o = out.i[dst];
+        if (is_max) o = std::max(o, v);
+        else if (is_min) o = std::min(o, v);
+        else if (is_prod) o *= v;
+        else if (is_or) o = o | (v ? 1 : 0);
+        else if (is_and) o = o & (v ? 1 : 0);
+        else o += v;
+      }
+    }
+    return out;
+  }
+
+  Tensor cumop(const std::string& p, const Tensor& a, const Op& op) const {
+    Tensor out = a;
+    out.shape = op.outputs[0].shape;
+    const int64_t ax = op.attrs.at("axis").asi();
+    const bool reverse =
+        op.attrs.find("reverse") && op.attrs.at("reverse").boo;
+    const auto st = strides_of(a.shape);
+    const int64_t n = a.numel(), len = a.shape[ax], stride = st[ax];
+    for (int64_t base = 0; base < n; ++base) {
+      // only process positions at the start of their scan lane
+      if ((base / stride) % len != (reverse ? len - 1 : 0)) continue;
+      const int64_t step = reverse ? -stride : stride;
+      for (int64_t j = 1; j < len; ++j) {
+        const int64_t cur = base + j * step, prev = cur - step;
+        if (out.isf()) {
+          if (p == "cumsum") out.f[cur] += out.f[prev];
+          else if (p == "cumprod") out.f[cur] *= out.f[prev];
+          else if (p == "cummax") out.f[cur] = std::max(out.f[cur], out.f[prev]);
+          else out.f[cur] = std::min(out.f[cur], out.f[prev]);
+        } else {
+          if (p == "cumsum") out.i[cur] += out.i[prev];
+          else if (p == "cumprod") out.i[cur] *= out.i[prev];
+          else if (p == "cummax") out.i[cur] = std::max(out.i[cur], out.i[prev]);
+          else out.i[cur] = std::min(out.i[cur], out.i[prev]);
+        }
+      }
+    }
+    return out;
+  }
+
+  Tensor argreduce(bool is_max, const Tensor& a, const Op& op) const {
+    Tensor out = make_out(op.outputs[0]);
+    const auto axes = op.attrs.at("axes").ints();
+    if (axes.size() != 1) throw std::runtime_error("argreduce: 1 axis only");
+    const int64_t ax = axes[0];
+    const auto ist = strides_of(a.shape);
+    const auto ost = strides_of(out.shape);
+    std::vector<double> best(out.numel(), is_max ? -INFINITY : INFINITY);
+    const int64_t n = a.numel();
+    for (int64_t k = 0; k < n; ++k) {
+      int64_t dst = 0;
+      size_t oo = 0;
+      for (size_t d = 0; d < a.shape.size(); ++d) {
+        if (int64_t(d) == ax) continue;
+        dst += ((k / ist[d]) % a.shape[d]) * ost[oo++];
+      }
+      const double v = a.get(k);
+      const int64_t coord = (k / ist[ax]) % a.shape[ax];
+      if ((is_max && v > best[dst]) || (!is_max && v < best[dst])) {
+        best[dst] = v;
+        out.i[dst] = coord;
+      }
+    }
+    return out;
+  }
+
+  // XLA gather with operand/start-indices batching dims.
+  Tensor gather(const Tensor& a, const Tensor& sidx, const Op& op) const {
+    Tensor out = make_out(op.outputs[0]);
+    const auto& dn = op.attrs.at("dimension_numbers").arr;
+    const auto offset_dims = dn[0].ints();
+    const auto collapsed = dn[1].ints();
+    const auto start_map = dn[2].ints();
+    const auto op_batch = dn.size() > 3 ? dn[3].ints() : std::vector<int64_t>{};
+    const auto si_batch = dn.size() > 4 ? dn[4].ints() : std::vector<int64_t>{};
+    const auto slice_sizes = op.attrs.at("slice_sizes").ints();
+
+    const size_t orank = a.shape.size();
+    std::vector<bool> is_collapsed(orank, false), is_obatch(orank, false);
+    for (int64_t d : collapsed) is_collapsed[d] = true;
+    for (int64_t d : op_batch) is_obatch[d] = true;
+    // operand dims that produce output offset dims, in order
+    std::vector<int64_t> slice_dims;
+    for (size_t d = 0; d < orank; ++d)
+      if (!is_collapsed[d] && !is_obatch[d]) slice_dims.push_back(int64_t(d));
+    if (slice_dims.size() != offset_dims.size())
+      throw std::runtime_error("gather: offset dims mismatch");
+
+    // output dims not in offset_dims are batch dims, aligned in order with
+    // start_indices dims except its trailing index-vector dim
+    const size_t out_rank = out.shape.size();
+    std::vector<bool> is_offset(out_rank, false);
+    for (int64_t d : offset_dims) is_offset[d] = true;
+    std::vector<int64_t> out_batch_dims;
+    for (size_t d = 0; d < out_rank; ++d)
+      if (!is_offset[d]) out_batch_dims.push_back(int64_t(d));
+
+    const auto ast = strides_of(a.shape);
+    const auto ost = strides_of(out.shape);
+    const auto sst = strides_of(sidx.shape);
+    const int64_t ivs = int64_t(start_map.size());
+    const int64_t n = out.numel();
+    std::vector<int64_t> start(orank, 0);
+    for (int64_t k = 0; k < n; ++k) {
+      // batch coords -> start_indices base offset
+      int64_t si_base = 0;
+      for (size_t bd = 0; bd < out_batch_dims.size(); ++bd) {
+        const int64_t coord = (k / ost[out_batch_dims[bd]]) %
+                              out.shape[out_batch_dims[bd]];
+        si_base += coord * sst[bd];
+      }
+      std::fill(start.begin(), start.end(), 0);
+      for (int64_t v = 0; v < ivs; ++v) {
+        const Tensor& s = sidx;
+        const int64_t raw = s.isf()
+            ? int64_t(s.f[si_base + v * sst[sidx.shape.size() - 1]])
+            : s.i[si_base + v * sst[sidx.shape.size() - 1]];
+        const int64_t d = start_map[v];
+        start[d] = std::max<int64_t>(
+            0, std::min(raw, a.shape[d] - slice_sizes[d]));
+      }
+      // operand batching dims take the matching start_indices batch coord
+      for (size_t bi = 0; bi < op_batch.size(); ++bi) {
+        const int64_t si_dim = si_batch[bi];
+        // find position of si_dim among start_indices batch dims (all dims
+        // except the trailing index-vector dim map 1:1 to out_batch_dims)
+        const int64_t coord = (k / ost[out_batch_dims[si_dim]]) %
+                              out.shape[out_batch_dims[si_dim]];
+        start[op_batch[bi]] = coord;
+      }
+      int64_t src = 0;
+      for (size_t d = 0; d < orank; ++d) src += start[d] * ast[d];
+      for (size_t sd = 0; sd < slice_dims.size(); ++sd) {
+        const int64_t coord = (k / ost[offset_dims[sd]]) %
+                              out.shape[offset_dims[sd]];
+        src += coord * ast[slice_dims[sd]];
+      }
+      if (out.isf()) out.f[k] = a.f[src]; else out.i[k] = a.i[src];
+    }
+    return out;
+  }
+
+  // General contraction: pack to [B, M, K] x [B, K, N] then batched GEMM.
+  Tensor dot_general(const Tensor& a, const Tensor& b, const Op& op) const {
+    const auto& dn = op.attrs.at("dimension_numbers").arr;
+    const auto lc = dn[0].arr[0].ints(), rc = dn[0].arr[1].ints();
+    const auto lb = dn[1].arr[0].ints(), rb = dn[1].arr[1].ints();
+
+    auto free_dims = [](const Tensor& t, const std::vector<int64_t>& c,
+                        const std::vector<int64_t>& bt) {
+      std::vector<bool> used(t.shape.size(), false);
+      for (int64_t d : c) used[d] = true;
+      for (int64_t d : bt) used[d] = true;
+      std::vector<int64_t> out;
+      for (size_t d = 0; d < t.shape.size(); ++d)
+        if (!used[d]) out.push_back(int64_t(d));
+      return out;
+    };
+    const auto lf = free_dims(a, lc, lb), rf = free_dims(b, rc, rb);
+
+    int64_t B = 1, M = 1, N = 1, K = 1;
+    for (int64_t d : lb) B *= a.shape[d];
+    for (int64_t d : lf) M *= a.shape[d];
+    for (int64_t d : rf) N *= b.shape[d];
+    for (int64_t d : lc) K *= a.shape[d];
+
+    // pack lhs as [B, M, K]
+    auto pack = [](const Tensor& t, const std::vector<int64_t>& batch,
+                   const std::vector<int64_t>& rows,
+                   const std::vector<int64_t>& cols) {
+      std::vector<int64_t> perm;
+      perm.insert(perm.end(), batch.begin(), batch.end());
+      perm.insert(perm.end(), rows.begin(), rows.end());
+      perm.insert(perm.end(), cols.begin(), cols.end());
+      const auto st = strides_of(t.shape);
+      std::vector<int64_t> pshape;
+      for (int64_t d : perm) pshape.push_back(t.shape[d]);
+      const auto pst = strides_of(pshape);
+      std::vector<float> out(t.numel());
+      const int64_t n = t.numel();
+      for (int64_t k = 0; k < n; ++k) {
+        int64_t src = 0;
+        for (size_t d = 0; d < perm.size(); ++d)
+          src += ((k / pst[d]) % pshape[d]) * st[perm[d]];
+        out[k] = t.isf() ? t.f[src] : float(t.i[src]);
+      }
+      return out;
+    };
+    const std::vector<float> L = pack(a, lb, lf, lc);   // [B, M, K]
+    const std::vector<float> R = pack(b, rb, rc, rf);   // [B, K, N]
+
+    Tensor out = make_out(op.outputs[0]);  // [batch..., lf..., rf...]
+    if (!out.isf()) {
+      // integer dot (rare): accumulate in int64
+      for (int64_t bb = 0; bb < B; ++bb)
+        for (int64_t m = 0; m < M; ++m)
+          for (int64_t nn = 0; nn < N; ++nn) {
+            int64_t acc = 0;
+            for (int64_t kk = 0; kk < K; ++kk)
+              acc += int64_t(L[(bb * M + m) * K + kk]) *
+                     int64_t(R[(bb * K + kk) * N + nn]);
+            out.i[(bb * M + m) * N + nn] = acc;
+          }
+      return out;
+    }
+    float* O = out.f.data();
+    for (int64_t bb = 0; bb < B; ++bb) {
+      const float* Lb = L.data() + bb * M * K;
+      const float* Rb = R.data() + bb * K * N;
+      float* Ob = O + bb * M * N;
+      // ikj with accumulate: vectorizes over N
+      for (int64_t m = 0; m < M; ++m) {
+        float* orow = Ob + m * N;
+        std::fill(orow, orow + N, 0.f);
+        const float* lrow = Lb + m * K;
+        for (int64_t kk = 0; kk < K; ++kk) {
+          const float lv = lrow[kk];
+          if (lv == 0.f) continue;
+          const float* rrow = Rb + kk * N;
+          for (int64_t nn = 0; nn < N; ++nn) orow[nn] += lv * rrow[nn];
+        }
+      }
+    }
+    return out;
+  }
+
+  Tensor conv(const Tensor& lhs, const Tensor& rhs, const Op& op) const {
+    const auto& dn = op.attrs.at("dimension_numbers").arr;
+    const auto lspec = dn[0].ints();  // [batch, feature, spatial...]
+    const auto rspec = dn[1].ints();  // [out_f, in_f, spatial...]
+    const auto ospec = dn[2].ints();
+    const auto strides = op.attrs.at("window_strides").ints();
+    const auto lhs_dil = op.attrs.at("lhs_dilation").ints();
+    const auto rhs_dil = op.attrs.at("rhs_dilation").ints();
+    const int64_t groups = op.attrs.at("feature_group_count").asi();
+    std::vector<int64_t> pad_lo;
+    for (const auto& pr : op.attrs.at("padding").arr)
+      pad_lo.push_back(pr.arr[0].asi());
+
+    Tensor out = make_out(op.outputs[0]);
+    const size_t nsp = lspec.size() - 2;
+    const auto lst = strides_of(lhs.shape), rst = strides_of(rhs.shape),
+               ost = strides_of(out.shape);
+    const int64_t Bn = lhs.shape[lspec[0]];
+    const int64_t Cout = rhs.shape[rspec[0]];
+    const int64_t cin_g = rhs.shape[rspec[1]];  // in-features per group
+    const int64_t cout_g = Cout / groups;
+
+    std::vector<int64_t> osp(nsp), ksp(nsp);
+    for (size_t d = 0; d < nsp; ++d) {
+      osp[d] = out.shape[ospec[2 + d]];
+      ksp[d] = rhs.shape[rspec[2 + d]];
+    }
+    // odometer increment: returns false when all coords wrapped to zero
+    auto advance = [](std::vector<int64_t>& coord,
+                      const std::vector<int64_t>& dims) {
+      for (size_t d = dims.size(); d-- > 0;) {
+        if (++coord[d] < dims[d]) return true;
+        coord[d] = 0;
+      }
+      return false;
+    };
+
+    std::vector<int64_t> ocoord(nsp, 0), kcoord(nsp, 0);
+    for (int64_t bb = 0; bb < Bn; ++bb) {
+      for (int64_t oc = 0; oc < Cout; ++oc) {
+        const int64_t g = oc / cout_g;
+        std::fill(ocoord.begin(), ocoord.end(), 0);
+        do {
+          double acc = 0;
+          std::fill(kcoord.begin(), kcoord.end(), 0);
+          do {
+            bool valid = true;
+            int64_t lsp_idx = 0;
+            for (size_t d = 0; d < nsp; ++d) {
+              const int64_t pos = ocoord[d] * strides[d] - pad_lo[d] +
+                                  kcoord[d] * rhs_dil[d];
+              if (pos < 0 || pos % lhs_dil[d] != 0) { valid = false; break; }
+              const int64_t ip = pos / lhs_dil[d];
+              if (ip >= lhs.shape[lspec[2 + d]]) { valid = false; break; }
+              lsp_idx += ip * lst[lspec[2 + d]];
+            }
+            if (valid) {
+              for (int64_t ic = 0; ic < cin_g; ++ic) {
+                const int64_t li = bb * lst[lspec[0]] + lsp_idx +
+                                   (g * cin_g + ic) * lst[lspec[1]];
+                int64_t ri = oc * rst[rspec[0]] + ic * rst[rspec[1]];
+                for (size_t d = 0; d < nsp; ++d)
+                  ri += kcoord[d] * rst[rspec[2 + d]];
+                acc += double(lhs.f[li]) * double(rhs.f[ri]);
+              }
+            }
+          } while (advance(kcoord, ksp));
+          int64_t oidx = bb * ost[ospec[0]] + oc * ost[ospec[1]];
+          for (size_t d = 0; d < nsp; ++d)
+            oidx += ocoord[d] * ost[ospec[2 + d]];
+          out.f[oidx] = float(acc);
+        } while (advance(ocoord, osp));
+      }
+    }
+    return out;
+  }
+
+  void split(const Op& op, std::vector<Tensor>& regs) const {
+    const Tensor& a = regs[op.inputs[0]];
+    const int64_t axis = op.attrs.at("axis").asi();
+    const auto ist = strides_of(a.shape);
+    int64_t off = 0;
+    for (const auto& od : op.outputs) {
+      Tensor out = make_out(od);
+      const auto ost = strides_of(out.shape);
+      for (int64_t k = 0; k < out.numel(); ++k) {
+        int64_t src = 0;
+        for (size_t d = 0; d < out.shape.size(); ++d) {
+          int64_t coord = (k / ost[d]) % out.shape[d];
+          if (int64_t(d) == axis) coord += off;
+          src += coord * ist[d];
+        }
+        if (out.isf()) out.f[k] = a.f[src]; else out.i[k] = a.i[src];
+      }
+      off += od.shape[axis];
+      regs[od.id] = std::move(out);
+    }
+  }
+
+  void scan(const Op& op, std::vector<Tensor>& regs) const {
+    const int64_t length = op.attrs.at("length").asi();
+    const int64_t num_consts = op.attrs.at("num_consts").asi();
+    const int64_t num_carry = op.attrs.at("num_carry").asi();
+    const bool reverse = op.attrs.at("reverse").boo;
+    const SubProgram& body = *op.body;
+
+    std::vector<Tensor> consts, carry;
+    for (int64_t k = 0; k < num_consts; ++k)
+      consts.push_back(regs[op.inputs[k]]);
+    for (int64_t k = 0; k < num_carry; ++k)
+      carry.push_back(regs[op.inputs[num_consts + k]]);
+    const int64_t num_xs = int64_t(op.inputs.size()) - num_consts - num_carry;
+    const int64_t num_ys = int64_t(op.outputs.size()) - num_carry;
+
+    // preallocate stacked ys
+    std::vector<Tensor> ys;
+    for (int64_t y = 0; y < num_ys; ++y)
+      ys.push_back(make_out(op.outputs[num_carry + y]));
+
+    for (int64_t it = 0; it < length; ++it) {
+      const int64_t t = reverse ? length - 1 - it : it;
+      std::vector<Tensor> args = consts;
+      for (auto& c : carry) args.push_back(c);
+      for (int64_t x = 0; x < num_xs; ++x) {
+        const Tensor& xs = regs[op.inputs[num_consts + num_carry + x]];
+        Tensor sl;
+        sl.dt = xs.dt;
+        sl.shape.assign(xs.shape.begin() + 1, xs.shape.end());
+        const int64_t step = sl.numel() ? sl.numel() : 1;
+        if (xs.isf())
+          sl.f.assign(xs.f.begin() + t * step, xs.f.begin() + (t + 1) * step);
+        else
+          sl.i.assign(xs.i.begin() + t * step, xs.i.begin() + (t + 1) * step);
+        args.push_back(std::move(sl));
+      }
+      std::vector<Tensor> outs = run_sub(body, std::move(args));
+      for (int64_t k = 0; k < num_carry; ++k) carry[k] = std::move(outs[k]);
+      for (int64_t y = 0; y < num_ys; ++y) {
+        const Tensor& v = outs[num_carry + y];
+        const int64_t step = v.numel() ? v.numel() : 1;
+        if (ys[y].isf())
+          std::copy(v.f.begin(), v.f.end(), ys[y].f.begin() + t * step);
+        else
+          std::copy(v.i.begin(), v.i.end(), ys[y].i.begin() + t * step);
+      }
+    }
+    for (int64_t k = 0; k < num_carry; ++k) {
+      carry[k].shape = op.outputs[k].shape;
+      regs[op.outputs[k].id] = std::move(carry[k]);
+    }
+    for (int64_t y = 0; y < num_ys; ++y)
+      regs[op.outputs[num_carry + y].id] = std::move(ys[y]);
+  }
+};
+
+}  // namespace jxi
