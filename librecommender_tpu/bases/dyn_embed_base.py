@@ -34,6 +34,9 @@ class DynEmbedBase(EmbedBase):
         seed=42,
     ):
         super().__init__(task, data_info, embed_size, lower_upper_bound, seed)
+        if loss_type not in ("cross_entropy", "focal", "bpr", "max_margin",
+                             "nce", "sampled_softmax"):
+            raise ValueError(f"unknown loss_type: {loss_type}")
         self.loss_type = loss_type
         self.norm_embed = norm_embed
         self.seq_mode, self.max_seq_len = check_seq_mode(recent_num, random_num)

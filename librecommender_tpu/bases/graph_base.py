@@ -36,6 +36,8 @@ class GraphEmbedBase(EmbedBase):
         seed=42,
     ):
         super().__init__(task, data_info, embed_size, lower_upper_bound, seed)
+        if loss_type not in ("cross_entropy", "focal", "bpr", "max_margin"):
+            raise ValueError(f"unknown loss_type for graph model: {loss_type}")
         self.loss_type = loss_type
         if loss_type in ("bpr", "max_margin"):
             self.paradigm = "pairwise"

@@ -16,7 +16,9 @@ def build_native(src: Path, out: Path, cmd: list, extra_dep=None) -> Path:
     matches the current source hash. ``extra_dep``: additional source file
     (e.g. an #include'd header) folded into the hash key."""
     src, out = Path(src), Path(out)
-    dep_bytes = Path(extra_dep).read_bytes() if extra_dep else b""
+    deps = extra_dep if isinstance(extra_dep, (list, tuple)) else (
+        [extra_dep] if extra_dep else [])
+    dep_bytes = b"".join(Path(d).read_bytes() for d in deps)
     key = hashlib.sha256(
         src.read_bytes() + dep_bytes + "\x00".join(cmd).encode()
     ).hexdigest()

@@ -283,3 +283,168 @@ def save_program(path, name, fn, *example_args):
     (path / f"{name}.program.json").write_text(json.dumps(program))
     (path / f"{name}.blob.bin").write_bytes(blob)
     return program
+
+
+# --------------------------------------------------------- server artifacts
+def export_native_programs(path, model):
+    """Export the scoring programs + feature-assembly tables the native C++
+    server needs to answer /model/recommend and /online/recommend without a
+    Python backend. Returns the runtime meta dict (or None when the model
+    family has no native program path)."""
+    from ..bases.feat_base import FeatBase
+    from ..bases.dyn_embed_base import DynEmbedBase
+
+    path = Path(path)
+    path.mkdir(parents=True, exist_ok=True)
+    data_info = model.data_info
+    meta = None
+
+    if isinstance(model, FeatBase):
+        model._ensure_inference_fns()
+        params = model.params
+        users1 = np.zeros(1, np.int32)
+        if hasattr(model, "_score_catalog"):
+            save_program(path, "score_all",
+                         lambda u: model._score_catalog(params, u, 1), users1)
+        else:
+            fn = model._recommend_fn.__wrapped__
+            save_program(path, "score_all", lambda u: fn(params, u, 1), users1)
+
+        # dynamic-override program: one input slot per override the model
+        # supports, in a fixed order recorded in the meta
+        ov_inputs = ["users"]
+        examples = [users1]
+        feats = model.feats
+        if hasattr(model, "max_seq_len"):
+            ov_inputs.append("seq")
+            examples.append(np.full((1, model.max_seq_len),
+                                    model.pad_id, np.int32))
+        if hasattr(model, "long_max_len"):
+            ov_inputs.append("seq_long")
+            examples.append(np.full((1, model.long_max_len),
+                                    model.pad_id, np.int32))
+        if feats.user_sparse is not None:
+            ov_inputs.append("user_sparse_row")
+            examples.append(
+                np.asarray(data_info.user_sparse_unique)[:1].astype(np.int32)
+            )
+        if feats.user_dense is not None:
+            ov_inputs.append("user_dense_row")
+            examples.append(
+                np.asarray(data_info.user_dense_unique)[:1].astype(np.float32)
+            )
+        if len(ov_inputs) > 1:
+            keys = ov_inputs[1:]
+
+            def dyn_fn(u, *ovs):
+                overrides = dict(zip(keys, ovs))
+                if hasattr(model, "_score_catalog"):
+                    return model._score_catalog(params, u, 1,
+                                                overrides=overrides)
+                inputs = model._catalog_pair_inputs(u, 1, overrides)
+                out = model._forward(params, inputs, train=False, rng=None)
+                return out.reshape(1, model.n_items)
+
+            save_program(path, "score_dyn", dyn_fn, *examples)
+
+        # stored recent histories: the score_dyn program takes seq as an
+        # INPUT, so the server needs the tables to fill requests without one
+        if getattr(model, "recent_seq_table", None) is not None:
+            tab = np.ascontiguousarray(
+                np.asarray(model.recent_seq_table), np.int32)
+            np.asarray(tab.shape, np.int64).tofile(
+                path / "recent_seq_shape.bin")
+            tab.tofile(path / "recent_seq.bin")
+        if getattr(model, "recent_long_table", None) is not None:
+            tab = np.ascontiguousarray(
+                np.asarray(model.recent_long_table), np.int32)
+            np.asarray(tab.shape, np.int64).tofile(
+                path / "recent_long_shape.bin")
+            tab.tofile(path / "recent_long.bin")
+
+        meta = {
+            "kind": "feat",
+            "inputs": ov_inputs,
+            "n_users": int(model.n_users),
+            "n_items": int(model.n_items),
+            "pad_id": int(getattr(model, "pad_id", model.n_items)),
+            "max_seq_len": int(getattr(model, "max_seq_len", 0)),
+            "long_max_len": int(getattr(model, "long_max_len", 0)),
+        }
+        _export_feature_tables(path, model)
+
+    elif isinstance(model, DynEmbedBase):
+        model._ensure_repr_fn()
+        params = model.params
+        users1 = np.zeros(1, np.int32)
+        seqs1 = np.full((1, model.max_seq_len), model.pad_id, np.int32)
+        save_program(
+            path, "user_repr",
+            lambda u, s: model._user_repr(params, u, s, False, None),
+            users1, seqs1,
+        )
+        host = {k: np.asarray(v) for k, v in
+                jax.device_get(params).items()} if isinstance(params, dict) \
+            else jax.device_get(params)
+        item_repr = np.asarray(model._item_repr(host))[: model.n_items]
+        bias = model._item_bias(host)
+        has_bias = bias is not None
+        if has_bias:
+            item_repr = np.hstack(
+                [item_repr, np.asarray(bias)[: model.n_items, None]]
+            )
+        item_repr = np.ascontiguousarray(item_repr, np.float32)
+        np.asarray(item_repr.shape, np.int64).tofile(
+            path / "item_repr_shape.bin")
+        item_repr.tofile(path / "item_repr.bin")
+        seq_tab = np.ascontiguousarray(
+            np.asarray(model.recent_seq_table), np.int32)
+        np.asarray(seq_tab.shape, np.int64).tofile(
+            path / "recent_seq_shape.bin")
+        seq_tab.tofile(path / "recent_seq.bin")
+        meta = {
+            "kind": "dyn",
+            "inputs": ["users", "seq"],
+            "n_users": int(model.n_users),
+            "n_items": int(model.n_items),
+            "pad_id": int(model.pad_id),
+            "max_seq_len": int(model.max_seq_len),
+            "has_bias": bool(has_bias),
+        }
+
+    if meta is not None:
+        (path / "runtime_meta.json").write_text(json.dumps(meta))
+    return meta
+
+
+def _export_feature_tables(path, model):
+    """User feature rows + raw-value -> flat-index maps so the server can
+    assemble override rows exactly like FeatureTables.build_user_sparse_row."""
+    data_info = model.data_info
+    if data_info.user_sparse_unique is not None:
+        rows = np.ascontiguousarray(
+            np.asarray(data_info.user_sparse_unique), np.int32)
+        np.asarray(rows.shape, np.int64).tofile(
+            path / "user_sparse_rows_shape.bin")
+        rows.tofile(path / "user_sparse_rows.bin")
+    if data_info.user_dense_unique is not None:
+        rows = np.ascontiguousarray(
+            np.asarray(data_info.user_dense_unique), np.float32)
+        np.asarray(rows.shape, np.int64).tofile(
+            path / "user_dense_rows_shape.bin")
+        rows.tofile(path / "user_dense_rows.bin")
+
+    feat_map = {"sparse": {}, "dense": {}}
+    u_sparse_names = list(data_info.user_sparse_col.name)
+    for j, name in enumerate(u_sparse_names):
+        col_pos = data_info.user_sparse_col.index[j]
+        mapping = (data_info.sparse_idx_mapping or {}).get(name, {})
+        offset = int(data_info.sparse_offset[col_pos])
+        feat_map["sparse"][name] = {
+            "pos": j,
+            "oov": int(data_info.sparse_oov[col_pos]),
+            "values": {str(k): offset + int(v) for k, v in mapping.items()},
+        }
+    for j, name in enumerate(data_info.user_dense_col.name):
+        feat_map["dense"][name] = j
+    (path / "feat_map.json").write_text(json.dumps(feat_map))

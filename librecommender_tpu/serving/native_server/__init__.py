@@ -27,6 +27,7 @@ def build_server():
         _SRC, _BIN,
         ["g++", "-O3", "-march=native", "-std=c++17", "-pthread",
          str(_SRC), "-o", str(_BIN)],
+        extra_dep=[_HERE / "jaxpr_interp.hpp", _HERE / "model_runtime.hpp"],
     )
 
 
@@ -58,7 +59,8 @@ def build_benchmark():
     )
 
 
-def export_native(path, model, ivf=False, n_ivf_clusters=None, n_probe=8):
+def export_native(path, model, ivf=False, n_ivf_clusters=None, n_probe=8,
+                  programs=True):
     """Write flat binary artifacts the C++ server mmap-loads.
 
     Item ids must be integers (MovieLens-style); other id types serve
@@ -68,10 +70,19 @@ def export_native(path, model, ivf=False, n_ivf_clusters=None, n_probe=8):
     embeddings; the server then answers /embed/recommend by probing
     ``n_probe`` clusters instead of scanning the catalog (the reference's
     actix embed tier is faiss-backed the same way, embed_deploy.rs).
+
+    ``programs=True`` (default) also exports the model's scoring programs
+    (serving/native_program.py) for feat/seq and dyn-embed models, so the
+    server answers /model/recommend and /online/recommend by executing the
+    program IN-PROCESS — the TF-Serving-runtime analog with no backend hop.
     """
     path = Path(path)
     path.mkdir(parents=True, exist_ok=True)
     data_info = model.data_info
+    if programs:
+        from ..native_program import export_native_programs
+
+        export_native_programs(path, model)
     meta = {"n_items": int(model.n_items), "n_users": int(model.n_users)}
     if ivf:
         from ...retrieval.ivf import IVFIndex

@@ -229,6 +229,9 @@ struct SubProgram {
   std::vector<Op> ops;
   std::vector<int> outputs;
   int max_id = 0;
+  // constants decoded once at load time (heap-stable under Program moves);
+  // looked up by id at execution instead of re-reading the blob per run
+  std::map<int, Tensor> const_vals;
 };
 
 struct Program {
@@ -285,6 +288,40 @@ inline std::string read_file(const std::string& path) {
   return data;
 }
 
+inline Tensor decode_const(const ConstDecl& c, const std::vector<char>& blob) {
+  Tensor t;
+  t.dt = c.decl.dt;
+  t.shape = c.decl.shape;
+  const char* src = blob.data() + c.offset;
+  const int64_t n = t.numel();
+  if (c.stored == "f32") {
+    t.f.resize(n);
+    std::memcpy(t.f.data(), src, n * 4);
+    t.dt = DT::F32;
+  } else if (c.stored == "i64") {
+    t.i.resize(n);
+    std::memcpy(t.i.data(), src, n * 8);
+  } else if (c.stored == "i32" || c.stored == "u32") {
+    t.i.resize(n);
+    const int32_t* s = reinterpret_cast<const int32_t*>(src);
+    for (int64_t k = 0; k < n; ++k) t.i[k] = s[k];
+  } else if (c.stored == "i8") {
+    t.i.resize(n);
+    const int8_t* s = reinterpret_cast<const int8_t*>(src);
+    for (int64_t k = 0; k < n; ++k) t.i[k] = s[k];
+  } else {
+    throw std::runtime_error("bad stored dtype " + c.stored);
+  }
+  return t;
+}
+
+inline void init_const_cache(SubProgram* sp, const std::vector<char>& blob) {
+  for (const auto& c : sp->constants)
+    sp->const_vals.emplace(c.decl.id, decode_const(c, blob));
+  for (auto& op : sp->ops)
+    if (op.body) init_const_cache(op.body.get(), blob);
+}
+
 inline Program load_program(const std::string& json_path,
                             const std::string& blob_path) {
   Program p;
@@ -293,6 +330,7 @@ inline Program load_program(const std::string& json_path,
   parse_subprogram(root, &p.main);
   const std::string blob = read_file(blob_path);
   p.blob.assign(blob.begin(), blob.end());
+  init_const_cache(&p.main, p.blob);
   return p;
 }
 
@@ -308,32 +346,10 @@ class Executor {
  private:
   const Program& prog_;
 
-  Tensor load_const(const ConstDecl& c) const {
-    Tensor t;
-    t.dt = c.decl.dt;
-    t.shape = c.decl.shape;
-    const char* src = prog_.blob.data() + c.offset;
-    const int64_t n = t.numel();
-    if (c.stored == "f32") {
-      t.f.resize(n);
-      std::memcpy(t.f.data(), src, n * 4);
-      t.dt = DT::F32;
-    } else if (c.stored == "i64") {
-      t.i.resize(n);
-      std::memcpy(t.i.data(), src, n * 8);
-    } else if (c.stored == "i32" || c.stored == "u32") {
-      t.i.resize(n);
-      const int32_t* s = reinterpret_cast<const int32_t*>(src);
-      for (int64_t k = 0; k < n; ++k) t.i[k] = s[k];
-    } else if (c.stored == "i8") {
-      t.i.resize(n);
-      const int8_t* s = reinterpret_cast<const int8_t*>(src);
-      for (int64_t k = 0; k < n; ++k) t.i[k] = s[k];
-    } else {
-      throw std::runtime_error("bad stored dtype " + c.stored);
-    }
-    if (!t.isf() && t.i.empty() && n) throw std::runtime_error("const load");
-    return t;
+  const Tensor& reg_get(const SubProgram& sp, const std::vector<Tensor>& regs,
+                        int id) const {
+    const auto it = sp.const_vals.find(id);
+    return it != sp.const_vals.end() ? it->second : regs[id];
   }
 
   std::vector<Tensor> run_sub(const SubProgram& sp,
@@ -349,11 +365,10 @@ class Executor {
       t.shape = d.shape;
       regs[d.id] = std::move(t);
     }
-    for (const auto& c : sp.constants) regs[c.decl.id] = load_const(c);
-    for (const auto& op : sp.ops) exec_op(op, regs);
+    for (const auto& op : sp.ops) exec_op(op, sp, regs);
     std::vector<Tensor> outs;
     outs.reserve(sp.outputs.size());
-    for (int oid : sp.outputs) outs.push_back(regs[oid]);
+    for (int oid : sp.outputs) outs.push_back(reg_get(sp, regs, oid));
     return outs;
   }
 
@@ -366,9 +381,12 @@ class Executor {
   }
 
   // ---- op dispatch
-  void exec_op(const Op& op, std::vector<Tensor>& regs) const {
+  void exec_op(const Op& op, const SubProgram& sp,
+               std::vector<Tensor>& regs) const {
     const std::string& p = op.prim;
-    auto in = [&](size_t k) -> const Tensor& { return regs[op.inputs[k]]; };
+    auto in = [&](size_t k) -> const Tensor& {
+      return reg_get(sp, regs, op.inputs[k]);
+    };
     auto set = [&](size_t k, Tensor&& t) { regs[op.outputs[k].id] = std::move(t); };
 
     // -- elementwise binaries (same-shape operands, per jaxpr contract)
@@ -410,38 +428,37 @@ class Executor {
       set(0, std::move(out));
     } else if (p == "clamp") {
       Tensor out = make_out(op.outputs[0]);
-      const Tensor &lo = in(0), &x = in(1), &hi = in(2);
-      const auto ost = strides_of(out.shape);
-      const BIdx il = bidx_for(lo, out.shape), ix = bidx_for(x, out.shape),
-                 ih = bidx_for(hi, out.shape);
+      const MatRef ml(in(0), out.shape), mx(in(1), out.shape),
+                   mh(in(2), out.shape);
+      const Tensor &lo = *ml, &x = *mx, &hi = *mh;
+      const int64_t sl = lo.numel() == 1 ? 0 : 1,
+                    sx = x.numel() == 1 ? 0 : 1,
+                    sh = hi.numel() == 1 ? 0 : 1;
       for (int64_t k = 0; k < out.numel(); ++k) {
-        if (out.isf()) {
-          const float l = lo.f[il(k, ost, out.shape)];
-          const float h = hi.f[ih(k, ost, out.shape)];
-          out.f[k] = std::min(std::max(x.f[ix(k, ost, out.shape)], l), h);
-        } else {
-          const int64_t l = lo.i[il(k, ost, out.shape)];
-          const int64_t h = hi.i[ih(k, ost, out.shape)];
-          out.i[k] = std::min(std::max(x.i[ix(k, ost, out.shape)], l), h);
-        }
+        if (out.isf())
+          out.f[k] = std::min(std::max(x.f[k * sx], lo.f[k * sl]),
+                              hi.f[k * sh]);
+        else
+          out.i[k] = std::min(std::max(x.i[k * sx], lo.i[k * sl]),
+                              hi.i[k * sh]);
       }
       set(0, std::move(out));
     } else if (p == "select_n") {
       Tensor out = make_out(op.outputs[0]);
-      const Tensor& pred = in(0);
       const int ncase = int(op.inputs.size()) - 1;
-      const auto ost = strides_of(out.shape);
-      const BIdx ip = bidx_for(pred, out.shape);
-      std::vector<BIdx> ics;
-      for (int c = 0; c < ncase; ++c)
-        ics.push_back(bidx_for(in(1 + size_t(c)), out.shape));
+      const MatRef mp(in(0), out.shape);
+      const Tensor& pred = *mp;
+      const int64_t sp_ = pred.numel() == 1 ? 0 : 1;
+      std::vector<MatRef> cases;
+      cases.reserve(ncase);
+      for (int c = 0; c < ncase; ++c) cases.emplace_back(in(1 + size_t(c)), out.shape);
       for (int64_t k = 0; k < out.numel(); ++k) {
-        const int64_t pk = ip(k, ost, out.shape);
+        const int64_t pk = k * sp_;
         int64_t c = pred.i.empty() ? int64_t(pred.f[pk]) : pred.i[pk];
         if (c < 0) c = 0;
         if (c >= ncase) c = ncase - 1;
-        const Tensor& src = in(1 + size_t(c));
-        const int64_t sk = ics[size_t(c)](k, ost, out.shape);
+        const Tensor& src = *cases[size_t(c)];
+        const int64_t sk = src.numel() == 1 ? 0 : k;
         if (out.isf()) out.f[k] = src.f[sk]; else out.i[k] = src.i[sk];
       }
       set(0, std::move(out));
@@ -475,7 +492,7 @@ class Executor {
     } else if (p == "tile") {
       set(0, tile(in(0), op.outputs[0]));
     } else if (p == "concatenate") {
-      set(0, concatenate(op, regs));
+      set(0, concatenate(op, sp, regs));
     } else if (p == "slice") {
       set(0, slice_op(in(0), op));
     } else if (p == "rev") {
@@ -483,9 +500,9 @@ class Executor {
     } else if (p == "pad") {
       set(0, pad(in(0), in(1), op));
     } else if (p == "dynamic_slice") {
-      set(0, dynamic_slice(op, regs));
+      set(0, dynamic_slice(op, sp, regs));
     } else if (p == "dynamic_update_slice") {
-      set(0, dynamic_update_slice(op, regs));
+      set(0, dynamic_update_slice(op, sp, regs));
     } else if (p == "reduce_sum" || p == "reduce_max" || p == "reduce_min" ||
                p == "reduce_prod" || p == "reduce_or" || p == "reduce_and") {
       set(0, reduce(p, in(0), op));
@@ -501,15 +518,115 @@ class Executor {
     } else if (p == "conv_general_dilated") {
       set(0, conv(in(0), in(1), op));
     } else if (p == "split") {
-      split(op, regs);
+      split(op, sp, regs);
     } else if (p == "scan") {
-      scan(op, regs);
+      scan(op, sp, regs);
     } else if (p == "stop_gradient" || p == "copy") {
       Tensor out = in(0);
       set(0, std::move(out));
     } else {
       throw std::runtime_error("jaxpr_interp: unsupported primitive '" + p + "'");
     }
+  }
+
+  // ---- odometer iteration: visit dst = 0..numel(oshape)-1 while the
+  // source index advances by istr[d] when output dim d increments — no
+  // per-element div/mod (the generic remap cost that otherwise dominates
+  // the elementwise/layout ops).
+  template <typename F>
+  static void for_each_remap(const std::vector<int64_t>& oshape,
+                             const std::vector<int64_t>& istr, int64_t base,
+                             F&& f) {
+    const size_t r = oshape.size();
+    int64_t n = 1;
+    for (int64_t d : oshape) n *= d;
+    if (n == 0) return;
+    if (r == 0) { f(int64_t(0), base); return; }
+    std::vector<int64_t> coord(r, 0);
+    int64_t src = base;
+    for (int64_t k = 0;;) {
+      f(k, src);
+      if (++k >= n) break;
+      size_t d = r;
+      while (d-- > 0) {
+        ++coord[d];
+        src += istr[d];
+        if (coord[d] < oshape[d]) break;
+        src -= oshape[d] * istr[d];
+        coord[d] = 0;
+      }
+    }
+  }
+
+  // Gather-copy `a` into a fresh direct-layout tensor of shape `oshape`,
+  // reading a at base + sum(coord[d] * istr[d]). Contiguous inner runs
+  // (trailing dims whose strides match a packed layout) become memcpys.
+  static Tensor gather_layout(const Tensor& a, DT dt,
+                              const std::vector<int64_t>& oshape,
+                              const std::vector<int64_t>& istr,
+                              int64_t base = 0) {
+    Tensor out;
+    out.dt = dt;
+    out.shape = oshape;
+    out.alloc();
+    size_t r = oshape.size();
+    int64_t run = 1;
+    while (r > 0 && istr[r - 1] == run) { run *= oshape[r - 1]; --r; }
+    const std::vector<int64_t> osub(oshape.begin(), oshape.begin() + r);
+    const std::vector<int64_t> isub(istr.begin(), istr.begin() + r);
+    if (out.isf()) {
+      const float* src = a.f.data();
+      float* dst = out.f.data();
+      for_each_remap(osub, isub, base, [&](int64_t k, int64_t s) {
+        std::memcpy(dst + k * run, src + s, size_t(run) * sizeof(float));
+      });
+    } else {
+      const int64_t* src = a.i.data();
+      int64_t* dst = out.i.data();
+      for_each_remap(osub, isub, base, [&](int64_t k, int64_t s) {
+        std::memcpy(dst + k * run, src + s, size_t(run) * sizeof(int64_t));
+      });
+    }
+    return out;
+  }
+
+  // Scatter-copy contiguous `a` into `out` at base + sum(coord * ostr).
+  static void scatter_layout(const Tensor& a, Tensor* out,
+                             const std::vector<int64_t>& ostr, int64_t base) {
+    size_t r = a.shape.size();
+    int64_t run = 1;
+    while (r > 0 && ostr[r - 1] == run) { run *= a.shape[r - 1]; --r; }
+    const std::vector<int64_t> ssub(a.shape.begin(), a.shape.begin() + r);
+    const std::vector<int64_t> osub(ostr.begin(), ostr.begin() + r);
+    if (out->isf()) {
+      const float* src = a.f.data();
+      float* dst = out->f.data();
+      for_each_remap(ssub, osub, base, [&](int64_t k, int64_t s) {
+        std::memcpy(dst + s, src + k * run, size_t(run) * sizeof(float));
+      });
+    } else {
+      const int64_t* src = a.i.data();
+      int64_t* dst = out->i.data();
+      for_each_remap(ssub, osub, base, [&](int64_t k, int64_t s) {
+        std::memcpy(dst + s, src + k * run, size_t(run) * sizeof(int64_t));
+      });
+    }
+  }
+
+  // Materialize an operand into the direct layout of `oshape` (NumPy
+  // right-aligned broadcast of rank-0 / size-1 dims).
+  static Tensor materialize(const Tensor& t,
+                            const std::vector<int64_t>& oshape) {
+    if (t.shape == oshape) {
+      Tensor out = t;
+      return out;
+    }
+    std::vector<int64_t> istr(oshape.size(), 0);
+    const auto ist = strides_of(t.shape);
+    const size_t off = oshape.size() - t.shape.size();
+    for (size_t d = 0; d < t.shape.size(); ++d)
+      if (t.shape[d] != 1) istr[off + d] = ist[d];
+    return gather_layout(t, t.dt, oshape, istr);
   }
 
   // Per-output-dim input strides for NumPy-style right-aligned
@@ -553,46 +670,57 @@ class Executor {
     return out;
   }
 
-  Tensor binop(int kind, const Tensor& a, const Tensor& b,
+  // Holds either a pointer to the original operand (already direct or
+  // scalar) or an owned materialized copy — avoids the accidental deep
+  // copy a mixed-category ternary would make.
+  struct MatRef {
+    Tensor tmp;
+    const Tensor* p;
+    MatRef(const Tensor& t, const std::vector<int64_t>& oshape) {
+      if (t.numel() == 1 || t.shape == oshape) {
+        p = &t;
+      } else {
+        tmp = materialize(t, oshape);
+        p = &tmp;
+      }
+    }
+    MatRef(MatRef&& o) noexcept
+        : tmp(std::move(o.tmp)), p(o.p == &o.tmp ? &tmp : o.p) {}
+    MatRef(const MatRef&) = delete;
+    MatRef& operator=(const MatRef&) = delete;
+    const Tensor& operator*() const { return *p; }
+  };
+
+  Tensor binop(int kind, const Tensor& a0, const Tensor& b0,
                const TensorDecl& od) const {
     Tensor out = make_out(od);
     const int64_t n = out.numel();
-    const BIdx ia = bidx_for(a, out.shape), ib = bidx_for(b, out.shape);
-    const auto ost = strides_of(out.shape);
+    // materialize broadcast operands once -> every kernel below is a tight
+    // vectorizable loop (scalar operands skip the copy)
+    const bool a_scalar = a0.numel() == 1, b_scalar = b0.numel() == 1;
+    const MatRef ma(a0, out.shape), mb(b0, out.shape);
+    const Tensor &a = *ma, &b = *mb;
     if (out.isf()) {
       const float *pa = a.f.data(), *pb = b.f.data();
+      const int64_t sa = a_scalar ? 0 : 1, sb = b_scalar ? 0 : 1;
       float* po = out.f.data();
-      if (ia.direct && ib.direct) {  // fast path, vectorizable
-        switch (kind) {
-          case 0: for (int64_t k = 0; k < n; ++k) po[k] = pa[k] + pb[k]; return out;
-          case 1: for (int64_t k = 0; k < n; ++k) po[k] = pa[k] - pb[k]; return out;
-          case 2: for (int64_t k = 0; k < n; ++k) po[k] = pa[k] * pb[k]; return out;
-          case 3: for (int64_t k = 0; k < n; ++k) po[k] = pa[k] / pb[k]; return out;
-          case 4: for (int64_t k = 0; k < n; ++k) po[k] = std::max(pa[k], pb[k]); return out;
-          case 5: for (int64_t k = 0; k < n; ++k) po[k] = std::min(pa[k], pb[k]); return out;
-        }
-      }
-      for (int64_t k = 0; k < n; ++k) {
-        const float x = pa[ia(k, ost, out.shape)], y = pb[ib(k, ost, out.shape)];
-        float r = 0;
-        switch (kind) {
-          case 0: r = x + y; break;
-          case 1: r = x - y; break;
-          case 2: r = x * y; break;
-          case 3: r = x / y; break;
-          case 4: r = std::max(x, y); break;
-          case 5: r = std::min(x, y); break;
-          case 6: r = std::pow(x, y); break;
-          case 7: r = std::fmod(x, y); break;
-          case 8: r = std::atan2(x, y); break;
-        }
-        po[k] = r;
+      switch (kind) {
+        case 0: for (int64_t k = 0; k < n; ++k) po[k] = pa[k * sa] + pb[k * sb]; break;
+        case 1: for (int64_t k = 0; k < n; ++k) po[k] = pa[k * sa] - pb[k * sb]; break;
+        case 2: for (int64_t k = 0; k < n; ++k) po[k] = pa[k * sa] * pb[k * sb]; break;
+        case 3: for (int64_t k = 0; k < n; ++k) po[k] = pa[k * sa] / pb[k * sb]; break;
+        case 4: for (int64_t k = 0; k < n; ++k) po[k] = std::max(pa[k * sa], pb[k * sb]); break;
+        case 5: for (int64_t k = 0; k < n; ++k) po[k] = std::min(pa[k * sa], pb[k * sb]); break;
+        case 6: for (int64_t k = 0; k < n; ++k) po[k] = std::pow(pa[k * sa], pb[k * sb]); break;
+        case 7: for (int64_t k = 0; k < n; ++k) po[k] = std::fmod(pa[k * sa], pb[k * sb]); break;
+        case 8: for (int64_t k = 0; k < n; ++k) po[k] = std::atan2(pa[k * sa], pb[k * sb]); break;
       }
     } else {
       const int64_t *pa = a.i.data(), *pb = b.i.data();
+      const int64_t sa = a_scalar ? 0 : 1, sb = b_scalar ? 0 : 1;
       int64_t* po = out.i.data();
       for (int64_t k = 0; k < n; ++k) {
-        const int64_t x = pa[ia(k, ost, out.shape)], y = pb[ib(k, ost, out.shape)];
+        const int64_t x = pa[k * sa], y = pb[k * sb];
         int64_t r = 0;
         switch (kind) {
           case 0: r = x + y; break;
@@ -611,15 +739,16 @@ class Executor {
     return out;
   }
 
-  Tensor cmpop(int kind, const Tensor& a, const Tensor& b,
+  Tensor cmpop(int kind, const Tensor& a0, const Tensor& b0,
                const TensorDecl& od) const {
     Tensor out = make_out(od);
     const int64_t n = out.numel();
-    const BIdx ia = bidx_for(a, out.shape), ib = bidx_for(b, out.shape);
-    const auto ost = strides_of(out.shape);
+    const bool a_scalar = a0.numel() == 1, b_scalar = b0.numel() == 1;
+    const MatRef ma(a0, out.shape), mb(b0, out.shape);
+    const Tensor &a = *ma, &b = *mb;
+    const int64_t sa = a_scalar ? 0 : 1, sb = b_scalar ? 0 : 1;
     for (int64_t k = 0; k < n; ++k) {
-      const double x = a.get(ia(k, ost, out.shape));
-      const double y = b.get(ib(k, ost, out.shape));
+      const double x = a.get(k * sa), y = b.get(k * sb);
       bool r = false;
       switch (kind) {
         case 0: r = x < y; break;
@@ -634,14 +763,15 @@ class Executor {
     return out;
   }
 
-  Tensor logicop(int kind, const Tensor& a, const Tensor& b,
+  Tensor logicop(int kind, const Tensor& a0, const Tensor& b0,
                  const TensorDecl& od) const {
     Tensor out = make_out(od);
-    const BIdx ia = bidx_for(a, out.shape), ib = bidx_for(b, out.shape);
-    const auto ost = strides_of(out.shape);
+    const bool a_scalar = a0.numel() == 1, b_scalar = b0.numel() == 1;
+    const MatRef ma(a0, out.shape), mb(b0, out.shape);
+    const Tensor &a = *ma, &b = *mb;
+    const int64_t sa = a_scalar ? 0 : 1, sb = b_scalar ? 0 : 1;
     for (int64_t k = 0; k < out.numel(); ++k) {
-      const int64_t x = a.i[ia(k, ost, out.shape)];
-      const int64_t y = b.i[ib(k, ost, out.shape)];
+      const int64_t x = a.i[k * sa], y = b.i[k * sb];
       out.i[k] = kind == 0 ? (x & y) : kind == 1 ? (x | y) : (x ^ y);
     }
     return out;
@@ -715,37 +845,19 @@ class Executor {
 
   Tensor broadcast_in_dim(const Tensor& a, const TensorDecl& od,
                           const std::vector<int64_t>& bdims) const {
-    Tensor out = make_out(od);
-    const auto ost = strides_of(out.shape);
     const auto ist = strides_of(a.shape);
-    const int64_t n = out.numel();
-    for (int64_t k = 0; k < n; ++k) {
-      int64_t src = 0;
-      for (size_t d = 0; d < bdims.size(); ++d) {
-        const int64_t od_ = bdims[d];
-        const int64_t coord = (k / ost[od_]) % out.shape[od_];
-        if (a.shape[d] != 1) src += coord * ist[d];
-      }
-      if (out.isf()) out.f[k] = a.f[src]; else out.i[k] = a.i[src];
-    }
-    return out;
+    std::vector<int64_t> istr(od.shape.size(), 0);
+    for (size_t d = 0; d < bdims.size(); ++d)
+      if (a.shape[d] != 1) istr[bdims[d]] = ist[d];
+    return gather_layout(a, od.dt, od.shape, istr);
   }
 
   Tensor transpose(const Tensor& a, const TensorDecl& od,
                    const std::vector<int64_t>& perm) const {
-    Tensor out = make_out(od);
-    const auto ost = strides_of(out.shape);
     const auto ist = strides_of(a.shape);
-    const int64_t n = out.numel();
-    for (int64_t k = 0; k < n; ++k) {
-      int64_t src = 0;
-      for (size_t d = 0; d < perm.size(); ++d) {
-        const int64_t coord = (k / ost[d]) % out.shape[d];
-        src += coord * ist[perm[d]];
-      }
-      if (out.isf()) out.f[k] = a.f[src]; else out.i[k] = a.i[src];
-    }
-    return out;
+    std::vector<int64_t> istr(perm.size());
+    for (size_t d = 0; d < perm.size(); ++d) istr[d] = ist[perm[d]];
+    return gather_layout(a, od.dt, od.shape, istr);
   }
 
   Tensor tile(const Tensor& a, const TensorDecl& od) const {
@@ -766,66 +878,50 @@ class Executor {
     return out;
   }
 
-  Tensor concatenate(const Op& op, std::vector<Tensor>& regs) const {
+  Tensor concatenate(const Op& op, const SubProgram& sp,
+                     std::vector<Tensor>& regs) const {
     Tensor out = make_out(op.outputs[0]);
     const int64_t dim = op.attrs.at("dimension").asi();
     const auto ost = strides_of(out.shape);
     int64_t dim_off = 0;
     for (int ii : op.inputs) {
-      const Tensor& a = regs[ii];
-      const auto ist = strides_of(a.shape);
-      const int64_t n = a.numel();
-      for (int64_t k = 0; k < n; ++k) {
-        int64_t dst = 0;
-        for (size_t d = 0; d < a.shape.size(); ++d) {
-          int64_t coord = (k / ist[d]) % a.shape[d];
-          if (int64_t(d) == dim) coord += dim_off;
-          dst += coord * ost[d];
-        }
-        if (out.isf()) out.f[dst] = a.f[k]; else out.i[dst] = a.i[k];
-      }
+      const Tensor& a = reg_get(sp, regs, ii);
+      scatter_layout(a, &out, ost, dim_off * ost[dim]);
       dim_off += a.shape[dim];
     }
     return out;
   }
 
   Tensor slice_op(const Tensor& a, const Op& op) const {
-    Tensor out = make_out(op.outputs[0]);
+    const auto& od = op.outputs[0];
     const auto start = op.attrs.at("start_indices").ints();
     std::vector<int64_t> strides(a.shape.size(), 1);
     const JV* sv = op.attrs.find("strides");
     if (sv && sv->t == JV::ARR) strides = sv->ints();
     const auto ist = strides_of(a.shape);
-    const auto ost = strides_of(out.shape);
-    const int64_t n = out.numel();
-    for (int64_t k = 0; k < n; ++k) {
-      int64_t src = 0;
-      for (size_t d = 0; d < out.shape.size(); ++d) {
-        const int64_t coord = (k / ost[d]) % out.shape[d];
-        src += (start[d] + coord * strides[d]) * ist[d];
-      }
-      if (out.isf()) out.f[k] = a.f[src]; else out.i[k] = a.i[src];
+    std::vector<int64_t> istr(a.shape.size());
+    int64_t base = 0;
+    for (size_t d = 0; d < a.shape.size(); ++d) {
+      istr[d] = strides[d] * ist[d];
+      base += start[d] * ist[d];
     }
-    return out;
+    return gather_layout(a, od.dt, od.shape, istr, base);
   }
 
   Tensor rev(const Tensor& a, const TensorDecl& od,
              const std::vector<int64_t>& dims) const {
-    Tensor out = make_out(od);
     const auto st = strides_of(a.shape);
-    const int64_t n = out.numel();
+    std::vector<int64_t> istr(st);
     std::vector<bool> isrev(a.shape.size(), false);
     for (int64_t d : dims) isrev[d] = true;
-    for (int64_t k = 0; k < n; ++k) {
-      int64_t src = 0;
-      for (size_t d = 0; d < a.shape.size(); ++d) {
-        int64_t coord = (k / st[d]) % a.shape[d];
-        if (isrev[d]) coord = a.shape[d] - 1 - coord;
-        src += coord * st[d];
+    int64_t base = 0;
+    for (size_t d = 0; d < a.shape.size(); ++d) {
+      if (isrev[d]) {
+        base += (a.shape[d] - 1) * st[d];
+        istr[d] = -st[d];
       }
-      if (out.isf()) out.f[k] = a.f[src]; else out.i[k] = a.i[src];
     }
-    return out;
+    return gather_layout(a, od.dt, od.shape, istr, base);
   }
 
   Tensor pad(const Tensor& a, const Tensor& pv, const Op& op) const {
@@ -857,13 +953,14 @@ class Executor {
     return out;
   }
 
-  Tensor dynamic_slice(const Op& op, std::vector<Tensor>& regs) const {
-    const Tensor& a = regs[op.inputs[0]];
+  Tensor dynamic_slice(const Op& op, const SubProgram& sp,
+                       std::vector<Tensor>& regs) const {
+    const Tensor& a = reg_get(sp, regs, op.inputs[0]);
     Tensor out = make_out(op.outputs[0]);
     const auto sizes = op.attrs.at("slice_sizes").ints();
     std::vector<int64_t> start(a.shape.size());
     for (size_t d = 0; d < start.size(); ++d) {
-      const Tensor& s = regs[op.inputs[1 + d]];
+      const Tensor& s = reg_get(sp, regs, op.inputs[1 + d]);
       int64_t v = s.isf() ? int64_t(s.f[0]) : s.i[0];
       v = std::max<int64_t>(0, std::min(v, a.shape[d] - sizes[d]));
       start[d] = v;
@@ -881,12 +978,13 @@ class Executor {
     return out;
   }
 
-  Tensor dynamic_update_slice(const Op& op, std::vector<Tensor>& regs) const {
-    Tensor out = regs[op.inputs[0]];
-    const Tensor& upd = regs[op.inputs[1]];
+  Tensor dynamic_update_slice(const Op& op, const SubProgram& sp,
+                              std::vector<Tensor>& regs) const {
+    Tensor out = reg_get(sp, regs, op.inputs[0]);
+    const Tensor& upd = reg_get(sp, regs, op.inputs[1]);
     std::vector<int64_t> start(out.shape.size());
     for (size_t d = 0; d < start.size(); ++d) {
-      const Tensor& s = regs[op.inputs[2 + d]];
+      const Tensor& s = reg_get(sp, regs, op.inputs[2 + d]);
       int64_t v = s.isf() ? int64_t(s.f[0]) : s.i[0];
       v = std::max<int64_t>(0, std::min(v, out.shape[d] - upd.shape[d]));
       start[d] = v;
@@ -921,34 +1019,37 @@ class Executor {
                    : is_prod ? 1 : is_and ? 1 : 0;
       }
     }
-    const auto ist = strides_of(a.shape);
     const auto ost = strides_of(out.shape);
-    const int64_t n = a.numel();
-    for (int64_t k = 0; k < n; ++k) {
-      int64_t dst = 0;
+    std::vector<int64_t> dstr(a.shape.size(), 0);
+    {
       size_t oo = 0;
-      for (size_t d = 0; d < a.shape.size(); ++d) {
-        if (isred[d]) continue;
-        const int64_t coord = (k / ist[d]) % a.shape[d];
-        dst += coord * ost[oo++];
-      }
-      if (out.isf()) {
-        const float v = a.f[k];
-        float& o = out.f[dst];
+      for (size_t d = 0; d < a.shape.size(); ++d)
+        if (!isred[d]) dstr[d] = ost[oo++];
+    }
+    if (out.isf()) {
+      const float* pa = a.f.data();
+      float* po = out.f.data();
+      for_each_remap(a.shape, dstr, 0, [&](int64_t k, int64_t dst) {
+        const float v = pa[k];
+        float& o = po[dst];
         if (is_max) o = std::max(o, v);
         else if (is_min) o = std::min(o, v);
         else if (is_prod) o *= v;
         else o += v;
-      } else {
-        const int64_t v = a.i[k];
-        int64_t& o = out.i[dst];
+      });
+    } else {
+      const int64_t* pa = a.i.data();
+      int64_t* po = out.i.data();
+      for_each_remap(a.shape, dstr, 0, [&](int64_t k, int64_t dst) {
+        const int64_t v = pa[k];
+        int64_t& o = po[dst];
         if (is_max) o = std::max(o, v);
         else if (is_min) o = std::min(o, v);
         else if (is_prod) o *= v;
         else if (is_or) o = o | (v ? 1 : 0);
         else if (is_and) o = o & (v ? 1 : 0);
         else o += v;
-      }
+      });
     }
     return out;
   }
@@ -1040,6 +1141,47 @@ class Executor {
     for (size_t d = 0; d < out_rank; ++d)
       if (!is_offset[d]) out_batch_dims.push_back(int64_t(d));
 
+    // fast path: table[ids] — index the leading axis, take full rows
+    // (the dominant gather in every scorer: embedding/feature/seq lookups)
+    {
+      bool row_gather = collapsed.size() == 1 && collapsed[0] == 0 &&
+                        start_map.size() == 1 && start_map[0] == 0 &&
+                        op_batch.empty() && slice_sizes[0] == 1;
+      for (size_t d = 1; row_gather && d < orank; ++d)
+        row_gather = slice_sizes[d] == a.shape[d];
+      // slice dims must land on the TRAILING output dims, in order
+      const size_t out_rank_fast = out.shape.size();
+      for (size_t d = 0; row_gather && d < offset_dims.size(); ++d)
+        row_gather = size_t(offset_dims[d]) ==
+                     out_rank_fast - offset_dims.size() + d;
+      if (row_gather) {
+        int64_t rowlen = 1;
+        for (size_t d = 1; d < orank; ++d) rowlen *= a.shape[d];
+        const int64_t nrows = sidx.numel();  // trailing index-vector dim = 1
+        const int64_t hi = a.shape[0] - 1;
+        if (out.isf()) {
+          const float* src = a.f.data();
+          float* dst = out.f.data();
+          for (int64_t r = 0; r < nrows; ++r) {
+            int64_t idx = sidx.i[r];
+            idx = idx < 0 ? 0 : (idx > hi ? hi : idx);
+            std::memcpy(dst + r * rowlen, src + idx * rowlen,
+                        size_t(rowlen) * sizeof(float));
+          }
+        } else {
+          const int64_t* src = a.i.data();
+          int64_t* dst = out.i.data();
+          for (int64_t r = 0; r < nrows; ++r) {
+            int64_t idx = sidx.i[r];
+            idx = idx < 0 ? 0 : (idx > hi ? hi : idx);
+            std::memcpy(dst + r * rowlen, src + idx * rowlen,
+                        size_t(rowlen) * sizeof(int64_t));
+          }
+        }
+        return out;
+      }
+    }
+
     const auto ast = strides_of(a.shape);
     const auto ost = strides_of(out.shape);
     const auto sst = strides_of(sidx.shape);
@@ -1118,16 +1260,21 @@ class Executor {
       perm.insert(perm.end(), rows.begin(), rows.end());
       perm.insert(perm.end(), cols.begin(), cols.end());
       const auto st = strides_of(t.shape);
-      std::vector<int64_t> pshape;
-      for (int64_t d : perm) pshape.push_back(t.shape[d]);
-      const auto pst = strides_of(pshape);
+      std::vector<int64_t> pshape, pstr;
+      for (int64_t d : perm) {
+        pshape.push_back(t.shape[d]);
+        pstr.push_back(st[d]);
+      }
       std::vector<float> out(t.numel());
-      const int64_t n = t.numel();
-      for (int64_t k = 0; k < n; ++k) {
-        int64_t src = 0;
-        for (size_t d = 0; d < perm.size(); ++d)
-          src += ((k / pst[d]) % pshape[d]) * st[perm[d]];
-        out[k] = t.isf() ? t.f[src] : float(t.i[src]);
+      if (t.isf()) {
+        const float* src = t.f.data();
+        for_each_remap(pshape, pstr, 0,
+                       [&](int64_t k, int64_t sidx) { out[k] = src[sidx]; });
+      } else {
+        const int64_t* src = t.i.data();
+        for_each_remap(pshape, pstr, 0, [&](int64_t k, int64_t sidx) {
+          out[k] = float(src[sidx]);
+        });
       }
       return out;
     };
@@ -1246,29 +1393,20 @@ class Executor {
     return out;
   }
 
-  void split(const Op& op, std::vector<Tensor>& regs) const {
-    const Tensor& a = regs[op.inputs[0]];
+  void split(const Op& op, const SubProgram& sp,
+             std::vector<Tensor>& regs) const {
+    const Tensor& a = reg_get(sp, regs, op.inputs[0]);
     const int64_t axis = op.attrs.at("axis").asi();
     const auto ist = strides_of(a.shape);
     int64_t off = 0;
     for (const auto& od : op.outputs) {
-      Tensor out = make_out(od);
-      const auto ost = strides_of(out.shape);
-      for (int64_t k = 0; k < out.numel(); ++k) {
-        int64_t src = 0;
-        for (size_t d = 0; d < out.shape.size(); ++d) {
-          int64_t coord = (k / ost[d]) % out.shape[d];
-          if (int64_t(d) == axis) coord += off;
-          src += coord * ist[d];
-        }
-        if (out.isf()) out.f[k] = a.f[src]; else out.i[k] = a.i[src];
-      }
+      regs[od.id] = gather_layout(a, od.dt, od.shape, ist, off * ist[axis]);
       off += od.shape[axis];
-      regs[od.id] = std::move(out);
     }
   }
 
-  void scan(const Op& op, std::vector<Tensor>& regs) const {
+  void scan(const Op& op, const SubProgram& sp,
+            std::vector<Tensor>& regs) const {
     const int64_t length = op.attrs.at("length").asi();
     const int64_t num_consts = op.attrs.at("num_consts").asi();
     const int64_t num_carry = op.attrs.at("num_carry").asi();
@@ -1277,9 +1415,9 @@ class Executor {
 
     std::vector<Tensor> consts, carry;
     for (int64_t k = 0; k < num_consts; ++k)
-      consts.push_back(regs[op.inputs[k]]);
+      consts.push_back(reg_get(sp, regs, op.inputs[k]));
     for (int64_t k = 0; k < num_carry; ++k)
-      carry.push_back(regs[op.inputs[num_consts + k]]);
+      carry.push_back(reg_get(sp, regs, op.inputs[num_consts + k]));
     const int64_t num_xs = int64_t(op.inputs.size()) - num_consts - num_carry;
     const int64_t num_ys = int64_t(op.outputs.size()) - num_carry;
 
@@ -1293,7 +1431,7 @@ class Executor {
       std::vector<Tensor> args = consts;
       for (auto& c : carry) args.push_back(c);
       for (int64_t x = 0; x < num_xs; ++x) {
-        const Tensor& xs = regs[op.inputs[num_consts + num_carry + x]];
+        const Tensor& xs = reg_get(sp, regs, op.inputs[num_consts + num_carry + x]);
         Tensor sl;
         sl.dt = xs.dt;
         sl.shape.assign(xs.shape.begin() + 1, xs.shape.end());

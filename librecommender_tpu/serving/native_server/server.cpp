@@ -5,11 +5,13 @@
 // (libserving/actix_serving/src/{main.rs:35, embed_deploy.rs, knn_deploy.rs,
 // tf_deploy.rs, online_deploy.rs}): loads the flat binary artifacts exported
 // by serving/serialization.py and answers POST /{knn,embed}/recommend
-// in-process; POST /{model,online}/recommend mirror the reference's
-// actix -> TF-Serving architecture — the native tier does id mapping,
-// candidate sizing (k = n_rec + |consumed|), consumed filtering and raw-id
-// mapping, delegating only the jitted forward to a backend scorer URL (the
-// Python model app), exactly as tf_deploy.rs delegates to TF Serving.
+// in-process; POST /{model,online}/recommend execute the model's exported
+// scoring program IN-PROCESS via the jaxpr interpreter (model_runtime.hpp)
+// — where the reference's actix tier pays a network hop to TF Serving's
+// C++ runtime (tf_deploy.rs), this server embeds the runtime, including
+// online request-time user_feats/seq feature assembly. When no program
+// artifacts are exported, those families fall back to delegating the
+// forward to a backend scorer URL (the Python model app).
 //
 // Design: per-thread epoll event loops (EPOLLEXCLUSIVE-shared listen
 // socket) with HTTP/1.1 keep-alive and pipelined request parsing;
@@ -45,6 +47,8 @@
 
 #include <chrono>
 
+#include "model_runtime.hpp"
+
 namespace {
 
 struct Matrix {
@@ -78,6 +82,10 @@ struct Artifacts {
   int64_t ivf_list_len = 0;
   int ivf_n_probe = 8;
   bool has_ivf = false;
+  // in-process model/online scoring runtime (jaxpr interpreter over the
+  // exported programs); when absent those families fall back to the
+  // Python-backend hop
+  jxi::ModelRuntime runtime;
 };
 
 template <typename T>
@@ -143,10 +151,11 @@ Artifacts load_artifacts(const std::string& dir) {
   a.n_items = std::stoi(json_str(meta, "n_items"));
   // id maps
   parse_str_int_map(read_text(dir + "/user2id.json"), &a.user2id);
+  std::vector<int64_t> id2item_ints;
   {
-    const auto items = read_bin<int64_t>(dir + "/id2item_ints.bin");
-    a.id2item.reserve(items.size());
-    for (const auto v : items) a.id2item.push_back(std::to_string(v));
+    id2item_ints = read_bin<int64_t>(dir + "/id2item_ints.bin");
+    a.id2item.reserve(id2item_ints.size());
+    for (const auto v : id2item_ints) a.id2item.push_back(std::to_string(v));
   }
   // consumed CSR
   {
@@ -186,6 +195,12 @@ Artifacts load_artifacts(const std::string& dir) {
       if (!np.empty()) a.ivf_n_probe = std::atoi(np.c_str());
       a.has_ivf = a.has_embed && !a.ivf_lists.empty();
     }
+  }
+  // native model/online scoring programs (optional)
+  try {
+    a.runtime.load(dir, id2item_ints);
+  } catch (const std::exception& e) {
+    std::cerr << "model runtime load failed: " << e.what() << std::endl;
   }
   // knn artifacts
   {
@@ -522,6 +537,39 @@ std::pair<int, std::string> dispatch_checked(const std::string& req,
     const auto it = a.user2id.find(user);
     const int32_t uid = it == a.user2id.end() ? -1 : it->second;
     return {200, recommend_knn(a, uid, n_rec)};
+  } else if ((req.rfind("POST /model/recommend", 0) == 0 ||
+              req.rfind("POST /online/recommend", 0) == 0) &&
+             a.runtime.loaded) {
+    // in-process scoring: no Python, no backend hop
+    const bool online = req.rfind("POST /online/recommend", 0) == 0;
+    const auto user = json_str(body, "user");
+    const int n_rec = parse_int_field(body, "n_rec", 10, 1, a.n_items);
+    const auto it = a.user2id.find(user);
+    const int64_t uid =
+        it == a.user2id.end() ? a.runtime.n_users : it->second;
+    std::vector<float> scores;
+    if (online) {
+      const auto feats_raw = json_raw_value(body, "user_feats");
+      const auto seq_raw = json_raw_value(body, "seq");
+      const auto seq = parse_int_array(seq_raw);
+      std::unique_ptr<jxi::JV> feats;
+      if (!feats_raw.empty() && feats_raw[0] == '{')
+        feats = std::make_unique<jxi::JV>(
+            jxi::JsonParser(feats_raw).parse());
+      scores = a.runtime.scores_online(uid, feats.get(), seq);
+    } else {
+      scores = a.runtime.scores_static(uid);
+    }
+    const auto& consumed =
+        (uid >= 0 && uid < (int64_t)a.consumed.size())
+            ? a.consumed[uid] : std::vector<int32_t>{};
+    const auto ids = topk_filtered(scores, consumed, n_rec);
+    std::string out = "{\"rec_list\": [";
+    for (size_t i = 0; i < ids.size(); ++i) {
+      if (i) out += ", ";
+      out += a.id2item[ids[i]];
+    }
+    return {200, out + "]}"};
   } else if ((req.rfind("POST /model/recommend", 0) == 0 ||
               req.rfind("POST /online/recommend", 0) == 0) &&
              be.configured()) {

@@ -172,11 +172,62 @@ def main():
             proc.kill()
             proc.wait()
 
+    # ----- model/online families (DIN, in-process native program) -----
+    from librecommender_tpu.data import DatasetFeat
+    from librecommender_tpu.models import DIN
+
+    feat_df = pd.read_csv(Path(args.data) / "train.csv")
+    feat_train, feat_info = DatasetFeat.build_trainset(
+        feat_df[["user", "item", "label", "sex", "age", "genre"]],
+        user_col=["sex", "age"], item_col=["genre"],
+        sparse_col=["sex", "genre"], dense_col=["age"],
+    )
+    din = DIN("ranking", feat_info, embed_size=16, n_epochs=1,
+              batch_size=8192, recent_num=10, hidden_units=(64, 32))
+    din.fit(feat_train, neg_sampling=True, verbose=0)
+    feat_users = list(feat_info.user2id.keys())
+    rng = np.random.default_rng(1)
+    model_payloads = [
+        {"user": int(u), "n_rec": 10}
+        for u in rng.choice(feat_users, 256)
+    ]
+    items_pool = list(feat_info.item2id.keys())
+    online_payloads = [
+        {"user": int(u), "n_rec": 10,
+         "seq": [int(i) for i in rng.choice(items_pool, 5)],
+         "user_feats": {"sex": "f", "age": 0.3}}
+        for u in rng.choice(feat_users, 256)
+    ]
+    with tempfile.TemporaryDirectory() as td:
+        art = export_native(Path(td) / "model", din)
+        proc, port = start_native_server(art, n_threads=args.threads)
+        try:
+            _post(port, "/model/recommend", model_payloads[0])  # warmup
+            results["native_model"] = hammer(
+                port, "/model/recommend", model_payloads,
+                args.threads, args.requests,
+            )
+            _post(port, "/online/recommend", online_payloads[0])
+            results["native_online"] = hammer(
+                port, "/online/recommend", online_payloads,
+                args.threads, args.requests,
+            )
+            results["native_model_cpp_client"] = native_hammer(
+                port, "/model/recommend"
+            )
+        finally:
+            proc.kill()
+            proc.wait()
+
     # ----- python aiohttp tier (same models) -----
     try:
         from aiohttp import web
 
-        for name, model, kind in (("py_knn", cf, "knn"), ("py_embed", bpr, "embed")):
+        for name, model, kind, kind_payloads in (
+                ("py_knn", cf, "knn", payloads),
+                ("py_embed", bpr, "embed", payloads),
+                ("py_online", din, "online", online_payloads)):
+            payloads = kind_payloads
             with tempfile.TemporaryDirectory() as td:
                 serialize = getattr(serialization, f"save_{kind}")
                 serialize(td, model)

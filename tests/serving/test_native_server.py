@@ -68,55 +68,19 @@ def test_native_knn_server(pure_builds, pure_frames, tmp_path):
 
 
 def test_native_model_online_endpoints(pure_builds, pure_frames, tmp_path):
-    """Native /model/recommend and /online/recommend delegate scoring to the
-    Python backend (the TF-Serving-analog hop, reference actix
-    tf_deploy.rs / online_deploy.rs) and match direct model calls."""
-    import asyncio
-    import threading
-
+    """Native /model/recommend and /online/recommend execute the exported
+    scoring program IN-PROCESS (jaxpr_interp) — the Python backend is NOT
+    running — and match direct model calls (dyn-embed family: GRU user
+    tower via the native scan)."""
     from librecommender_tpu.models import RNN4Rec
-    from librecommender_tpu.serving.app import create_app
-    from librecommender_tpu.serving.serialization import save_online
-    from librecommender_tpu.serving.store import DictStore, online2store
 
     train_data, *_, data_info = pure_builds
     model = RNN4Rec("ranking", data_info, embed_size=8, n_epochs=1,
                     batch_size=256)
     model.fit(train_data, neg_sampling=True, verbose=0)
-    path = save_online(tmp_path / "online_art", model)
-    store = DictStore()
-    online2store(path, store)
-
-    # run the backend scorer app on a real port in a thread
-    loop = asyncio.new_event_loop()
-    started = threading.Event()
-    backend_port = {}
-
-    def backend_thread():
-        asyncio.set_event_loop(loop)
-
-        async def go():
-            from aiohttp.test_utils import TestServer
-
-            server = TestServer(create_app("online", store))
-            await server.start_server()
-            backend_port["port"] = server.port
-            started.set()
-            await asyncio.Event().wait()  # serve until loop stops
-
-        try:
-            loop.run_until_complete(go())
-        except RuntimeError:
-            pass
-
-    t = threading.Thread(target=backend_thread, daemon=True)
-    t.start()
-    assert started.wait(timeout=30)
 
     artifact_dir = export_native(tmp_path / "native_online", model)
-    proc, port = start_native_server(
-        artifact_dir, backend=("127.0.0.1", backend_port["port"])
-    )
+    proc, port = start_native_server(artifact_dir)  # no backend configured
     try:
         frame = pure_frames[0]
         user = frame.user.iloc[0]
@@ -138,10 +102,58 @@ def test_native_model_online_endpoints(pure_builds, pure_frames, tmp_path):
             int(data_info.id2item[i]) for i in data_info.user_consumed[uid]
         }
         assert not (set(map(int, out["rec_list"])) & consumed_raw)
+
+        # cold user with a request seq still serves
+        cold = _post(port, "/online/recommend",
+                     {"user": -4242, "n_rec": 5, "seq": seq})
+        assert len(cold["rec_list"]) == 5
     finally:
         proc.kill()
         proc.wait()
-        loop.call_soon_threadsafe(loop.stop)
+
+
+def test_native_feat_model_online(feat_builds, feat_frames, tmp_path):
+    """Feat/seq family (DIN) model + online endpoints natively: request-time
+    user_feats and seq overrides assembled in C++ match
+    model.recommend_user with the same overrides. No Python backend."""
+    from librecommender_tpu.models import DIN
+
+    train_data, *_, data_info = feat_builds
+    model = DIN("ranking", data_info, embed_size=8, n_epochs=1,
+                batch_size=256, recent_num=5)
+    model.fit(train_data, neg_sampling=True, verbose=0)
+
+    artifact_dir = export_native(tmp_path / "native_din", model)
+    proc, port = start_native_server(artifact_dir)
+    try:
+        frame = feat_frames[0]
+        user = frame.user.iloc[0]
+        # model family: static full-catalog scoring
+        out = _post(port, "/model/recommend", {"user": int(user), "n_rec": 5})
+        recs = model.recommend_user(user=user, n_rec=5)[user]
+        assert list(map(int, out["rec_list"])) == list(map(int, recs))
+
+        # online family: dynamic seq + user_feats
+        seq = [int(i) for i in frame.item.iloc[:4]]
+        feats = {"sex": str(frame.sex.iloc[1]), "age": 0.25}
+        out_dyn = _post(
+            port, "/online/recommend",
+            {"user": int(user), "n_rec": 5, "seq": seq, "user_feats": feats},
+        )
+        recs_dyn = model.recommend_user(
+            user=user, n_rec=5, seq=seq, user_feats=feats
+        )[user]
+        assert list(map(int, out_dyn["rec_list"])) == list(map(int, recs_dyn))
+
+        # online with feats only (stored history used)
+        out_f = _post(port, "/online/recommend",
+                      {"user": int(user), "n_rec": 5, "user_feats": feats})
+        recs_f = model.recommend_user(user=user, n_rec=5,
+                                      user_feats=feats)[user]
+        assert list(map(int, out_f["rec_list"])) == list(map(int, recs_f))
+    finally:
+        proc.kill()
+        proc.wait()
 
 
 def test_native_benchmark_client(pure_builds, tmp_path):
