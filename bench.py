@@ -1,5 +1,5 @@
-"""Benchmark: REAL training-loop throughput of three model families through
-the framework's fit path (device-resident epoch scan), with a FLOPs/roofline
+"""Benchmark: REAL training-loop throughput of seven model families through
+the framework's fit path (device-resident epoch scan), with a roofline
 account per model, vs a CPU run of the same program.
 
 Prints ONE JSON line:
@@ -7,26 +7,35 @@ Prints ONE JSON line:
      "extra": {...}}
 
 Headline metric stays ``bpr_fit_throughput`` (continuity with round 1);
-``extra`` carries the compute-bound models (DIN, LightGCN) with
-examples/s, FLOPs/example (XLA cost analysis of the jitted train step),
-achieved TFLOP/s and %MFU against the chip's bf16 peak, plus achieved
-HBM bandwidth. Methodology caveats: FLOPs from cost analysis are close
-to exact; "bytes accessed" is XLA's PRE-FUSION static estimate, so
-achieved_gbs/hbm_pct are upper bounds on real traffic, not profiled
-numbers. Per op-level profiling (docs/tpu_performance.md), the steps
-are bound by the per-index-row gather/scatter floor (~7ns/row), not by
-FLOPs or HBM bandwidth — %MFU is reported for the record, not as the
-limiting lens. Details land in BENCH_DETAILS.json.
+``extra`` carries bpr/din/lightgcn/two_tower/youtube_retrieval/
+transformer/sim with examples/s, FLOPs/example (XLA cost analysis — near
+exact), achieved TFLOP/s and %MFU against the chip's bf16 peak, achieved
+HBM bandwidth, and the model's measured bound.
+
+Methodology (round-3 upgrade over the pre-fusion estimates):
+- ``achieved_gbs``/``hbm_pct``: MEASURED — the xplane trace of one real
+  fit epoch carries per-op post-fusion ``bytes_accessed``; summing over
+  leaf device ops gives the epoch's true HBM traffic, scaled by steady
+  examples/s. hbm_pct <= 100 by construction.
+- ``bound``/``time_breakdown_pct``: the same trace's device time
+  aggregated by hardware unit via op provenance (gather/scatter/sort vs
+  MXU matmul vs copies vs vector) — names the limiting unit directly
+  instead of inferring it from a static roofline.
 
 ``vs_baseline`` divides accelerator throughput by a CPU-backend run
 (stand-in for the reference's single-process CPU training — the reference
 publishes no numbers, BASELINE.md). The CPU measurement is cached in
 .bench_cpu_cache.json; delete the file to re-measure.
 """
+import collections
+import glob
+import gzip
 import json
 import os
+import re
 import subprocess
 import sys
+import tempfile
 import time
 from pathlib import Path
 
@@ -42,6 +51,11 @@ WARMUP_EPOCHS, TIMED_EPOCHS = 1, 3
 # through the MXU's bf16 path on v5e
 PEAK_TFLOPS = {"TPU v5 lite": 197.0, "TPU v5e": 197.0, "TPU v4": 275.0}
 PEAK_HBM_GBS = {"TPU v5 lite": 819.0, "TPU v5e": 819.0, "TPU v4": 1228.0}
+
+# models measured; first entries are the long-standing headline trio
+MODELS = ("bpr", "din", "lightgcn", "two_tower", "youtube_retrieval",
+          "transformer", "sim")
+LISTWISE = {"two_tower", "youtube_retrieval"}  # in-batch/sampled negatives
 
 
 def _pure_frame(n_rows):
@@ -70,8 +84,8 @@ def _feat_frame(n_rows):
     return frame
 
 
-def _step_cost(model, train_data):
-    """FLOPs + bytes of one jitted grad step via XLA cost analysis."""
+def _step_cost(model, train_data, listwise):
+    """FLOPs of one jitted grad step (XLA cost analysis — near exact)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -82,73 +96,162 @@ def _step_cost(model, train_data):
         "item": jnp.zeros((n,), jnp.int32),
         "label": jnp.ones((n,), jnp.float32),
         "weight": jnp.ones((n,), jnp.float32),
-        "item_neg": jnp.zeros((n, 1), jnp.int32),
     }
+    if not listwise:
+        batch["item_neg"] = jnp.zeros((n, 1), jnp.int32)
     extras = getattr(model, "batch_extras", lambda td: None)(train_data)
     if extras:
         for k, v in extras.items():
             batch[k] = jnp.asarray(np.asarray(v[:n]))
     step = jax.jit(lambda p, b: jax.grad(model.loss_fn)(p, b, jax.random.PRNGKey(0)))
     try:
-        cost = step.lower(model.params, batch).compile().cost_analysis()
+        compiled = step.lower(model.params, batch).compile()
+        cost = compiled.cost_analysis()
         if isinstance(cost, list):
             cost = cost[0]
-        return float(cost.get("flops", 0.0)), float(
-            cost.get("bytes accessed", 0.0)
-        )
+        return float(cost.get("flops", 0.0))
     except Exception:
-        return 0.0, 0.0
+        return 0.0
 
 
-def _fit_throughput(model, train_data, timed_epochs=TIMED_EPOCHS):
-    model.fit(train_data, neg_sampling=True, verbose=0)
-    steady = model.trainer.epoch_times[WARMUP_EPOCHS:]
+_CONTAINER_CATS = {"while", "conditional", "call"}
+
+
+def _bucket(category, tf_op):
+    """Map a leaf device op to the hardware unit it exercises."""
+    t = (tf_op or "").lower()
+    if ("scatter" in t or "gather" in t or "sort" in t
+            or category in ("dynamic-slice", "dynamic-update-slice", "sort")):
+        return "gather_scatter_sort"
+    if "dot" in t or "conv" in t or "einsum" in t or "matmul" in t \
+            or category == "convolution":
+        return "matmul"
+    if category in ("data formatting", "copy", "copy-done", "copy-start"):
+        return "copy_format"
+    return "vector_elementwise"
+
+
+def _trace_stats(profile_dir):
+    """MEASURED stats from the xplane trace of one real fit epoch:
+    per-op ``bytes_accessed`` summed over leaf device ops (post-fusion,
+    hardware-counted) plus a time breakdown by hardware unit — the
+    model's measured bound."""
+    try:
+        files = sorted(glob.glob(
+            f"{profile_dir}/plugins/profile/*/*.trace.json.gz"
+        ))
+        if not files:
+            return None
+        ev = json.load(gzip.open(files[-1]))["traceEvents"]
+        buckets = collections.Counter()
+        total_bytes = 0
+        for e in ev:
+            a = e.get("args", {})
+            cat = (a.get("hlo_category") or "").strip()
+            if e.get("ph") != "X" or not cat or cat in _CONTAINER_CATS:
+                continue
+            buckets[_bucket(cat, a.get("tf_op", ""))] += e["dur"]
+            total_bytes += int(a.get("raw_bytes_accessed",
+                                     a.get("bytes_accessed", 0)) or 0)
+        total = sum(buckets.values())
+        if not total:
+            return None
+        top = buckets.most_common(4)
+        return {
+            "epoch_bytes": total_bytes,
+            "time_breakdown_pct": {
+                k: round(100.0 * v / total, 1) for k, v in top
+            },
+            "bound": top[0][0],
+        }
+    except Exception:
+        return None
+
+
+def _fit_throughput(model, train_data, neg_sampling, profile_dir):
+    model.fit(train_data, neg_sampling=neg_sampling, verbose=0,
+              profile_dir=profile_dir)
+    times = model.trainer.epoch_times
+    # epoch 1 compiles; epoch 2 carries the profiler overhead when traced
+    steady = times[2:] if profile_dir and len(times) > 2 else times[1:]
     return len(train_data) / (sum(steady) / len(steady))
 
 
 def _build(name, n_rows):
     from librecommender_tpu.data import DatasetFeat, DatasetPure
-    from librecommender_tpu.models import BPR, DIN, LightGCN
+    from librecommender_tpu.models import (
+        BPR, DIN, SIM, LightGCN, Transformer, TwoTower, YouTubeRetrieval,
+    )
 
     epochs = WARMUP_EPOCHS + TIMED_EPOCHS
-    if name == "bpr":
+    seq_kw = dict(recent_num=10)
+    if name in ("bpr", "lightgcn"):
         train_data, data_info = DatasetPure.build_trainset(_pure_frame(n_rows))
-        model = BPR("ranking", data_info, embed_size=EMBED_SIZE,
-                    n_epochs=epochs, lr=0.01, batch_size=BATCH_SIZE)
-    elif name == "din":
-        train_data, data_info = DatasetFeat.build_trainset(
-            _feat_frame(n_rows), user_col=["sex", "age"], item_col=["genre"],
-            sparse_col=["sex", "genre"], dense_col=["age"],
-        )
-        # batch_size counts negatives too (reference adjust_batch_size
-        # semantics): 2*BATCH_SIZE keeps the measured geometry at
-        # BATCH_SIZE positives + BATCH_SIZE negatives per step
+        if name == "bpr":
+            model = BPR("ranking", data_info, embed_size=EMBED_SIZE,
+                        n_epochs=epochs, lr=0.01, batch_size=BATCH_SIZE)
+        else:
+            model = LightGCN("ranking", data_info, embed_size=EMBED_SIZE,
+                             n_epochs=epochs, lr=0.001,
+                             batch_size=BATCH_SIZE, n_layers=3)
+        return model, train_data
+    train_data, data_info = DatasetFeat.build_trainset(
+        _feat_frame(n_rows), user_col=["sex", "age"], item_col=["genre"],
+        sparse_col=["sex", "genre"], dense_col=["age"],
+    )
+    # batch_size counts negatives too for pointwise models (reference
+    # adjust_batch_size semantics): 2*BATCH_SIZE keeps the measured
+    # geometry at BATCH_SIZE positives + BATCH_SIZE negatives per step
+    if name == "din":
         model = DIN("ranking", data_info, embed_size=EMBED_SIZE,
                     n_epochs=epochs, lr=0.001, batch_size=2 * BATCH_SIZE,
-                    recent_num=10, hidden_units=(128, 64, 32))
-    elif name == "lightgcn":
-        train_data, data_info = DatasetPure.build_trainset(_pure_frame(n_rows))
-        model = LightGCN("ranking", data_info, embed_size=EMBED_SIZE,
+                    hidden_units=(128, 64, 32), **seq_kw)
+    elif name == "transformer":
+        model = Transformer("ranking", data_info, embed_size=EMBED_SIZE,
+                            n_epochs=epochs, lr=0.001,
+                            batch_size=2 * BATCH_SIZE,
+                            hidden_units=(128, 64, 32), **seq_kw)
+    elif name == "sim":
+        model = SIM("ranking", data_info, embed_size=EMBED_SIZE,
+                    n_epochs=epochs, lr=0.001, batch_size=2 * BATCH_SIZE,
+                    hidden_units=(128, 64, 32), long_max_len=50,
+                    search_topk=10, **seq_kw)
+    elif name == "two_tower":
+        model = TwoTower("ranking", data_info, embed_size=EMBED_SIZE,
                          n_epochs=epochs, lr=0.001, batch_size=BATCH_SIZE,
-                         n_layers=3)
+                         loss_type="softmax", hidden_units=(128, 64, 32))
+    elif name == "youtube_retrieval":
+        model = YouTubeRetrieval("ranking", data_info, embed_size=EMBED_SIZE,
+                                 n_epochs=epochs, lr=0.001,
+                                 batch_size=BATCH_SIZE,
+                                 loss_type="sampled_softmax",
+                                 hidden_units=(128, 64, 32))
     else:
         raise ValueError(name)
     return model, train_data
 
 
-def measure(name, n_rows=N_ROWS, timed_epochs=TIMED_EPOCHS, with_cost=True):
+def measure(name, n_rows=N_ROWS, with_cost=True, with_profile=True):
     import jax
 
     model, train_data = _build(name, n_rows)
+    listwise = name in LISTWISE
     if with_cost:
         model.build_model()
-        flops_step, bytes_step = _step_cost(model, train_data)
+        flops_step = _step_cost(model, train_data, listwise)
     else:
-        flops_step = bytes_step = 0.0
-    eps = _fit_throughput(model, train_data, timed_epochs)
+        flops_step = 0.0
+    profile_dir = tempfile.mkdtemp(prefix=f"bench_{name}_") \
+        if with_profile else None
+    eps = _fit_throughput(model, train_data, not listwise, profile_dir)
     out = {"examples_per_s": round(eps, 1)}
+    # per-step examples: pointwise feat models interleave B/2 positives +
+    # B/2 negatives in a batch of model.batch_size; the throughput count
+    # is positives (len(train_data) rows/epoch), so scale step costs by
+    # positives per step
+    pos_per_step = BATCH_SIZE
     if flops_step:
-        flops_ex = flops_step / BATCH_SIZE
+        flops_ex = flops_step / pos_per_step
         achieved = eps * flops_ex
         out["flops_per_example"] = round(flops_ex, 1)
         out["achieved_tflops"] = round(achieved / 1e12, 3)
@@ -158,13 +261,23 @@ def measure(name, n_rows=N_ROWS, timed_epochs=TIMED_EPOCHS, with_cost=True):
         )
         if peak:
             out["mfu_pct"] = round(100.0 * achieved / 1e12 / peak, 2)
-        gbs = eps * (bytes_step / BATCH_SIZE) / 1e9
-        out["achieved_gbs"] = round(gbs, 1)
-        peak_bw = next(
-            (v for k, v in PEAK_HBM_GBS.items() if kind.startswith(k)), None
-        )
-        if peak_bw:
-            out["hbm_pct"] = round(100.0 * gbs / peak_bw, 2)
+    if profile_dir:
+        stats = _trace_stats(profile_dir)
+        if stats:
+            # measured bandwidth: the traced epoch's hardware-counted HBM
+            # bytes per example, times steady-state examples/s
+            bytes_ex = stats.pop("epoch_bytes") / len(train_data)
+            gbs = eps * bytes_ex / 1e9
+            out["measured_bytes_per_example"] = round(bytes_ex, 1)
+            out["achieved_gbs"] = round(gbs, 1)
+            kind = jax.devices()[0].device_kind
+            peak_bw = next(
+                (v for k, v in PEAK_HBM_GBS.items() if kind.startswith(k)),
+                None,
+            )
+            if peak_bw:
+                out["hbm_pct"] = round(100.0 * gbs / peak_bw, 2)
+            out.update(stats)
     return out
 
 
@@ -230,13 +343,13 @@ def main():
         import jax
 
         jax.config.update("jax_platforms", "cpu")
-        print(measure("bpr", n_rows=N_ROWS // 4, timed_epochs=1,
-                      with_cost=False)["examples_per_s"])
+        print(measure("bpr", n_rows=N_ROWS // 4, with_cost=False,
+                      with_profile=False)["examples_per_s"])
         return
     details = Path(__file__).parent / "BENCH_DETAILS.json"
     extra = {}
     _watchdogs(extra)
-    for name in ("bpr", "din", "lightgcn"):
+    for name in MODELS:
         try:
             extra[name] = measure(name)
         except Exception as exc:  # keep the headline alive on any failure
