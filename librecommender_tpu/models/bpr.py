@@ -35,6 +35,7 @@ class BPR(EmbedBase):
         optimizer="adam",
         num_threads=1,  # accepted for API familiarity (Cython-path knob); ignored
         sparse_optimizer=None,
+        mxu_gather="auto",
         seed=42,
         lower_upper_bound=None,  # accepted for API familiarity (ranking-only)
     ):
@@ -75,6 +76,11 @@ class BPR(EmbedBase):
             sparse_optimizer = optimizer == "adam"
         self.sparse_optimizer = sparse_optimizer
         self.sparse_tables = ("user_embed", "item_embed")
+        # route table lookups through the MXU one-hot kernels
+        # (ops/mxu_gather.py): forward gather AND backward scatter-add
+        # become matmuls. "auto" = on-TPU + small vocab (measured
+        # crossover ~2k rows); True/False force it.
+        self.mxu_gather = mxu_gather
 
     def _custom_optimizer(self):
         if self.optimizer == "adam":
@@ -115,12 +121,18 @@ class BPR(EmbedBase):
         }
 
     def loss_fn(self, params, batch, rng):
+        from ..ops.mxu_gather import auto_enable, table_lookup
+
         users, items_pos, weight = batch["user"], batch["item"], batch["weight"]
         items_neg = batch["item_neg"]                            # (B, S)
         D = self.embed_size
-        ue = params["user_embed"][users]                         # (B, D)
-        pe = params["item_embed"][items_pos]                     # (B, D+1)
-        ne = params["item_embed"][items_neg]                     # (B, S, D+1)
+        use_mxu = not getattr(self, "_under_mesh", False) and auto_enable(
+            (params["user_embed"].shape[0], params["item_embed"].shape[0]),
+            self.mxu_gather,
+        )
+        ue = table_lookup(params["user_embed"], users, use_mxu)  # (B, D)
+        pe = table_lookup(params["item_embed"], items_pos, use_mxu)
+        ne = table_lookup(params["item_embed"], items_neg, use_mxu)
         if self.norm_embed:
             def _norm(x):
                 return x / jnp.maximum(

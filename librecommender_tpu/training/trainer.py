@@ -76,6 +76,9 @@ class Trainer:
 
         self.model = model
         self.mesh = mesh
+        # pallas table-lookup kernels (ops/mxu_gather.py) don't carry GSPMD
+        # sharding rules; models consult this to fall back under a mesh
+        model._under_mesh = mesh is not None
         self.n_epochs = n_epochs
         self.lr = lr
         self.lr_decay = lr_decay
@@ -143,6 +146,24 @@ class Trainer:
         # rate; fall back to 1e-3 (now actually reachable — the raw lr is
         # passed through to the Trainer since round 2)
         sparse_lr = self.lr if not isinstance(self.lr, dict) else 1e-3
+        # LazyAdam flavor: small tables take the dense masked pass (no
+        # gathers/scatters — profiled ~60% of the BPR step was the row
+        # machinery); huge vocabularies keep the row path. "auto"/"rows"/
+        # "dense" via model.sparse_update_mode.
+        dense_tables = False
+        if sparse_tables:
+            from .sparse_optim import DENSE_UPDATE_MAX_ROWS
+
+            mode = getattr(self.model, "sparse_update_mode", "auto")
+            if mode == "dense":
+                dense_tables = True
+            elif mode == "auto":
+                # composes with the mesh: the masked pass is elementwise
+                # over row-sharded tables (no cross-shard traffic at all)
+                dense_tables = all(
+                    self.model.params[k].shape[0] <= DENSE_UPDATE_MAX_ROWS
+                    for k in sparse_tables
+                )
 
         layout = self._epoch_layout
 
@@ -191,17 +212,26 @@ class Trainer:
                     batch["item_neg"] = host_negs[rows]
                 loss, grads = jax.value_and_grad(loss_fn)(params, batch, rng)
                 if sparse_tables:
-                    from .sparse_optim import lazy_adam_update
+                    from .sparse_optim import (
+                        dense_masked_adam_update,
+                        lazy_adam_update,
+                    )
 
                     opt_rest, table_state = opt_state
-                    touched = {
-                        k: v for k, v in touched_fn(batch).items()
-                        if k in sparse_tables
-                    }
-                    table_params, table_state = lazy_adam_update(
-                        params, grads, table_state, touched, sparse_lr,
-                        eps=self.epsilon,
-                    )
+                    if dense_tables:
+                        table_params, table_state = dense_masked_adam_update(
+                            params, grads, table_state, sparse_tables,
+                            sparse_lr, eps=self.epsilon,
+                        )
+                    else:
+                        touched = {
+                            k: v for k, v in touched_fn(batch).items()
+                            if k in sparse_tables
+                        }
+                        table_params, table_state = lazy_adam_update(
+                            params, grads, table_state, touched, sparse_lr,
+                            eps=self.epsilon,
+                        )
                     rest_params = {
                         k: v for k, v in params.items() if k not in sparse_tables
                     }
