@@ -130,20 +130,34 @@ class EmbedBase(Base):
         return self.finalize_rec(result, raw_users, inner_id)
 
     # ------------------------------------------------------------------ ANN
-    def init_ann(self, n_clusters=None, n_probe=8, iters=20):
-        """Build an approximate (IVF) index over the item embeddings
+    def init_ann(self, index="ivf", n_clusters=None, n_probe=8, iters=20,
+                 M=16, ef_construction=200, ef_search=200):
+        """Build an approximate index over the item embeddings
         (reference `init_knn(approximate=True)` via nmslib,
         embed_base.py:415, and the faiss IVF serving index). Subsequent
         ``recommend_user`` calls search the index (over-fetching to cover
-        consumed filtering) instead of scoring the full catalog."""
-        from ..retrieval.ivf import IVFIndex
+        consumed filtering) instead of scoring the full catalog.
 
+        ``index``: "ivf" (k-means inverted lists, the serving-tier
+        format) or "hnsw" (native graph index, the nmslib analog —
+        measured recall/latency in docs/serving_guide.md)."""
         assert self.item_embeds_np is not None, "fit or load the model first"
-        self.ann = IVFIndex.build(
-            self.item_embeds_np[:-1], n_clusters=n_clusters, iters=iters,
-            seed=self.seed,
-        )
-        self.ann_n_probe = n_probe
+        if index == "hnsw":
+            from ..retrieval.hnsw import HNSWIndex
+
+            self.ann = HNSWIndex.build(
+                self.item_embeds_np[:-1], M=M,
+                ef_construction=ef_construction, seed=self.seed,
+            )
+            self._ann_search_kw = {"ef_search": ef_search}
+        else:
+            from ..retrieval.ivf import IVFIndex
+
+            self.ann = IVFIndex.build(
+                self.item_embeds_np[:-1], n_clusters=n_clusters, iters=iters,
+                seed=self.seed,
+            )
+            self._ann_search_kw = {"n_probe": n_probe}
         return self.ann
 
     def _ann_recommend(self, uids, n_rec, filter_consumed):
@@ -152,7 +166,8 @@ class EmbedBase(Base):
         )
         fetch = n_rec + (max_consumed if filter_consumed else 0)
         ids, _ = self.ann.search(
-            self.user_embeds_np[uids], fetch, n_probe=self.ann_n_probe
+            self.user_embeds_np[uids], fetch,
+            **getattr(self, "_ann_search_kw", {"n_probe": 8}),
         )
         out = np.empty((len(uids), n_rec), np.int64)
         for r, u in enumerate(uids):
@@ -183,13 +198,13 @@ class EmbedBase(Base):
 
     def init_knn(self, approximate, sim_type="cosine", M=100,
                  ef_construction=200, ef_search=200):
-        """Initialize the knn-search space (reference embed_base.py:415;
-        nmslib HNSW becomes an IVF index — same role, pure numpy/JAX).
+        """Initialize the knn-search space (reference embed_base.py:415).
 
         ``sim_type='cosine'`` searches normalized factor embeddings
         (bias excluded); ``'inner-product'`` searches the full exported
-        embeddings, bias included. HNSW tuning params are accepted for
-        API familiarity; IVF over-probes proportionally to ``ef_search``.
+        embeddings, bias included. ``approximate=True`` builds the
+        native HNSW graph index (retrieval/hnsw.py — the nmslib analog,
+        with the same M / ef_construction / ef_search knobs).
         """
         if sim_type not in ("cosine", "inner-product"):
             raise ValueError(
@@ -200,14 +215,15 @@ class EmbedBase(Base):
         self.include_bias = sim_type == "inner-product"
         self.knn_approximate = bool(approximate)
         if approximate:
-            from ..retrieval.ivf import IVFIndex
+            from ..retrieval.hnsw import HNSWIndex
 
-            n_probe = max(8, ef_search // 16)
+            self._knn_ef_search = ef_search
             self._knn_indexes = {}
             for side in ("user", "item"):
                 base = self._knn_space(side)
-                self._knn_indexes[side] = (
-                    IVFIndex.build(base, seed=self.seed), n_probe,
+                self._knn_indexes[side] = HNSWIndex.build(
+                    base, M=min(M, 64), ef_construction=ef_construction,
+                    seed=self.seed,
                 )
         return self
 
@@ -226,8 +242,10 @@ class EmbedBase(Base):
         base = self._knn_space(side)
         query = base[inner_id]
         if getattr(self, "knn_approximate", False):
-            index, n_probe = self._knn_indexes[side]
-            ids, _ = index.search(query[None], k + 1, n_probe=n_probe)
+            index = self._knn_indexes[side]
+            ids, _ = index.search(
+                query[None], k + 1, ef_search=self._knn_ef_search
+            )
             top = [int(t) for t in ids[0] if t >= 0]
         else:
             sims = base @ query

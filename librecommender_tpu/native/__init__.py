@@ -287,3 +287,48 @@ def cf_predict_native(cf_mode, task_rating, sim_ids, sim_vals, inter_csr,
         float(default_pred), _ptr(out, ctypes.c_float), n_threads,
     )
     return out
+
+
+_HNSW_SO = _HERE / "_hnsw.so"
+_HNSW_SRC = _HERE / "hnsw.cpp"
+_hnsw_lib = None
+_hnsw_tried = False
+
+
+def get_hnsw_lib():
+    """The native HNSW library, or None (brute-force fallback)."""
+    global _hnsw_lib, _hnsw_tried
+    if os.environ.get("LIBREC_TPU_NO_NATIVE"):
+        return None
+    if _hnsw_lib is not None or _hnsw_tried:
+        return _hnsw_lib
+    _hnsw_tried = True
+    try:
+        build_native(
+            _HNSW_SRC, _HNSW_SO,
+            ["g++", "-O3", "-march=native", "-fopenmp", "-shared", "-fPIC",
+             "-std=c++17", str(_HNSW_SRC), "-o", str(_HNSW_SO)],
+        )
+        lib = ctypes.CDLL(str(_HNSW_SO))
+        lib.hnsw_build.restype = ctypes.c_void_p
+        lib.hnsw_build.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int, ctypes.c_int, ctypes.c_uint64,
+        ]
+        lib.hnsw_search.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_float),
+        ]
+        lib.hnsw_blob_size.restype = ctypes.c_int64
+        lib.hnsw_blob_size.argtypes = [ctypes.c_void_p]
+        lib.hnsw_serialize.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+        lib.hnsw_deserialize.restype = ctypes.c_void_p
+        lib.hnsw_deserialize.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_char_p, ctypes.c_int64,
+        ]
+        lib.hnsw_free.argtypes = [ctypes.c_void_p]
+        _hnsw_lib = lib
+    except Exception:  # noqa: BLE001 — fall back to exact search
+        _hnsw_lib = None
+    return _hnsw_lib
