@@ -104,6 +104,23 @@ def test_native_fm_catalog(tiny_feat, tmp_path):
     run_native(tmp_path, "fm", _catalog_fn(m), users)
 
 
+@pytest.mark.parametrize("cls_name", ["AutoInt", "WideDeep", "NCF",
+                                      "YouTubeRanking", "DeepFM"])
+def test_native_more_families(tiny_feat, tmp_path, cls_name):
+    """The remaining CTR families run through the same runtime."""
+    import librecommender_tpu.models as M
+
+    _, di = tiny_feat
+    kw = {"hidden_units": (16,)} if cls_name != "AutoInt" else {}
+    if cls_name == "YouTubeRanking":
+        kw["recent_num"] = 5
+    m = getattr(M, cls_name)("ranking", di, embed_size=8, n_epochs=1, **kw)
+    m.build_model()
+    m._ensure_inference_fns()
+    users = np.asarray([2], np.int32)
+    run_native(tmp_path, cls_name.lower(), _catalog_fn(m), users)
+
+
 def test_native_din_catalog(tiny_feat, tmp_path):
     from librecommender_tpu.models import DIN
 
