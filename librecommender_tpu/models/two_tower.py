@@ -218,20 +218,26 @@ class TwoTower(EmbedBase):
         return params
 
     # --------------------------------------------------------------- towers
-    def user_tower(self, params, users, train=False, rng=None):
+    def user_tower(self, params, users, train=False, rng=None,
+                   sparse_rows=None, dense_rows=None):
+        """``sparse_rows``/``dense_rows``: optional (B, F) overrides of the
+        stored user feature tables (request-time features — the reference
+        UserEmbedModels online path)."""
         from ..ops.embeddings import combine_multi_sparse
 
         feats = self.feats
         pieces = [params["user_embed"][users]]
         if feats.user_sparse is not None:
-            idx = feats.user_sparse[users]                     # (B, F_u)
+            idx = feats.user_sparse[users] if sparse_rows is None \
+                else sparse_rows                               # (B, F_u)
             emb = combine_multi_sparse(
                 params["sparse_embed"][idx], idx,
                 self._side_ms_info(True), self.multi_sparse_combiner,
             )
             pieces.append(emb.reshape(idx.shape[0], -1))
         if feats.user_dense is not None:
-            vals = feats.user_dense[users]                     # (B, F_ud)
+            vals = feats.user_dense[users] if dense_rows is None \
+                else dense_rows                                # (B, F_ud)
             emb = params["dense_embed"][jnp.asarray(feats.user_dense_pos)]
             pieces.append((vals[:, :, None] * emb[None]).reshape(vals.shape[0], -1))
         x = jnp.concatenate(pieces, axis=1)
@@ -344,20 +350,59 @@ class TwoTower(EmbedBase):
 
     def dyn_user_embedding(self, user, user_feats=None, inner_id=False):
         """Embed a user with optionally overridden features at request time
-        (reference DynEmbedBase.dyn_user_embedding)."""
+        (reference DynEmbedBase.dyn_user_embedding) — stateless: the
+        override row is built per request, no table mutation."""
         uid = (
             int(user) if inner_id else self.data_info.user2id.get(user, self.n_users)
         )
-        if user_feats:
-            # temporarily assign features, embed, restore
-            import pandas as pd
-
-            self.data_info.assign_user_features(
-                pd.DataFrame({"user": [user], **{k: [v] for k, v in user_feats.items()}})
-            )
-            self.feats = FeatureTables(self.data_info)
         users = jnp.asarray(np.full((1,), uid, np.int32))
-        return np.asarray(self.user_tower(self.params, users))[0]
+        kw = {}
+        if user_feats:
+            if self.feats.user_sparse is not None:
+                row = self.feats.build_user_sparse_row(uid, user_feats)
+                kw["sparse_rows"] = jnp.asarray(row, jnp.int32)[None, :]
+            if self.feats.user_dense is not None:
+                row = self.feats.build_user_dense_row(uid, user_feats)
+                kw["dense_rows"] = jnp.asarray(row, jnp.float32)[None, :]
+        return np.asarray(self.user_tower(self.params, users, **kw))[0]
+
+    def recommend_user(self, user, n_rec, inner_id=False,
+                       cold_start="average", filter_consumed=True,
+                       random_rec=False, user_feats=None):
+        """EmbedBase recommend plus request-time ``user_feats`` (reference
+        recommend_tf_feat on UserEmbedModels): with overrides, the user
+        vector is recomputed through the tower and ranked against the
+        exported item embeddings."""
+        if user_feats is None:
+            return super().recommend_user(
+                user, n_rec, inner_id=inner_id, cold_start=cold_start,
+                filter_consumed=filter_consumed, random_rec=random_rec,
+            )
+        from ..ops.topk import pad_consumed, topk_from_scores
+
+        users = np.atleast_1d(np.asarray(user))
+
+        def _uid(u):
+            if inner_id:
+                return int(u) if 0 <= int(u) < self.n_users else self.n_users
+            return self.data_info.user2id.get(u, self.n_users)
+
+        uids = np.asarray([_uid(u) for u in users], np.int64)
+        vecs = np.stack([
+            self.dyn_user_embedding(int(uid), user_feats, inner_id=True)
+            for uid in uids
+        ])
+        scores = vecs @ self.item_embeds_np[: self.n_items].T
+        consumed = (
+            pad_consumed(self.user_consumed, uids) if filter_consumed else None
+        )
+        ids, _ = topk_from_scores(jnp.asarray(scores), consumed, int(n_rec))
+        ids = np.asarray(ids)
+        result = {
+            (u.item() if isinstance(u, np.generic) else u): ids[i]
+            for i, u in enumerate(users)
+        }
+        return self.finalize_rec(result, users, inner_id)
 
     def post_load(self):
         self.feats = FeatureTables(self.data_info)

@@ -373,6 +373,46 @@ def export_native_programs(path, model):
         }
         _export_feature_tables(path, model)
 
+    elif hasattr(model, "user_tower") and \
+            getattr(model, "item_embeds_np", None) is not None:
+        # TwoTower family: EmbedBase whose online path recomputes the user
+        # vector through the tower with request-time feature overrides
+        params = model.params
+        feats = model.feats
+        users1 = np.zeros(1, np.int32)
+        ov_inputs = ["users"]
+        examples = [users1]
+        if feats.user_sparse is not None:
+            ov_inputs.append("user_sparse_row")
+            examples.append(
+                np.asarray(data_info.user_sparse_unique)[:1].astype(np.int32)
+            )
+        if feats.user_dense is not None:
+            ov_inputs.append("user_dense_row")
+            examples.append(
+                np.asarray(data_info.user_dense_unique)[:1].astype(np.float32)
+            )
+        keys = ov_inputs[1:]
+
+        def tower_fn(u, *ovs):
+            kw = dict(zip(keys, ovs))
+            return model.user_tower(
+                params, u,
+                sparse_rows=kw.get("user_sparse_row"),
+                dense_rows=kw.get("user_dense_row"),
+            )
+
+        save_program(path, "user_repr", tower_fn, *examples)
+        meta = {
+            "kind": "dyn_feats",
+            "inputs": ov_inputs,
+            "n_users": int(model.n_users),
+            "n_items": int(model.n_items),
+            "pad_id": int(model.n_items),
+            "max_seq_len": 0,
+        }
+        _export_feature_tables(path, model)
+
     elif isinstance(model, DynEmbedBase):
         model._ensure_repr_fn()
         params = model.params

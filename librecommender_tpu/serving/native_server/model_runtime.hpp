@@ -117,6 +117,13 @@ struct ModelRuntime {
       item_repr = bin<float>(dir + "/item_repr.bin");
       item_dim = ishape[1];
       recent_seq = bin<int32_t>(dir + "/recent_seq.bin");
+    } else if (kind == "dyn_feats") {
+      // TwoTower family: scores = tower(u, feats) . item_embeds rows
+      // (the embed-family export; includes a trailing OOV row)
+      const auto ishape = bin<int64_t>(dir + "/item_embed_shape.bin");
+      if (ishape.size() != 2) return false;
+      item_repr = bin<float>(dir + "/item_embed.bin");
+      item_dim = ishape[1];
     } else {
       stored_short_rows = bin<int32_t>(dir + "/recent_seq.bin");
       stored_long_rows = bin<int32_t>(dir + "/recent_long.bin");
@@ -124,7 +131,8 @@ struct ModelRuntime {
     for (size_t i = 0; i < id2item_ints.size(); ++i)
       item2id[id2item_ints[i]] = int32_t(i);
     loaded = (kind == "feat" && score_all.has_value()) ||
-             (kind == "dyn" && user_repr.has_value());
+             ((kind == "dyn" || kind == "dyn_feats") &&
+              user_repr.has_value());
     return loaded;
   }
 
@@ -220,6 +228,7 @@ struct ModelRuntime {
   // Returns (n_items,) raw scores.
   std::vector<float> scores_static(int64_t uid) const {
     if (kind == "dyn") return scores_dyn_family(uid, nullptr);
+    if (kind == "dyn_feats") return scores_tower_feats(uid, nullptr);
     Executor ex(*score_all);
     auto outs = ex.run({users_tensor(uid)});
     return std::vector<float>(outs[0].f.begin(), outs[0].f.end());
@@ -231,6 +240,7 @@ struct ModelRuntime {
                                    const std::vector<int64_t>& raw_seq) const {
     if (kind == "dyn")
       return scores_dyn_family(uid, raw_seq.empty() ? nullptr : &raw_seq);
+    if (kind == "dyn_feats") return scores_tower_feats(uid, feats);
     if (!score_dyn.has_value()) return scores_static(uid);
     std::vector<Tensor> args;
     for (const auto& name : inputs) {
@@ -266,6 +276,31 @@ struct ModelRuntime {
   }
   Tensor stored_long_seq(int64_t uid) const {
     return stored_seq(uid, stored_long_rows, long_max_len);
+  }
+
+  // TwoTower family: user tower with override rows, then dot with the
+  // exported item-embedding matrix.
+  std::vector<float> scores_tower_feats(int64_t uid, const JV* feats) const {
+    std::vector<Tensor> args;
+    for (const auto& name : inputs) {
+      if (name == "users") args.push_back(users_tensor(uid));
+      else if (name == "user_sparse_row") args.push_back(sparse_row_for(uid, feats));
+      else if (name == "user_dense_row") args.push_back(dense_row_for(uid, feats));
+      else throw std::runtime_error("unknown tower input " + name);
+    }
+    Executor ex(*user_repr);
+    auto outs = ex.run(std::move(args));
+    const std::vector<float>& u = outs[0].f;
+    if (int64_t(u.size()) != item_dim)
+      throw std::runtime_error("tower dim mismatch");
+    std::vector<float> scores(n_items);
+    for (int64_t i = 0; i < n_items; ++i) {
+      const float* row = item_repr.data() + i * item_dim;
+      float acc = 0.f;
+      for (int64_t d = 0; d < item_dim; ++d) acc += u[d] * row[d];
+      scores[i] = acc;
+    }
+    return scores;
   }
 
   std::vector<float> scores_dyn_family(

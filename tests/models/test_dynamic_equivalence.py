@@ -101,3 +101,22 @@ def test_dynamic_mixed_users_partial_overrides(din_fitted):
     solo = model.recommend_user(user=1, n_rec=6, inner_id=True,
                                 seq=other_items)
     assert list(solo[1]) == list(dynamic[1])
+
+
+def test_two_tower_user_feats_recommend(feat_builds):
+    """TwoTower recommend_user(user_feats=...) recomputes the user vector
+    through the tower (reference UserEmbedModels online path): empty
+    overrides reproduce the static result; real overrides change it."""
+    from librecommender_tpu.models import TwoTower
+
+    train_data, *_, data_info = feat_builds
+    model = TwoTower("ranking", data_info, embed_size=8, n_epochs=1,
+                     batch_size=256, loss_type="softmax", hidden_units=(16,))
+    model.fit(train_data, neg_sampling=False, verbose=0)
+    static = model.recommend_user(user=0, n_rec=6, inner_id=True)
+    dyn = model.recommend_user(user=0, n_rec=6, inner_id=True, user_feats={})
+    assert list(static[0]) == list(dyn[0])
+    # an unknown user with overrides still gets tower-scored recs
+    cold = model.recommend_user(user=-55, n_rec=6,
+                                user_feats={"sex": "m", "age": 1.0})
+    assert len(cold[-55]) == 6

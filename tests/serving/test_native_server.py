@@ -250,3 +250,37 @@ def test_native_embed_ivf(pure_builds, pure_frames, tmp_path):
     finally:
         proc.kill()
         proc.wait()
+
+
+def test_native_two_tower_online_feats(feat_builds, feat_frames, tmp_path):
+    """TwoTower online with request-time user_feats runs natively (the
+    user tower executes in-process with C++-assembled override rows) and
+    matches the model's dyn recommend. No Python backend."""
+    from librecommender_tpu.models import TwoTower
+
+    train_data, *_, data_info = feat_builds
+    model = TwoTower("ranking", data_info, embed_size=8, n_epochs=1,
+                     batch_size=256, loss_type="softmax",
+                     hidden_units=(16,))
+    model.fit(train_data, neg_sampling=False, verbose=0)
+
+    artifact_dir = export_native(tmp_path / "native_tt", model)
+    proc, port = start_native_server(artifact_dir)
+    try:
+        frame = feat_frames[0]
+        user = frame.user.iloc[0]
+        feats = {"sex": str(frame.sex.iloc[1]), "age": 0.75}
+        out = _post(port, "/online/recommend",
+                    {"user": int(user), "n_rec": 5, "user_feats": feats})
+        recs = model.recommend_user(user=user, n_rec=5,
+                                    user_feats=feats)[user]
+        assert list(map(int, out["rec_list"])) == list(map(int, recs))
+        # without overrides the tower reproduces the static embed result
+        out_static = _post(port, "/online/recommend",
+                           {"user": int(user), "n_rec": 5})
+        recs_static = model.recommend_user(user=user, n_rec=5)[user]
+        assert (list(map(int, out_static["rec_list"]))
+                == list(map(int, recs_static)))
+    finally:
+        proc.kill()
+        proc.wait()
