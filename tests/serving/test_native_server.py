@@ -284,3 +284,42 @@ def test_native_two_tower_online_feats(feat_builds, feat_frames, tmp_path):
     finally:
         proc.kill()
         proc.wait()
+
+
+def test_native_online_hardening(feat_builds, feat_frames, tmp_path):
+    """Malformed/adversarial online requests never crash the server:
+    unknown feature names fall to OOV, wrong-typed feats are ignored,
+    oversized seqs truncate to the window, garbage ids cold-start."""
+    from librecommender_tpu.models import DIN
+
+    train_data, *_, data_info = feat_builds
+    model = DIN("ranking", data_info, embed_size=8, n_epochs=1,
+                batch_size=256, recent_num=5)
+    model.fit(train_data, neg_sampling=True, verbose=0)
+    artifact_dir = export_native(tmp_path / "native_hard", model)
+    proc, port = start_native_server(artifact_dir)
+    try:
+        user = int(feat_frames[0].user.iloc[0])
+        # unknown feature name + wrong-typed value + unknown raw value
+        out = _post(port, "/online/recommend", {
+            "user": user, "n_rec": 5,
+            "user_feats": {"no_such_col": 1, "sex": 123456,
+                           "age": "not-a-number"},
+        })
+        assert len(out["rec_list"]) == 5
+        # oversized seq (10x the window) with unknown items mixed in
+        seq = [int(i) for i in feat_frames[0].item.iloc[:40]] + [999999] * 10
+        out = _post(port, "/online/recommend",
+                    {"user": user, "n_rec": 5, "seq": seq})
+        assert len(out["rec_list"]) == 5
+        recs = model.recommend_user(user=user, n_rec=5, seq=seq)[user]
+        assert list(map(int, out["rec_list"])) == list(map(int, recs))
+        # nonsense body fields are ignored; server stays up
+        out = _post(port, "/online/recommend",
+                    {"user": "not-a-user", "n_rec": 5, "user_feats": []})
+        assert len(out["rec_list"]) == 5
+        out2 = _post(port, "/model/recommend", {"user": user, "n_rec": 3})
+        assert len(out2["rec_list"]) == 3
+    finally:
+        proc.kill()
+        proc.wait()
