@@ -1,6 +1,10 @@
 """Data workflows: split variants, a rating-task model, save/load, and
 request-time feature reassignment (reference split_data_example.py,
 pure_rating_example.py, save_load_example.py, changing_feature_example.py)."""
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))  # repo root
 import pandas as pd
 
 from librecommender_tpu.data import (

@@ -1,4 +1,8 @@
 """Feature-based CTR ranking (reference examples/feat_ranking_example.py)."""
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))  # repo root
 import pandas as pd
 
 from librecommender_tpu.data import DatasetFeat, split_by_ratio_chrono

@@ -2,6 +2,10 @@
 examples/graph_example.py territory): train GraphSage u2i and i2i — the
 i2i walks run inside the jitted train step — then export a model-class-free
 StableHLO serving artifact for a retrieval model."""
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))  # repo root
 import numpy as np
 import pandas as pd
 

@@ -2,6 +2,10 @@
 
 Reference flow analog: tests/retrain/test_rs_cf_retrain.py (recfarm
 incremental path)."""
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))  # repo root
 import numpy as np
 import pandas as pd
 

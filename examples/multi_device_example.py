@@ -4,6 +4,18 @@ Run without TPUs via a virtual CPU mesh:
   XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu \
       python examples/multi_device_example.py
 """
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))  # repo root
+import jax
+
+# demo runs on a virtual 8-device CPU mesh so it works on any box; on a
+# real multi-chip TPU slice drop these two lines (the configs must be set
+# before the first jax operation)
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
+
 import pandas as pd
 
 from librecommender_tpu.data import DatasetPure, split_by_ratio_chrono

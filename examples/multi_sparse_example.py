@@ -1,5 +1,9 @@
 """Multi-sparse (multi-value) feature handling (reference examples/
 multi_sparse_processing_example.py)."""
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))  # repo root
 import pandas as pd
 
 from librecommender_tpu.data import DatasetFeat, split_by_ratio_chrono

@@ -6,6 +6,10 @@ where the reference's actix tier pays a network hop to TF Serving
 traced to a jaxpr, serialized, and interpreted natively: no Python, no
 second service on the scoring path.
 """
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))  # repo root
 import json
 import urllib.request
 

@@ -2,6 +2,10 @@
 
 Expects a ratings file with columns user, item, label[, time].
 """
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))  # repo root
 import pandas as pd
 
 from librecommender_tpu.data import DatasetPure, split_by_ratio_chrono

@@ -1,4 +1,8 @@
 """Retraining with new users/items (reference examples/model_retrain_example.py)."""
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))  # repo root
 import pandas as pd
 
 from librecommender_tpu.data import DatasetPure, split_by_ratio_chrono

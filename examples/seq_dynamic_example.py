@@ -2,6 +2,10 @@
 examples/seq_example.py and dyn_feature_example.py): train a behavior-
 sequence model, then recommend with on-the-fly sequences and feature
 overrides no training row ever contained."""
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))  # repo root
 import pandas as pd
 
 from librecommender_tpu.data import DatasetFeat, split_by_ratio_chrono

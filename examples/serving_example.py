@@ -1,5 +1,9 @@
 """Serving: export artifacts, hydrate a store, run HTTP apps (reference
 libserving flows)."""
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))  # repo root
 import pandas as pd
 
 from librecommender_tpu.data import DatasetPure, split_by_ratio_chrono
@@ -33,4 +37,7 @@ print(f"  curl -X POST 127.0.0.1:{port}/embed/recommend "
 proc.kill()
 
 # blocking Python server:
-run_server("embed", store, port=8000)     # POST /embed/recommend
+import os
+
+if os.environ.get("SERVE"):  # blocking; opt in with SERVE=1
+    run_server("embed", store, port=8000)  # POST /embed/recommend

@@ -124,6 +124,19 @@ class FeatBase(Base):
             f_sparse = f_sparse - int(sum(info.field_len)) + len(info.field_len)
         return 2 + f_sparse + self.feats.n_dense_fields
 
+    # set True by the Trainer for the duration of a single-device TPU fit:
+    # small-vocab table lookups then route through the MXU one-hot kernels
+    # (ops/mxu_gather.py) so their gradient scatter-adds become matmuls —
+    # profiled on DIN, the sparse_embed scatter was ~13% of the step
+    _mxu_lookup = False
+
+    def _train_lookup(self, table, idx):
+        """table[idx], via the MXU kernels when enabled and profitable."""
+        from ..ops.mxu_gather import AUTO_MAX_ROWS, table_lookup
+
+        use = self._mxu_lookup and table.shape[0] <= AUTO_MAX_ROWS
+        return table_lookup(table, idx, use)
+
     def _field_embeds(self, params, inputs):
         """inputs dict -> field embedding cube (B, n_fields, D) plus the raw
         sparse indices / dense values used (for linear terms and reg).
@@ -145,7 +158,7 @@ class FeatBase(Base):
             sparse_idx = inputs.get("sparse_row_full")
             if sparse_idx is None:
                 sparse_idx = self.feats.sparse_for(users, items, user_rows=u_sp)
-            emb = params["sparse_embed"][sparse_idx]
+            emb = self._train_lookup(params["sparse_embed"], sparse_idx)
             emb = combine_multi_sparse(
                 emb, sparse_idx, self.feats.multi_sparse_info,
                 self.multi_sparse_combiner,
@@ -618,6 +631,9 @@ class FeatBase(Base):
         return top
 
     def post_fit(self):
+        # inference scorers trace WITHOUT the training-time MXU lookups
+        # (catalog scoring gathers contiguous id ranges — plain gathers win)
+        self._mxu_lookup = False
         self._predict_fn = None
         self._recommend_fn = None
         self.build_default_recs()

@@ -110,7 +110,7 @@ class SeqFeatBase(FeatBase):
         parts = [base]
         if f_s:
             rows = self.feats.item_sparse[ids]            # (..., F_s)
-            se = params["sparse_embed"][rows]             # (..., F_s, D)
+            se = self._train_lookup(params["sparse_embed"], rows)  # (..., F_s, D)
             if self.feat_agg_mode == "concat":
                 parts.append(se.reshape(*se.shape[:-2], -1))
             else:

@@ -79,6 +79,16 @@ class Trainer:
         # pallas table-lookup kernels (ops/mxu_gather.py) don't carry GSPMD
         # sharding rules; models consult this to fall back under a mesh
         model._under_mesh = mesh is not None
+        if hasattr(model, "_mxu_lookup"):
+            import jax
+
+            # training-time MXU lookups for small-vocab tables (the
+            # per-table size gate lives in FeatBase._train_lookup);
+            # _mxu_lookup_force overrides for tests (interpret mode)
+            force = getattr(model, "_mxu_lookup_force", None)
+            model._mxu_lookup = force if force is not None else (
+                mesh is None and jax.default_backend() == "tpu"
+            )
         self.n_epochs = n_epochs
         self.lr = lr
         self.lr_decay = lr_decay

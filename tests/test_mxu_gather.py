@@ -81,10 +81,10 @@ def test_bpr_mxu_matches_plain(pure_builds):
         return m
 
     m_plain, m_mxu = fit(False), fit(True)
-    for k in m_plain.params:
+    la, lb = (jax.tree_util.tree_leaves(m.params) for m in (m_plain, m_mxu))
+    for a, b in zip(la, lb):
         np.testing.assert_allclose(
-            np.asarray(m_plain.params[k]), np.asarray(m_mxu.params[k]),
-            rtol=1e-4, atol=1e-5, err_msg=k,
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
         )
 
 
@@ -109,4 +109,29 @@ def test_dense_masked_adam_matches_row_path(pure_builds):
         np.testing.assert_allclose(
             np.asarray(m_rows.params[k]), np.asarray(m_dense.params[k]),
             rtol=1e-3, atol=1e-3, err_msg=k,
+        )
+
+
+def test_feat_mxu_sparse_lookup_matches(feat_builds):
+    """Training with MXU sparse-table lookups (forced on; interpret mode
+    on CPU) matches the plain-gather fit."""
+    from librecommender_tpu.models import DeepFM
+
+    train_data, *_, data_info = feat_builds
+
+    def fit(force):
+        m = DeepFM("ranking", data_info, embed_size=8, n_epochs=1,
+                   batch_size=256, seed=5, hidden_units=(16,))
+        if force:
+            # the trainer only enables this on TPU; force the kernel path
+            m._mxu_lookup_force = True
+        m.fit(train_data, neg_sampling=True, verbose=0)
+        return m
+
+    m_plain, m_mxu = fit(False), fit(True)
+    la = jax.tree_util.tree_leaves(m_plain.params)
+    lb = jax.tree_util.tree_leaves(m_mxu.params)
+    for a, b in zip(la, lb):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
         )
