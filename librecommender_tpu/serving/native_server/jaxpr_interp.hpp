@@ -629,36 +629,6 @@ class Executor {
     return gather_layout(t, t.dt, oshape, istr);
   }
 
-  // Per-output-dim input strides for NumPy-style right-aligned
-  // broadcasting (rank-0 scalars, size-1 dims). jax binary primitives
-  // carry such operands (e.g. add((3,4),(1,4)), max((3,4),())).
-  struct BIdx {
-    std::vector<int64_t> stride;       // per-output-dim input stride (0 = bcast)
-    bool direct = false;               // same shape: linear index passthrough
-
-    int64_t operator()(int64_t k, const std::vector<int64_t>& ost,
-                       const std::vector<int64_t>& oshape) const {
-      if (direct) return k;
-      int64_t src = 0;
-      for (size_t d = 0; d < oshape.size(); ++d) {
-        if (!stride[d]) continue;
-        src += ((k / ost[d]) % oshape[d]) * stride[d];
-      }
-      return src;
-    }
-  };
-
-  static BIdx bidx_for(const Tensor& t, const std::vector<int64_t>& oshape) {
-    BIdx b;
-    if (t.shape == oshape) { b.direct = true; return b; }
-    b.stride.assign(oshape.size(), 0);
-    const auto ist = strides_of(t.shape);
-    const size_t off = oshape.size() - t.shape.size();
-    for (size_t d = 0; d < t.shape.size(); ++d)
-      if (t.shape[d] != 1) b.stride[off + d] = ist[d];
-    return b;
-  }
-
   static float bf16_round(float v) {
     uint32_t bits;
     std::memcpy(&bits, &v, 4);
