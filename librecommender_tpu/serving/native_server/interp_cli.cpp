@@ -7,16 +7,19 @@
 // writes io_dir/output_<k>.bin (f32 for float outputs, i64 otherwise)
 // plus io_dir/outputs.json with shapes/dtypes. pytest drives this binary
 // and compares against the jax CPU execution of the same program.
+#include <chrono>
 #include <cstdio>
 #include <fstream>
 
 #include "jaxpr_interp.hpp"
 
 int main(int argc, char** argv) {
-  if (argc != 4) {
-    std::fprintf(stderr, "usage: interp_cli <program.json> <blob.bin> <io_dir>\n");
+  if (argc != 4 && argc != 5) {
+    std::fprintf(stderr,
+                 "usage: interp_cli <program.json> <blob.bin> <io_dir> [reps]\n");
     return 2;
   }
+  const int reps = argc == 5 ? std::atoi(argv[4]) : 1;
   try {
     jxi::Program prog = jxi::load_program(argv[1], argv[2]);
     const std::string io = argv[3];
@@ -46,7 +49,18 @@ int main(int argc, char** argv) {
     }
 
     jxi::Executor ex(prog);
-    std::vector<jxi::Tensor> outs = ex.run(std::move(inputs));
+    std::vector<jxi::Tensor> outs;
+    const auto t0 = std::chrono::steady_clock::now();
+    for (int r = 0; r < reps; ++r) {
+      std::vector<jxi::Tensor> args = inputs;  // fresh copy per exec
+      outs = ex.run(std::move(args));
+    }
+    if (reps > 1) {
+      const double us = std::chrono::duration<double, std::micro>(
+                            std::chrono::steady_clock::now() - t0)
+                            .count() / reps;
+      std::fprintf(stderr, "exec_us_per_rep %.1f\n", us);
+    }
 
     std::string meta = "[";
     for (size_t k = 0; k < outs.size(); ++k) {

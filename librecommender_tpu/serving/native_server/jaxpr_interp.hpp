@@ -32,6 +32,10 @@
 #include <string>
 #include <vector>
 
+#ifdef _OPENMP
+#include <omp.h>
+#endif
+
 namespace jxi {
 
 // ------------------------------------------------------------- minimal JSON
@@ -1270,7 +1274,10 @@ class Executor {
       const float* Lb = L.data() + bb * M * K;
       const float* Rb = R.data() + bb * K * N;
       float* Ob = O + bb * M * N;
-      // ikj with accumulate: vectorizes over N
+      // ikj with accumulate: vectorizes over N. Measured: an OpenMP
+      // parallel-for here LOSES (173ms vs 88ms on the DIN catalog
+      // program) — many small matmuls pay region setup; request-level
+      // parallelism across epoll threads is the scaling axis instead
       for (int64_t m = 0; m < M; ++m) {
         float* orow = Ob + m * N;
         std::fill(orow, orow + N, 0.f);

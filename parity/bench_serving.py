@@ -120,7 +120,7 @@ def main():
     ]
     results = {}
 
-    def native_hammer(port, url):
+    def native_hammer(port, url, n=None):
         """Drive the server with the C++ load generator (one persistent
         connection per thread) — measures the SERVER, not the Python GIL."""
         import subprocess
@@ -130,7 +130,7 @@ def main():
         bench_bin = build_benchmark()
         out = subprocess.run(
             [str(bench_bin), "127.0.0.1", str(port), url,
-             str(args.threads), str(max(args.requests * 10, 50000)),
+             str(args.threads), str(n or max(args.requests * 10, 50000)),
              str(len(users))],
             capture_output=True, text=True, timeout=600,
         )
@@ -212,8 +212,10 @@ def main():
                 port, "/online/recommend", online_payloads,
                 args.threads, args.requests,
             )
+            # model requests are ms-scale (full catalog forward), not
+            # the us-scale knn/embed lookups: size the C++ load run down
             results["native_model_cpp_client"] = native_hammer(
-                port, "/model/recommend"
+                port, "/model/recommend", n=args.requests
             )
         finally:
             proc.kill()
