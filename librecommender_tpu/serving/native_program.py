@@ -17,8 +17,9 @@ Design notes:
   user per request); call-like primitives (pjit/custom_jvp/...) are inlined
   during serialization so the interpreter only sees ~40 flat primitives
   plus `scan` (kept as a loop with a nested sub-program).
-- Constants are deduplicated by id; the blob stores little-endian
-  row-major arrays at 64-byte-aligned offsets.
+- The blob stores constants as little-endian row-major arrays at
+  64-byte-aligned offsets (params appear once each; scalar literals are
+  small enough that dedup isn't worth the bookkeeping).
 """
 import json
 from pathlib import Path
@@ -87,12 +88,11 @@ def _attr_value(v):
 
 
 class _Blob:
-    """Constant pool with 64-byte alignment and array dedup by id()."""
+    """Constant pool with 64-byte-aligned offsets."""
 
     def __init__(self):
         self.chunks = []
         self.size = 0
-        self._seen = {}
 
     def add(self, arr):
         """Append `arr`; returns (offset, stored_dtype_name). The
