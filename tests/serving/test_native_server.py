@@ -323,3 +323,27 @@ def test_native_online_hardening(feat_builds, feat_frames, tmp_path):
     finally:
         proc.kill()
         proc.wait()
+
+
+def test_native_fm_online_no_seq(feat_builds, feat_frames, tmp_path):
+    """A seq-less feat model (FM) serves online natively: the override
+    program has only feature-row inputs; request seqs are ignored."""
+    from librecommender_tpu.models import FM
+
+    train_data, *_, data_info = feat_builds
+    model = FM("ranking", data_info, embed_size=8, n_epochs=1,
+               batch_size=256)
+    model.fit(train_data, neg_sampling=True, verbose=0)
+    artifact_dir = export_native(tmp_path / "native_fm", model)
+    proc, port = start_native_server(artifact_dir)
+    try:
+        user = int(feat_frames[0].user.iloc[0])
+        feats = {"sex": str(feat_frames[0].sex.iloc[1])}
+        out = _post(port, "/online/recommend",
+                    {"user": user, "n_rec": 5, "user_feats": feats})
+        recs = model.recommend_user(user=user, n_rec=5,
+                                    user_feats=feats)[user]
+        assert list(map(int, out["rec_list"])) == list(map(int, recs))
+    finally:
+        proc.kill()
+        proc.wait()
