@@ -594,7 +594,11 @@ class FeatBase(Base):
     def _request_seq_overrides(self, uids, seq_list, inner_id):
         """Per-user request seqs -> {"seq": (U, L)} override array; users
         with no request seq fall back to their stored recent history.
-        Dual-seq models (SIM) override this to split long/short windows."""
+        Dual-seq models (SIM) override this to split long/short windows.
+        Non-sequence models ignore request seqs (reference recommend_tf_feat
+        silently drops `seq` for models without a behavior sequence)."""
+        if getattr(self, "recent_seq_table", None) is None:
+            return {}
         rows = []
         table = None
         for i, s in enumerate(seq_list):
