@@ -95,6 +95,7 @@ class Base(abc.ABC):
         profile_dir=None,
         checkpoint_dir=None,
         checkpoint_every=1,
+        early_stopping=None,
     ):
         """Train the model on transformed train data.
 
@@ -103,6 +104,11 @@ class Base(abc.ABC):
         tables row-shard over `model`.
         ``profile_dir``: write a ``jax.profiler`` trace of one steady-state
         epoch for tensorboard/xprof.
+        ``early_stopping``: patience in epochs (requires ``eval_data``) —
+        stop when the FIRST entry of ``metrics`` hasn't improved for that
+        many epochs and restore the best parameters. Beyond the reference
+        (which trains a fixed epoch count); motivated by the tiny-data
+        overfit study in PARITY.md.
         """
         if verbose > 0:
             start = time.strftime("%Y-%m-%d %H:%M:%S", time.localtime())
@@ -135,6 +141,7 @@ class Base(abc.ABC):
             profile_dir=profile_dir,
             checkpoint_dir=checkpoint_dir,
             checkpoint_every=checkpoint_every,
+            early_stopping=early_stopping,
         )
         self.trainer = trainer
         self.post_fit()

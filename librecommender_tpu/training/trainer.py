@@ -302,9 +302,15 @@ class Trainer:
         profile_dir=None,
         checkpoint_dir=None,
         checkpoint_every=1,
+        early_stopping=None,
         **kwargs,
     ):
         from ..batch import BatchGenerator
+
+        if early_stopping:
+            assert eval_data is not None, "early_stopping requires eval_data"
+            es_metric = (metrics or ["loss"])[0]
+            es_best, es_best_params, es_bad = None, None, 0
 
         model = self.model
         generator = BatchGenerator(
@@ -466,6 +472,40 @@ class Trainer:
                     neg_sampling=neg_sampling,
                 )
                 print("=" * 30)
+
+            if early_stopping:
+                from ..evaluation.evaluate import evaluate
+
+                model.params = params
+                model.post_epoch()
+                val = evaluate(
+                    model, eval_data, neg_sampling=neg_sampling,
+                    metrics=[es_metric], k=k,
+                    sample_user_num=eval_user_num, seed=model.seed,
+                )[es_metric]
+                improved = es_best is None or (
+                    val < es_best if es_metric == "loss" else val > es_best
+                )
+                if improved:
+                    es_best, es_bad = val, 0
+                    # params are DONATED into next epoch's program — keep a
+                    # host snapshot to restore the best epoch's state
+                    es_best_params = jax.device_get(params)
+                else:
+                    es_bad += 1
+                    if es_bad >= early_stopping:
+                        if verbose > 0:
+                            print(colorize(
+                                f"early stop at epoch {epoch}: {es_metric} "
+                                f"best {es_best:.4f}, no improvement for "
+                                f"{early_stopping} epochs", "cyan",
+                            ))
+                        params = jax.tree.map(jnp.asarray, es_best_params)
+                        break
+
+        if early_stopping and es_best_params is not None and es_bad < early_stopping:
+            # trained to the last epoch: still keep the best-seen params
+            params = jax.tree.map(jnp.asarray, es_best_params)
 
         model.params = params
         self.opt_state = opt_state

@@ -77,3 +77,31 @@ def test_ytr_listwise_unadjusted(pure_small):
         loss_type="sampled_softmax",
     )
     assert adjust_batch_size(model, 64) == 64
+
+
+def test_early_stopping(pure_builds):
+    """fit(early_stopping=N) stops when the monitored metric stalls and
+    restores the best epoch's parameters (beyond-reference; motivated by
+    the tiny-data overfit study in PARITY.md)."""
+    import numpy as np
+
+    from librecommender_tpu.evaluation import evaluate
+    from librecommender_tpu.models import BPR
+
+    train_data, eval_data, *_ , data_info = pure_builds
+    model = BPR("ranking", data_info, embed_size=16, n_epochs=40, lr=0.05,
+                batch_size=512, seed=0)
+    model.fit(train_data, neg_sampling=True, verbose=0, eval_data=eval_data,
+              metrics=["roc_auc"], early_stopping=3)
+    ran = len(model.trainer.epoch_times)
+    assert ran < 40, "should stop before the full epoch budget at lr=0.05"
+    # restored params score the best-seen metric (re-evaluating the final
+    # model must not be worse than what any later epoch reached)
+    auc_final = evaluate(model, eval_data, neg_sampling=True,
+                         metrics=["roc_auc"])["roc_auc"]
+    m2 = BPR("ranking", data_info, embed_size=16, n_epochs=ran, lr=0.05,
+             batch_size=512, seed=0)
+    m2.fit(train_data, neg_sampling=True, verbose=0)
+    auc_last = evaluate(m2, eval_data, neg_sampling=True,
+                        metrics=["roc_auc"])["roc_auc"]
+    assert auc_final >= auc_last - 1e-9
