@@ -54,6 +54,7 @@ class TwoTower(EmbedBase):
         alpha=None,  # reference name for ssl_alpha (two_tower.py:84)
         multi_sparse_combiner="sqrtn",
         sparse_optimizer=False,
+        compute_dtype="f32",
         seed=42,
     ):
         self.all_args = {
@@ -66,6 +67,14 @@ class TwoTower(EmbedBase):
         super().__init__(task, data_info, embed_size, None, seed)
         self.loss_type = loss_type
         self.norm_embed = norm_embed
+        # compute_dtype="bf16" runs the tower MLPs in bf16 with f32
+        # outputs. Measured at the bench config (D=64, hidden 128/64/32,
+        # B=8192): bf16 is ~4% SLOWER — the matmuls are too skinny for the
+        # MXU either way and the casts add VPU work — so f32 is the
+        # default; the knob pays off at wider towers.
+        if compute_dtype not in ("bf16", "f32", None):
+            raise ValueError("compute_dtype must be 'bf16', 'f32' or None")
+        self.compute_dtype = compute_dtype or "f32"
         self.n_epochs = n_epochs
         self.lr = lr
         self.lr_decay = lr_decay
@@ -241,8 +250,15 @@ class TwoTower(EmbedBase):
             emb = params["dense_embed"][jnp.asarray(feats.user_dense_pos)]
             pieces.append((vals[:, :, None] * emb[None]).reshape(vals.shape[0], -1))
         x = jnp.concatenate(pieces, axis=1)
-        out = mlp(params["user_mlp"], x, dropout_rate=self.dropout_rate,
-                  train=train, rng=rng, final_activation=False)
+        mlp_params = params["user_mlp"]
+        if self.compute_dtype == "bf16":
+            x = x.astype(jnp.bfloat16)
+            mlp_params = jax.tree.map(
+                lambda a: a.astype(jnp.bfloat16), mlp_params
+            )
+        out = mlp(mlp_params, x, dropout_rate=self.dropout_rate,
+                  train=train, rng=rng,
+                  final_activation=False).astype(jnp.float32)
         return l2_normalize(out) if self.norm_embed else out
 
     def item_tower(self, params, items, train=False, rng=None, sparse_rows=None):
@@ -262,8 +278,15 @@ class TwoTower(EmbedBase):
             emb = params["dense_embed"][jnp.asarray(feats.item_dense_pos)]
             pieces.append((vals[:, :, None] * emb[None]).reshape(vals.shape[0], -1))
         x = jnp.concatenate(pieces, axis=1)
-        out = mlp(params["item_mlp"], x, dropout_rate=self.dropout_rate,
-                  train=train, rng=rng, final_activation=False)
+        mlp_params = params["item_mlp"]
+        if self.compute_dtype == "bf16":
+            x = x.astype(jnp.bfloat16)
+            mlp_params = jax.tree.map(
+                lambda a: a.astype(jnp.bfloat16), mlp_params
+            )
+        out = mlp(mlp_params, x, dropout_rate=self.dropout_rate,
+                  train=train, rng=rng,
+                  final_activation=False).astype(jnp.float32)
         return l2_normalize(out) if self.norm_embed else out
 
     # ------------------------------------------------------------- training
