@@ -267,7 +267,7 @@ class FeatBase(Base):
             self.feats = FeatureTables(self.data_info)
             self._predict_fn = None
             self._recommend_fn = None
-    
+
     def _catalog_pair_inputs(self, users, n_users_call, overrides=None):
         """(U,) users -> flat cross-product inputs (U*n_items rows) for the
         generic pair-loop scorer. Per-user override rows ((U, F) sparse/dense,
