@@ -272,3 +272,39 @@ def test_sparse_optimizer_retrain_grafts_moment_rows(tmp_path):
                  batch_size=256, sparse_optimizer=True)
     model3.rebuild_model(path, "BPR")
     model3.fit(new_train, neg_sampling=True, verbose=0)
+
+
+def test_retrain_grafting_under_mesh(tmp_path):
+    """Save -> merge_trainset (vocab growth) -> rebuild_model -> refit, all
+    UNDER the device mesh: old rows (and LazyAdam moments) reshard into the
+    enlarged row-sharded tables (SURVEY 'hard parts': retrain row-grafting
+    with sharded tables)."""
+    import numpy as np
+    import pandas as pd
+
+    from librecommender_tpu.data import DatasetPure
+    from librecommender_tpu.models import BPR
+    from librecommender_tpu.parallel import build_mesh
+
+    def frame(n, seed, u_off=0, i_off=0):
+        r = np.random.default_rng(seed)
+        return pd.DataFrame({
+            "user": r.integers(0, 60, n) + u_off,
+            "item": r.integers(0, 90, n) + i_off,
+            "label": np.ones(n),
+        }).drop_duplicates(subset=["user", "item"])
+
+    train, di = DatasetPure.build_trainset(frame(2000, 0))
+    mesh = build_mesh(model_parallel=2)
+    m = BPR("ranking", di, embed_size=16, n_epochs=2, batch_size=512, seed=1)
+    m.fit(train, neg_sampling=True, verbose=0, mesh=mesh)
+    m.save(str(tmp_path), "bpr")
+
+    new = frame(1500, 9, u_off=30, i_off=50)  # overlap + new ids
+    train2, di2 = DatasetPure.merge_trainset(new, di)
+    m2 = BPR("ranking", di2, embed_size=16, n_epochs=2, batch_size=512, seed=1)
+    m2.rebuild_model(str(tmp_path), "bpr")
+    m2.fit(train2, neg_sampling=True, verbose=0, mesh=mesh)
+    u = int(new.user.iloc[0])
+    recs = m2.recommend_user(user=u, n_rec=5)
+    assert len(recs[u]) == 5
