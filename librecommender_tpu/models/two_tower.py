@@ -401,30 +401,59 @@ class TwoTower(EmbedBase):
                 user, n_rec, inner_id=inner_id, cold_start=cold_start,
                 filter_consumed=filter_consumed, random_rec=random_rec,
             )
+        if cold_start not in ("average", "popular"):
+            raise ValueError(f"Unknown cold start strategy: {cold_start}")
         from ..ops.topk import pad_consumed, topk_from_scores
+        from ..recommendation.cold_start import popular_recommendations
+        from ..recommendation.ranking import rank_recommendations
 
         users = np.atleast_1d(np.asarray(user))
 
         def _uid(u):
             if inner_id:
-                return int(u) if 0 <= int(u) < self.n_users else self.n_users
-            return self.data_info.user2id.get(u, self.n_users)
+                return int(u) if 0 <= int(u) < self.n_users else -1
+            return self.data_info.user2id.get(u, -1)
 
-        uids = np.asarray([_uid(u) for u in users], np.int64)
-        vecs = np.stack([
-            self.dyn_user_embedding(int(uid), user_feats, inner_id=True)
-            for uid in uids
-        ])
-        scores = vecs @ self.item_embeds_np[: self.n_items].T
-        consumed = (
-            pad_consumed(self.user_consumed, uids) if filter_consumed else None
-        )
-        ids, _ = topk_from_scores(jnp.asarray(scores), consumed, int(n_rec))
-        ids = np.asarray(ids)
-        result = {
-            (u.item() if isinstance(u, np.generic) else u): ids[i]
-            for i, u in enumerate(users)
-        }
+        raw_uids = np.asarray([_uid(u) for u in users], np.int64)
+        # unknown users: "popular" bypasses the tower entirely (base
+        # recommend_user contract); "average" routes them through the
+        # OOV params row with the override feats applied
+        popular_mask = (raw_uids < 0) & (cold_start == "popular")
+        uids = np.where(raw_uids < 0, self.n_users, raw_uids)
+        result = {}
+        main_idx = np.nonzero(~popular_mask)[0]
+        if main_idx.size > 0:
+            m_uids = uids[main_idx]
+            vecs = np.stack([
+                self.dyn_user_embedding(int(uid), user_feats, inner_id=True)
+                for uid in m_uids
+            ])
+            scores = vecs @ self.item_embeds_np[: self.n_items].T
+            if random_rec:
+                ids = rank_recommendations(
+                    self.task, m_uids, scores, n_rec, self.n_items,
+                    self.user_consumed, filter_consumed=filter_consumed,
+                    random_rec=True, np_rng=self.data_info.np_rng,
+                )
+            else:
+                consumed = (
+                    pad_consumed(self.user_consumed, m_uids)
+                    if filter_consumed else None
+                )
+                ids, _ = topk_from_scores(
+                    jnp.asarray(scores), consumed, int(n_rec)
+                )
+                ids = np.asarray(ids)
+            for row, i in enumerate(main_idx):
+                u = users[i]
+                key = u.item() if isinstance(u, np.generic) else u
+                result[key] = ids[row]
+        for i in np.nonzero(popular_mask)[0]:
+            u = users[i]
+            key = u.item() if isinstance(u, np.generic) else u
+            result[key] = popular_recommendations(
+                self.data_info, inner_id=True, n_rec=n_rec
+            )
         return self.finalize_rec(result, users, inner_id)
 
     def post_load(self):

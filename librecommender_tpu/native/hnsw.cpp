@@ -15,6 +15,7 @@
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <limits>
 #include <queue>
 #include <random>
 #include <utility>
@@ -221,7 +222,13 @@ void hnsw_search(const void* idx, const float* queries, int64_t nq,
                  int64_t dq, int k, int ef, int32_t* out_ids,
                  float* out_scores) {
   const auto* ix = static_cast<const HnswIndex*>(idx);
-  (void)dq;
+  if (dq != ix->d) {  // dim mismatch: fail safe with pad results, no OOB reads
+    for (int64_t i = 0; i < nq * k; ++i) {
+      out_ids[i] = -1;
+      out_scores[i] = -std::numeric_limits<float>::infinity();
+    }
+    return;
+  }
 #ifdef _OPENMP
 #pragma omp parallel for schedule(dynamic, 8)
 #endif

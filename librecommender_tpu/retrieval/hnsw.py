@@ -46,6 +46,10 @@ class HNSWIndex:
             np.atleast_2d(np.asarray(queries, np.float32))
         )
         nq, d = queries.shape
+        if d != self.vectors.shape[1]:
+            raise ValueError(
+                f"query dim {d} != indexed vector dim {self.vectors.shape[1]}"
+            )
         k = int(min(k, self.vectors.shape[0]))
         if self._handle is None:  # exact fallback
             sims = queries @ self.vectors.T

@@ -308,8 +308,12 @@ class Trainer:
         from ..batch import BatchGenerator
 
         if early_stopping:
-            assert eval_data is not None, "early_stopping requires eval_data"
+            if eval_data is None:
+                raise ValueError("early_stopping requires eval_data")
             es_metric = (metrics or ["loss"])[0]
+            # lower-is-better metrics; everything else (auc, ndcg, ...) is
+            # higher-is-better
+            es_lower = es_metric in ("loss", "rmse", "mae", "log_loss")
             es_best, es_best_params, es_bad = None, None, 0
 
         model = self.model
@@ -489,7 +493,7 @@ class Trainer:
                     sample_user_num=eval_user_num, seed=model.seed,
                 )[es_metric]
                 improved = es_best is None or (
-                    val < es_best if es_metric == "loss" else val > es_best
+                    val < es_best if es_lower else val > es_best
                 )
                 if improved:
                     es_best, es_bad = val, 0

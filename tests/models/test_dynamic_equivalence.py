@@ -120,3 +120,22 @@ def test_two_tower_user_feats_recommend(feat_builds):
     cold = model.recommend_user(user=-55, n_rec=6,
                                 user_feats={"sex": "m", "age": 1.0})
     assert len(cold[-55]) == 6
+    # base recommend contract holds on the feats path too (ADVICE r3):
+    # cold_start="popular" gives the popularity list, not the OOV tower row
+    from librecommender_tpu.recommendation.cold_start import (
+        popular_recommendations,
+    )
+
+    pop = model.recommend_user(user=-55, n_rec=6, cold_start="popular",
+                               user_feats={"sex": "m", "age": 1.0})
+    expected = popular_recommendations(data_info, inner_id=True, n_rec=6)
+    expected = [data_info.id2item[i] for i in expected]
+    assert list(pop[-55]) == list(expected)
+    with pytest.raises(ValueError):
+        model.recommend_user(user=0, n_rec=6, cold_start="bogus",
+                             user_feats={"sex": "m"})
+    # random_rec is honored: known user, fixed rng state -> sampled output
+    # is a valid rec list (and the arg no longer silently ignored)
+    rnd = model.recommend_user(user=0, n_rec=6, inner_id=True,
+                               random_rec=True, user_feats={"sex": "f"})
+    assert len(rnd[0]) == 6

@@ -105,3 +105,37 @@ def test_early_stopping(pure_builds):
     auc_last = evaluate(m2, eval_data, neg_sampling=True,
                         metrics=["roc_auc"])["roc_auc"]
     assert auc_final >= auc_last - 1e-9
+
+
+def test_early_stopping_lower_is_better(pure_builds):
+    """rmse/mae/log_loss are lower-is-better: early stopping must keep the
+    LOWEST-metric epoch, not the highest (ADVICE r3 medium finding)."""
+    from librecommender_tpu.evaluation import evaluate
+    from librecommender_tpu.models import SVD
+
+    train_data, eval_data, *_, data_info = pure_builds
+    model = SVD("rating", data_info, embed_size=16, n_epochs=30, lr=0.05,
+                batch_size=512, seed=0)
+    model.fit(train_data, neg_sampling=False, verbose=0, eval_data=eval_data,
+              metrics=["rmse"], early_stopping=3)
+    ran = len(model.trainer.epoch_times)
+    assert ran < 30, "high-lr rating fit should overfit and stop early"
+    rmse_final = evaluate(model, eval_data, neg_sampling=False,
+                          metrics=["rmse"])["rmse"]
+    # the restored params must beat (or match) the last epoch's params —
+    # under the old always-higher-is-better rule they'd be the WORST epoch
+    m2 = SVD("rating", data_info, embed_size=16, n_epochs=ran, lr=0.05,
+             batch_size=512, seed=0)
+    m2.fit(train_data, neg_sampling=False, verbose=0)
+    rmse_last = evaluate(m2, eval_data, neg_sampling=False,
+                         metrics=["rmse"])["rmse"]
+    assert rmse_final <= rmse_last + 1e-9
+
+
+def test_early_stopping_requires_eval_data(pure_builds):
+    from librecommender_tpu.models import BPR
+
+    train_data, *_, data_info = pure_builds
+    model = BPR("ranking", data_info, embed_size=8, n_epochs=2)
+    with pytest.raises(ValueError, match="eval_data"):
+        model.fit(train_data, neg_sampling=True, verbose=0, early_stopping=2)

@@ -49,6 +49,16 @@ def test_hnsw_ef_search_tradeoff(corpus):
     assert r_large >= 0.95
 
 
+def test_hnsw_query_dim_mismatch_raises(corpus):
+    """A query whose width differs from the indexed vectors must fail
+    fast (ValueError), not read out of bounds in native code (ADVICE r3)."""
+    vecs, _, _ = corpus
+    idx = HNSWIndex.build(vecs[:500], M=8, ef_construction=64, seed=3)
+    bad = np.zeros((4, vecs.shape[1] + 3), np.float32)
+    with pytest.raises(ValueError, match="dim"):
+        idx.search(bad, 5)
+
+
 def test_hnsw_save_load_roundtrip(corpus, tmp_path):
     vecs, queries, _ = corpus
     idx = HNSWIndex.build(vecs[:1000], M=8, ef_construction=64, seed=3)
