@@ -98,9 +98,42 @@ class SeqFeatBase(FeatBase):
                 params["tok_ln_dense"] = init_layer_norm(self.embed_size)
         return params
 
+    # catalogs up to this size get the packed token table (below); beyond
+    # it the per-id assembly is cheaper than materializing all tokens
+    token_pack_max_items = 65536
+
+    def _token_pack_ok(self):
+        f_s, f_d = self._token_field_counts()
+        return (f_s or f_d) and (self.n_items + 1) <= self.token_pack_max_items
+
     def _token_embeds(self, params, ids):
         """Item ids (any shape) -> feature-aggregated tokens (..., token_dim).
-        Pad/OOV ids index the OOV row of each table."""
+        Pad/OOV ids index the OOV row of each table.
+
+        For catalogs under ``token_pack_max_items`` the token vectors are
+        assembled for ALL items once per step and looked up with ONE
+        gather. A token is a pure function of the item id, so assembling
+        it per sequence position pays the per-index-row gather/scatter
+        cost (and the concat's layout copies) once per position per field
+        — B*L rows each — where the packed form pays it once per CATALOG
+        row. Measured on a v5e (Transformer bench geometry, xplane): the
+        per-position form spent 0.67 ms/step re-gathering sparse rows and
+        0.5 ms/step in concat layout copies; packing removed both. XLA
+        CSE merges the table builds across the step's _token_embeds calls."""
+        f_s, f_d = self._token_field_counts()
+        if (f_s or f_d) and self._token_pack_ok():
+            n = self.n_items + 1
+            all_ids = jnp.arange(n, dtype=jnp.int32)
+            table = self._token_embeds_raw(params, all_ids)
+            # sublane-align the table rows: gathers from a non-8-multiple
+            # row count lower to a slow path (measured 50 vs ~2 ns/row)
+            pad = (-n) % 8
+            if pad:
+                table = jnp.pad(table, ((0, pad), (0, 0)))
+            return table[ids]
+        return self._token_embeds_raw(params, ids)
+
+    def _token_embeds_raw(self, params, ids):
         from ..ops.nn import layer_norm
 
         base = params["item_embed"][ids]

@@ -283,21 +283,26 @@ def transformer_target_out(layers, seq_x, seq_mask, tgt_x, num_heads=1,
     x_seq, x_tgt = seq_x, tgt_x
     for li, layer in enumerate(layers):
         p = layer["mha"]
-        h_seq = layer_norm(layer["ln1"], x_seq.reshape(B * L, D))
-        w_kv = jnp.concatenate([p["wk"], p["wv"]], axis=1).astype(h_seq.dtype)
-        kv = h_seq @ w_kv                                   # (B*L, 2*inner)
-        inner = kv.shape[1] // 2
+        # head split folded INTO the projection einsums (no reshape between
+        # a projection GEMM and its consumer): the flatten-project-reshape
+        # form forced XLA to materialize (T*B, inner) <-> (T, B, H, d)
+        # layout transposes in forward AND backward — measured 1.45 ms of
+        # copies per step at bench geometry; this form runs 0.66 ms with
+        # identical math (bf16-rounding-level equal outputs)
+        inner = p["wq"].shape[1]
         d = inner // H
-        k_seq = kv[:, :inner].reshape(B, L, H, d)
-        v_seq = kv[:, inner:].reshape(B, L, H, d)
-        h_tgt = layer_norm(layer["ln1"], x_tgt.reshape(T * B, D))
-        w_qkv = jnp.concatenate(
-            [p["wq"], p["wk"], p["wv"]], axis=1
-        ).astype(h_tgt.dtype)
-        qkv = h_tgt @ w_qkv                                 # (T*B, 3*inner)
-        q_t = qkv[:, :inner].reshape(T, B, H, d)
-        k_t = qkv[:, inner:2 * inner].reshape(T, B, H, d)
-        v_t = qkv[:, 2 * inner:].reshape(T, B, H, d)
+        dt = x_seq.dtype
+        wq = p["wq"].astype(dt).reshape(D, H, d)
+        wk = p["wk"].astype(dt).reshape(D, H, d)
+        wv = p["wv"].astype(dt).reshape(D, H, d)
+        wo = p["wo"].astype(dt).reshape(H, d, D)
+        h_seq = layer_norm(layer["ln1"], x_seq)             # (B, L, D)
+        k_seq = jnp.einsum("bld,dhe->blhe", h_seq, wk)
+        v_seq = jnp.einsum("bld,dhe->blhe", h_seq, wv)
+        h_tgt = layer_norm(layer["ln1"], x_tgt)             # (T, B, D)
+        q_t = jnp.einsum("abd,dhe->abhe", h_tgt, wq)
+        k_t = jnp.einsum("abd,dhe->abhe", h_tgt, wk)
+        v_t = jnp.einsum("abd,dhe->abhe", h_tgt, wv)
         scale = jnp.sqrt(d).astype(q_t.dtype)
         logit_seq = jnp.einsum("tbhd,blhd->tbhl", q_t, k_seq) / scale
         logit_seq = jnp.where(seq_mask[None, :, None, :], logit_seq, -1e9)
@@ -308,11 +313,11 @@ def transformer_target_out(layers, seq_x, seq_mask, tgt_x, num_heads=1,
         att = (
             jnp.einsum("tbhl,blhd->tbhd", weights[..., :L], v_seq)
             + weights[..., L:] * v_t
-        ).reshape(T * B, inner)
-        xf = x_tgt.reshape(T * B, D) + (att @ p["wo"].astype(att.dtype))
+        )
+        xf = x_tgt + jnp.einsum("abhd,hde->abe", att, wo)
         h2 = layer_norm(layer["ln2"], xf)
         h2 = dense(layer["ffn2"], jax.nn.relu(dense(layer["ffn1"], h2)))
-        x_tgt = (xf + h2).reshape(T, B, D)
+        x_tgt = xf + h2
         if li < len(layers) - 1:
             # causal case only: seq tokens attend among themselves exactly
             # as in the full pass (tril(L+1)'s top-left block is tril(L))

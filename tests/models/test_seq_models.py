@@ -279,6 +279,44 @@ def test_transformer_token_dim_concat(feat_builds):
         assert m1.token_dim == 8 * (1 + f_i)
 
 
+@pytest.mark.parametrize("mode", ["concat", "elementwise"])
+def test_token_pack_equivalence(feat_builds, mode):
+    """The packed all-items token table must reproduce the per-id token
+    assembly exactly (same gathers, one hop removed) — train forward,
+    predict, and grads route through it when n_items is under the cap."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    train_data, *_, data_info = feat_builds
+    m = Transformer("ranking", data_info, embed_size=8, n_epochs=1,
+                    batch_size=256, recent_num=5, hidden_units=(16,),
+                    feat_agg_mode=mode)
+    m.fit(train_data, neg_sampling=True, verbose=0)
+    assert m._token_pack_ok()
+    ids = jnp.asarray(
+        np.random.default_rng(0).integers(0, m.n_items + 1, (64, 5))
+    )
+    packed = m._token_embeds(m.params, ids)
+    raw = m._token_embeds_raw(m.params, ids)
+    np.testing.assert_array_equal(np.asarray(packed), np.asarray(raw))
+    # grads agree between the packed and raw routes
+    def loss_packed(p):
+        return jnp.sum(m._token_embeds(p, ids) ** 2)
+
+    def loss_raw(p):
+        return jnp.sum(m._token_embeds_raw(p, ids) ** 2)
+
+    g1 = jax.grad(loss_packed)(m.params)
+    g2 = jax.grad(loss_raw)(m.params)
+    # the packed route accumulates field grads in per-catalog-row order,
+    # the raw route in per-position order — equal up to f32 reassociation
+    for k in ("item_embed", "sparse_embed"):
+        np.testing.assert_allclose(
+            np.asarray(g1[k]), np.asarray(g2[k]), rtol=1e-4, atol=1e-5
+        )
+
+
 def test_sim_short_max_len_alias(feat_builds):
     """short_max_len (reference sim.py:131) sets the short window."""
     *_, data_info = feat_builds
