@@ -46,6 +46,7 @@ def main():
         DeepFM,
         LightGCN,
         RNN4Rec,
+        Transformer,
         TwoTower,
         YouTubeRetrieval,
     )
@@ -121,6 +122,11 @@ def main():
         "LightGCN": ("pure", lambda di: LightGCN(
             "ranking", di, embed_size=32, n_epochs=epochs, lr=0.001,
             batch_size=2048, n_layers=3)),
+        # runnable in this image only under TF_USE_LEGACY_KERAS=1 (tf_keras
+        # 2.21 restores the Keras-2 compat APIs the TF1 graphs need)
+        "Transformer": ("feat", lambda di: Transformer(
+            "ranking", di, embed_size=32, n_epochs=epochs, lr=0.001,
+            batch_size=2048, recent_num=10, use_bn=False)),
     }
 
     results = {}
