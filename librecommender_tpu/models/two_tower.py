@@ -47,7 +47,7 @@ class TwoTower(EmbedBase):
         margin=1.0,
         use_correction=True,
         temperature=1.0,
-        remove_accidental_hits=True,
+        remove_accidental_hits=False,  # reference default (two_tower.py:134)
         ssl_pattern=None,
         ssl_alpha=0.2,
         ssl_temperature=0.1,
@@ -216,12 +216,17 @@ class TwoTower(EmbedBase):
             params["dense_embed"] = truncated_normal(
                 r[3], (self.feats.n_dense_fields, D)
             )
+        # tower output dim = hidden_units[-1], NO extra embed_size
+        # projection — matching the reference dense_nn towers
+        # (two_tower.py:400-410); an earlier extra [D] tail both deepened
+        # the net and bottlenecked it to embed_size, measured -0.026 AUC
+        # vs the reference at the 5-epoch parity config
         params["user_mlp"] = init_mlp(
-            r[4], self._n_tower_fields(True) * D, list(self.hidden_units) + [D],
+            r[4], self._n_tower_fields(True) * D, list(self.hidden_units),
             use_ln=self.use_bn,
         )
         params["item_mlp"] = init_mlp(
-            r[5], self._n_tower_fields(False) * D, list(self.hidden_units) + [D],
+            r[5], self._n_tower_fields(False) * D, list(self.hidden_units),
             use_ln=self.use_bn,
         )
         return params

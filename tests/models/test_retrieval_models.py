@@ -65,7 +65,8 @@ def test_two_tower_dyn_user_embedding(feat_builds, feat_frames):
     model.fit(train_data, neg_sampling=False, verbose=0)
     u = train_frame.user.iloc[0]
     embed = model.dyn_user_embedding(u)
-    assert embed.shape == (8,)
+    # tower output dim = hidden_units[-1] (reference dense_nn towers)
+    assert embed.shape == (16,)
     assert np.all(np.isfinite(embed))
 
 
