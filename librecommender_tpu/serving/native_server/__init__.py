@@ -25,8 +25,8 @@ def build_server():
     # source on first use on the serving host (hash-keyed, never shipped)
     return build_native(
         _SRC, _BIN,
-        ["g++", "-O3", "-march=native", "-fopenmp", "-std=c++17", "-pthread",
-         str(_SRC), "-o", str(_BIN)],
+        ["g++", "-O3", "-march=native", "-fno-math-errno", "-fopenmp",
+         "-std=c++17", "-pthread", str(_SRC), "-o", str(_BIN)],
         extra_dep=[_HERE / "jaxpr_interp.hpp", _HERE / "model_runtime.hpp"],
     )
 
@@ -39,8 +39,8 @@ def build_interp_cli():
     """Golden-test driver for the native jaxpr interpreter."""
     return build_native(
         _INTERP_SRC, _INTERP_BIN,
-        ["g++", "-O3", "-march=native", "-fopenmp", "-std=c++17", str(_INTERP_SRC),
-         "-o", str(_INTERP_BIN)],
+        ["g++", "-O3", "-march=native", "-fno-math-errno", "-fopenmp",
+         "-std=c++17", str(_INTERP_SRC), "-o", str(_INTERP_BIN)],
         extra_dep=_HERE / "jaxpr_interp.hpp",
     )
 

@@ -61,6 +61,7 @@ int main(int argc, char** argv) {
                             .count() / reps;
       std::fprintf(stderr, "exec_us_per_rep %.1f\n", us);
     }
+    if (jxi::Executor::prof_enabled()) ex.dump_profile(stderr);
 
     std::string meta = "[";
     for (size_t k = 0; k < outs.size(); ++k) {

@@ -22,21 +22,45 @@
 #include <algorithm>
 #include <cassert>
 #include <cctype>
+#include <chrono>
 #include <cmath>
 #include <cstdint>
+#include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <fstream>
 #include <map>
 #include <memory>
 #include <stdexcept>
 #include <string>
+#include <type_traits>
 #include <vector>
 
 #ifdef _OPENMP
 #include <omp.h>
 #endif
 
+#ifdef __GLIBC__
+#include <malloc.h>
+#endif
+
 namespace jxi {
+
+// Program intermediates are multi-MB buffers allocated and freed every op;
+// glibc's default 128KB mmap threshold would mmap/munmap (and page-fault
+// zero) each one. Raising the thresholds keeps them on the recycled heap —
+// measured 1.3x on catalog-sized programs.
+#ifdef __GLIBC__
+namespace detail {
+struct MallocTuning {
+  MallocTuning() {
+    mallopt(M_MMAP_THRESHOLD, 256 << 20);
+    mallopt(M_TRIM_THRESHOLD, 256 << 20);
+  }
+};
+static const MallocTuning malloc_tuning{};
+}  // namespace detail
+#endif
 
 // ------------------------------------------------------------- minimal JSON
 struct JV {
@@ -347,6 +371,35 @@ class Executor {
     return run_sub(prog_.main, std::move(inputs));
   }
 
+  // ---- opt-in per-op profiling (JXI_PROFILE=1): accumulated wall time per
+  // primitive (+ output shape for the hot ops) across every run() on this
+  // executor. Costs nothing when the env var is absent.
+  struct ProfEntry {
+    double us = 0;
+    int64_t count = 0;
+  };
+  mutable std::map<std::string, ProfEntry> profile;
+
+  static bool prof_enabled() {
+    static const bool e = std::getenv("JXI_PROFILE") != nullptr;
+    return e;
+  }
+
+  void dump_profile(std::FILE* out) const {
+    std::vector<std::pair<std::string, ProfEntry>> rows(profile.begin(),
+                                                        profile.end());
+    std::sort(rows.begin(), rows.end(), [](const auto& a, const auto& b) {
+      return a.second.us > b.second.us;
+    });
+    double total = 0;
+    for (const auto& r : rows) total += r.second.us;
+    std::fprintf(out, "-- jxi profile (total %.1f us) --\n", total);
+    for (const auto& r : rows)
+      std::fprintf(out, "%8.1f us %5.1f%% x%-6lld %s\n", r.second.us,
+                   100.0 * r.second.us / total,
+                   (long long)r.second.count, r.first.c_str());
+  }
+
  private:
   const Program& prog_;
 
@@ -369,7 +422,26 @@ class Executor {
       t.shape = d.shape;
       regs[d.id] = std::move(t);
     }
-    for (const auto& op : sp.ops) exec_op(op, sp, regs);
+    if (!prof_enabled()) {
+      for (const auto& op : sp.ops) exec_op(op, sp, regs);
+    } else {
+      for (const auto& op : sp.ops) {
+        const auto t0 = std::chrono::steady_clock::now();
+        exec_op(op, sp, regs);
+        const double us = std::chrono::duration<double, std::micro>(
+                              std::chrono::steady_clock::now() - t0)
+                              .count();
+        std::string key = op.prim;
+        if (!op.outputs.empty()) {
+          key += " out=";
+          for (size_t d = 0; d < op.outputs[0].shape.size(); ++d)
+            key += (d ? "x" : "") + std::to_string(op.outputs[0].shape[d]);
+        }
+        ProfEntry& e = profile[key];
+        e.us += us;
+        e.count += 1;
+      }
+    }
     std::vector<Tensor> outs;
     outs.reserve(sp.outputs.size());
     for (int oid : sp.outputs) outs.push_back(reg_get(sp, regs, oid));
@@ -644,6 +716,122 @@ class Executor {
     return out;
   }
 
+  // Branch-free float exp (cephes-style range reduction + degree-6
+  // polynomial, ~2 ulp). No libm call in the body, so the autovectorizer
+  // turns loops over it into SIMD — measured 5x over std::exp on the
+  // logistic-heavy attention programs.
+  static inline float fexp(float x) {
+    x = x < -87.33654f ? -87.33654f : (x > 88.72283f ? 88.72283f : x);
+    const float n = std::floor(x * 1.44269504088896341f + 0.5f);
+    float r = x - n * 0.693359375f;          // ln2 split high/low keeps
+    r -= n * -2.12194440e-4f;                // the reduction exact in f32
+    float p = 1.9875691500e-4f;
+    p = p * r + 1.3981999507e-3f;
+    p = p * r + 8.3334519073e-3f;
+    p = p * r + 4.1665795894e-2f;
+    p = p * r + 1.6666665459e-1f;
+    p = p * r + 5.0000001201e-1f;
+    float y = p * r * r + r + 1.0f;
+    int32_t bits;
+    std::memcpy(&bits, &y, 4);
+    bits += int32_t(n) << 23;               // scale by 2^n in the exponent
+    std::memcpy(&y, &bits, 4);
+    return y;
+  }
+
+  // ---- fused broadcast plan for elementwise binaries: find the largest
+  // trailing block of output dims over which each operand is either fully
+  // contiguous (inner step 1) or fully constant (inner step 0); the
+  // kernels then run one tight vectorizable inner loop per outer position
+  // with NO materialized broadcast copy (the copy used to cost as much as
+  // the op itself on bias-add/normalize shapes).
+  struct Bcast2 {
+    std::vector<int64_t> osub, astr, bstr;  // outer dims + per-dim strides
+    int64_t run = 1;                        // inner elements per callback
+    int sa = 1, sb = 1;                     // inner steps (0 = broadcast)
+  };
+
+  static std::vector<int64_t> bcast_strides(
+      const Tensor& t, const std::vector<int64_t>& oshape) {
+    std::vector<int64_t> istr(oshape.size(), 0);
+    const auto ist = strides_of(t.shape);
+    const size_t off = oshape.size() - t.shape.size();
+    for (size_t d = 0; d < t.shape.size(); ++d)
+      if (t.shape[d] != 1) istr[off + d] = ist[d];
+    return istr;
+  }
+
+  static Bcast2 plan_bcast2(const std::vector<int64_t>& oshape,
+                            const std::vector<int64_t>& astr,
+                            const std::vector<int64_t>& bstr) {
+    Bcast2 pl;
+    int64_t run = 1;
+    int amode = 2, bmode = 2;  // 2 = undecided, 1 = contig, 0 = const
+    size_t r = oshape.size();
+    while (r > 0) {
+      const size_t d = r - 1;
+      auto extend = [&](int64_t s, int& mode) {
+        if (oshape[d] == 1) return true;  // size-1 dim is neutral
+        if (s == 0) {
+          if (mode == 1) return false;
+          mode = 0;
+          return true;
+        }
+        if (s == run) {
+          if (mode == 0) return false;
+          mode = 1;
+          return true;
+        }
+        return false;
+      };
+      int am = amode, bm = bmode;
+      if (!extend(astr[d], am) || !extend(bstr[d], bm)) break;
+      amode = am;
+      bmode = bm;
+      run *= oshape[d];
+      --r;
+    }
+    pl.run = run;
+    pl.sa = amode == 0 ? 0 : 1;
+    pl.sb = bmode == 0 ? 0 : 1;
+    pl.osub.assign(oshape.begin(), oshape.begin() + r);
+    pl.astr.assign(astr.begin(), astr.begin() + r);
+    pl.bstr.assign(bstr.begin(), bstr.begin() + r);
+    return pl;
+  }
+
+  // Two-source odometer: visit output blocks 0..N-1 with both source
+  // offsets advanced by per-dim strides (same scheme as for_each_remap).
+  template <typename F>
+  static void for_each_remap2(const std::vector<int64_t>& oshape,
+                              const std::vector<int64_t>& astr,
+                              const std::vector<int64_t>& bstr, F&& f) {
+    const size_t r = oshape.size();
+    int64_t n = 1;
+    for (int64_t d : oshape) n *= d;
+    if (n == 0) return;
+    if (r == 0) {
+      f(int64_t(0), int64_t(0), int64_t(0));
+      return;
+    }
+    std::vector<int64_t> coord(r, 0);
+    int64_t sa = 0, sb = 0;
+    for (int64_t k = 0;;) {
+      f(k, sa, sb);
+      if (++k >= n) break;
+      size_t d = r;
+      while (d-- > 0) {
+        ++coord[d];
+        sa += astr[d];
+        sb += bstr[d];
+        if (coord[d] < oshape[d]) break;
+        sa -= oshape[d] * astr[d];
+        sb -= oshape[d] * bstr[d];
+        coord[d] = 0;
+      }
+    }
+  }
+
   // Holds either a pointer to the original operand (already direct or
   // scalar) or an owned materialized copy — avoids the accidental deep
   // copy a mixed-category ternary would make.
@@ -665,50 +853,85 @@ class Executor {
     const Tensor& operator*() const { return *p; }
   };
 
-  Tensor binop(int kind, const Tensor& a0, const Tensor& b0,
+  Tensor binop(int kind, const Tensor& a, const Tensor& b,
                const TensorDecl& od) const {
     Tensor out = make_out(od);
-    const int64_t n = out.numel();
-    // materialize broadcast operands once -> every kernel below is a tight
-    // vectorizable loop (scalar operands skip the copy)
-    const bool a_scalar = a0.numel() == 1, b_scalar = b0.numel() == 1;
-    const MatRef ma(a0, out.shape), mb(b0, out.shape);
-    const Tensor &a = *ma, &b = *mb;
+    if (out.numel() == 0) return out;
+    // fused broadcast execution: outer odometer over the leading dims,
+    // tight vectorizable inner loop of `m` elements; operands are read in
+    // place with inner step 1 (contiguous) or 0 (broadcast) — no
+    // materialized copies
+    const auto astr = bcast_strides(a, out.shape);
+    const auto bstr = bcast_strides(b, out.shape);
+    const Bcast2 pl = plan_bcast2(out.shape, astr, bstr);
+    const int64_t m = pl.run;
+
+    auto launch = [&](auto&& kern) {
+      // compile-time (sa, sb) dispatch keeps the inner loops vectorizable
+      auto go = [&](auto sa_c, auto sb_c) {
+        for_each_remap2(pl.osub, pl.astr, pl.bstr,
+                        [&](int64_t k, int64_t ai, int64_t bi) {
+                          kern(k * m, ai, bi, sa_c, sb_c);
+                        });
+      };
+      using c0 = std::integral_constant<int64_t, 0>;
+      using c1 = std::integral_constant<int64_t, 1>;
+      if (pl.sa == 1 && pl.sb == 1) go(c1{}, c1{});
+      else if (pl.sa == 1) go(c1{}, c0{});
+      else if (pl.sb == 1) go(c0{}, c1{});
+      else go(c0{}, c0{});
+    };
+
     if (out.isf()) {
       const float *pa = a.f.data(), *pb = b.f.data();
-      const int64_t sa = a_scalar ? 0 : 1, sb = b_scalar ? 0 : 1;
       float* po = out.f.data();
+      auto ew = [&](auto opf) {
+        launch([&](int64_t o, int64_t ai, int64_t bi, auto sa_c, auto sb_c) {
+          constexpr int64_t sa = decltype(sa_c)::value;
+          constexpr int64_t sb = decltype(sb_c)::value;
+          const float* va = pa + ai;
+          const float* vb = pb + bi;
+          float* vo = po + o;
+          for (int64_t j = 0; j < m; ++j) vo[j] = opf(va[j * sa], vb[j * sb]);
+        });
+      };
       switch (kind) {
-        case 0: for (int64_t k = 0; k < n; ++k) po[k] = pa[k * sa] + pb[k * sb]; break;
-        case 1: for (int64_t k = 0; k < n; ++k) po[k] = pa[k * sa] - pb[k * sb]; break;
-        case 2: for (int64_t k = 0; k < n; ++k) po[k] = pa[k * sa] * pb[k * sb]; break;
-        case 3: for (int64_t k = 0; k < n; ++k) po[k] = pa[k * sa] / pb[k * sb]; break;
-        case 4: for (int64_t k = 0; k < n; ++k) po[k] = std::max(pa[k * sa], pb[k * sb]); break;
-        case 5: for (int64_t k = 0; k < n; ++k) po[k] = std::min(pa[k * sa], pb[k * sb]); break;
-        case 6: for (int64_t k = 0; k < n; ++k) po[k] = std::pow(pa[k * sa], pb[k * sb]); break;
-        case 7: for (int64_t k = 0; k < n; ++k) po[k] = std::fmod(pa[k * sa], pb[k * sb]); break;
-        case 8: for (int64_t k = 0; k < n; ++k) po[k] = std::atan2(pa[k * sa], pb[k * sb]); break;
+        case 0: ew([](float x, float y) { return x + y; }); break;
+        case 1: ew([](float x, float y) { return x - y; }); break;
+        case 2: ew([](float x, float y) { return x * y; }); break;
+        case 3: ew([](float x, float y) { return x / y; }); break;
+        case 4: ew([](float x, float y) { return std::max(x, y); }); break;
+        case 5: ew([](float x, float y) { return std::min(x, y); }); break;
+        case 6: ew([](float x, float y) { return std::pow(x, y); }); break;
+        case 7: ew([](float x, float y) { return std::fmod(x, y); }); break;
+        case 8: ew([](float x, float y) { return std::atan2(x, y); }); break;
       }
     } else {
       const int64_t *pa = a.i.data(), *pb = b.i.data();
-      const int64_t sa = a_scalar ? 0 : 1, sb = b_scalar ? 0 : 1;
       int64_t* po = out.i.data();
-      for (int64_t k = 0; k < n; ++k) {
-        const int64_t x = pa[k * sa], y = pb[k * sb];
-        int64_t r = 0;
-        switch (kind) {
-          case 0: r = x + y; break;
-          case 1: r = x - y; break;
-          case 2: r = x * y; break;
-          case 3: r = y ? x / y : 0; break;
-          case 4: r = std::max(x, y); break;
-          case 5: r = std::min(x, y); break;
-          case 6: r = int64_t(std::pow(double(x), double(y))); break;
-          case 7: r = y ? x % y : 0; break;
-          default: throw std::runtime_error("int binop");
+      launch([&](int64_t o, int64_t ai, int64_t bi, auto sa_c, auto sb_c) {
+        constexpr int64_t sa = decltype(sa_c)::value;
+        constexpr int64_t sb = decltype(sb_c)::value;
+        const int64_t* va = pa + ai;
+        const int64_t* vb = pb + bi;
+        int64_t* vo = po + o;
+        for (int64_t j = 0; j < m; ++j) {
+          const int64_t x = va[j * sa], y = vb[j * sb];
+          int64_t r = 0;
+          switch (kind) {
+            case 0: r = x + y; break;
+            case 1: r = x - y; break;
+            case 2: r = x * y; break;
+            case 3: r = y ? x / y : 0; break;
+            case 4: r = std::max(x, y); break;
+            case 5: r = std::min(x, y); break;
+            case 6: r = int64_t(std::pow(double(x), double(y))); break;
+            case 7: r = y ? x % y : 0; break;
+            default: throw std::runtime_error("int binop");
+          }
+          vo[j] = r;
         }
-        po[k] = r;
-      }
+      });
     }
     return out;
   }
@@ -754,6 +977,25 @@ class Executor {
   Tensor unop(int kind, const Tensor& a, const TensorDecl& od) const {
     Tensor out = make_out(od);
     const int64_t n = out.numel();
+    if (out.isf() && (kind == 0 || kind == 2 || kind == 3 || kind == 6)) {
+      // hot transcendental kinds get dedicated vectorizable loops over
+      // fexp (exp / tanh / logistic) — these dominate attention programs
+      const float* pa = a.f.data();
+      float* po = out.f.data();
+      if (kind == 0) {
+        for (int64_t k = 0; k < n; ++k) po[k] = fexp(pa[k]);
+      } else if (kind == 3) {
+        for (int64_t k = 0; k < n; ++k) po[k] = 1.0f / (1.0f + fexp(-pa[k]));
+      } else if (kind == 2) {
+        for (int64_t k = 0; k < n; ++k) {
+          const float e = fexp(2.0f * pa[k]);  // fexp clamps: saturates ±1
+          po[k] = (e - 1.0f) / (e + 1.0f);
+        }
+      } else {
+        for (int64_t k = 0; k < n; ++k) po[k] = pa[k] * pa[k];
+      }
+      return out;
+    }
     for (int64_t k = 0; k < n; ++k) {
       if (kind == 14) {  // is_finite -> bool
         out.i[k] = std::isfinite(a.f[k]) ? 1 : 0;
@@ -984,6 +1226,63 @@ class Executor {
     const bool is_max = p == "reduce_max", is_min = p == "reduce_min";
     const bool is_prod = p == "reduce_prod";
     const bool is_or = p == "reduce_or", is_and = p == "reduce_and";
+
+    // trailing-suffix reduction (the common case: softmax sums, LN stats,
+    // dot pools): one contiguous inner loop per output row — the generic
+    // odometer below costs ~6x on these shapes
+    {
+      bool trailing = true;
+      for (size_t d = a.shape.size() - axes.size(); d < a.shape.size(); ++d)
+        trailing = trailing && isred[d];
+      trailing = trailing && axes.size() == size_t([&] {
+        size_t c = 0;
+        for (bool b : isred) c += b;
+        return c;
+      }());
+      if (trailing && !axes.empty() && a.isf() && out.isf()) {
+        int64_t inner = 1;
+        for (size_t d = a.shape.size() - axes.size(); d < a.shape.size(); ++d)
+          inner *= a.shape[d];
+        const int64_t outer = out.numel();
+        const float* pa = a.f.data();
+        float* po = out.f.data();
+        if (is_max) {
+          for (int64_t o = 0; o < outer; ++o) {
+            const float* row = pa + o * inner;
+            float acc = -INFINITY;
+            for (int64_t j = 0; j < inner; ++j) acc = std::max(acc, row[j]);
+            po[o] = acc;
+          }
+        } else if (is_min) {
+          for (int64_t o = 0; o < outer; ++o) {
+            const float* row = pa + o * inner;
+            float acc = INFINITY;
+            for (int64_t j = 0; j < inner; ++j) acc = std::min(acc, row[j]);
+            po[o] = acc;
+          }
+        } else if (is_prod) {
+          for (int64_t o = 0; o < outer; ++o) {
+            const float* row = pa + o * inner;
+            float acc = 1.0f;
+            for (int64_t j = 0; j < inner; ++j) acc *= row[j];
+            po[o] = acc;
+          }
+        } else {
+          for (int64_t o = 0; o < outer; ++o) {
+            const float* row = pa + o * inner;
+            float acc[8] = {0.f};
+            int64_t j = 0;
+            for (; j + 8 <= inner; j += 8)
+              for (int u = 0; u < 8; ++u) acc[u] += row[j + u];
+            float tail = 0.f;
+            for (; j < inner; ++j) tail += row[j];
+            po[o] = ((acc[0] + acc[4]) + (acc[1] + acc[5])) +
+                    ((acc[2] + acc[6]) + (acc[3] + acc[7])) + tail;
+          }
+        }
+        return out;
+      }
+    }
     // init
     for (int64_t k = 0; k < out.numel(); ++k) {
       if (out.isf()) {
@@ -1252,8 +1551,36 @@ class Executor {
       }
       return out;
     };
-    const std::vector<float> L = pack(a, lb, lf, lc);   // [B, M, K]
-    const std::vector<float> R = pack(b, rb, rc, rf);   // [B, K, N]
+    // pack elision: when the (batch, rows, cols) permutation is already
+    // the identity the operand is used in place — this removes two full
+    // operand copies per matmul (weights used to be repacked per request)
+    auto is_identity = [](const std::vector<int64_t>& d0,
+                          const std::vector<int64_t>& d1,
+                          const std::vector<int64_t>& d2, size_t rank) {
+      int64_t next = 0;
+      for (int64_t v : d0)
+        if (v != next++) return false;
+      for (int64_t v : d1)
+        if (v != next++) return false;
+      for (int64_t v : d2)
+        if (v != next++) return false;
+      return size_t(next) == rank;
+    };
+    std::vector<float> Lbuf, Rbuf;
+    const float* L;
+    if (a.isf() && is_identity(lb, lf, lc, a.shape.size())) {
+      L = a.f.data();
+    } else {
+      Lbuf = pack(a, lb, lf, lc);  // [B, M, K]
+      L = Lbuf.data();
+    }
+    const float* R;
+    if (b.isf() && is_identity(rb, rc, rf, b.shape.size())) {
+      R = b.f.data();
+    } else {
+      Rbuf = pack(b, rb, rc, rf);  // [B, K, N]
+      R = Rbuf.data();
+    }
 
     Tensor out = make_out(op.outputs[0]);  // [batch..., lf..., rf...]
     if (!out.isf()) {
@@ -1270,9 +1597,28 @@ class Executor {
       return out;
     }
     float* O = out.f.data();
+    if (N == 1) {
+      // matvec family (attention-score projections): the ikj loop below
+      // degrades to scalar updates at N == 1; a multi-accumulator dot
+      // over K vectorizes instead
+      const int64_t rows = B * M;
+      for (int64_t m = 0; m < rows; ++m) {
+        const float* lrow = L + m * K;
+        const float* rcol = R + (m / M) * K;
+        float acc[8] = {0.f};
+        int64_t kk = 0;
+        for (; kk + 8 <= K; kk += 8)
+          for (int u = 0; u < 8; ++u) acc[u] += lrow[kk + u] * rcol[kk + u];
+        float tail = 0.f;
+        for (; kk < K; ++kk) tail += lrow[kk] * rcol[kk];
+        O[m] = ((acc[0] + acc[4]) + (acc[1] + acc[5])) +
+               ((acc[2] + acc[6]) + (acc[3] + acc[7])) + tail;
+      }
+      return out;
+    }
     for (int64_t bb = 0; bb < B; ++bb) {
-      const float* Lb = L.data() + bb * M * K;
-      const float* Rb = R.data() + bb * K * N;
+      const float* Lb = L + bb * M * K;
+      const float* Rb = R + bb * K * N;
       float* Ob = O + bb * M * N;
       // ikj with accumulate: vectorizes over N. Measured: an OpenMP
       // parallel-for here LOSES (173ms vs 88ms on the DIN catalog
