@@ -268,16 +268,21 @@ class FeatBase(Base):
             self._predict_fn = None
             self._recommend_fn = None
 
-    def _catalog_pair_inputs(self, users, n_users_call, overrides=None):
+    def _catalog_pair_inputs(self, users, n_users_call, overrides=None,
+                             items=None):
         """(U,) users -> flat cross-product inputs (U*n_items rows) for the
         generic pair-loop scorer. Per-user override rows ((U, F) sparse/dense,
         (U, L) seq) are repeated across the catalog ON DEVICE, inside the
         jitted program — XLA fuses the broadcast into the downstream gathers,
-        so no (n_items, F) arrays are built host-side or shipped over PCIe."""
-        n_items = self.n_items
+        so no (n_items, F) arrays are built host-side or shipped over PCIe.
+        ``items``: optional (T,) item-id subset (tiled native serving) —
+        defaults to the full catalog."""
+        if items is None:
+            items = jnp.arange(self.n_items, dtype=jnp.int32)
+        n_items = items.shape[0]
         inputs = {
             "user": jnp.repeat(users, n_items),
-            "item": jnp.tile(jnp.arange(n_items, dtype=jnp.int32), n_users_call),
+            "item": jnp.tile(items, n_users_call),
         }
         if overrides:
             for key, val in overrides.items():

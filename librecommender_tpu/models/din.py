@@ -94,15 +94,18 @@ class DIN(SeqFeatBase):
 
     shared_seq = True  # pos/neg targets share each row's history (loss_fn)
 
-    def _score_catalog(self, params, users, n_users_call, overrides=None):
+    def _score_catalog(self, params, users, n_users_call, overrides=None,
+                       items=None):
         """Full-catalog scoring with per-user seq work shared across items:
         the catalog is the multi-target axis of din_attention, so the
         seq-token gather/embedding runs once per user instead of n_items
         times (the generic pair loop repeats it per item). ``overrides``:
         optional per-user (U, L) "seq" / (U, F) feature rows (dynamic
-        online requests) — consumed at (U,)-width, never tiled to items."""
-        n_items = self.n_items
-        items = jnp.arange(n_items, dtype=jnp.int32)
+        online requests) — consumed at (U,)-width, never tiled to items.
+        ``items``: optional (T,) item subset (tiled native serving)."""
+        if items is None:
+            items = jnp.arange(self.n_items, dtype=jnp.int32)
+        n_items = items.shape[0]
         seq = self._catalog_seq(users, overrides)
         seq_emb = self._token_embeds(params, seq)           # (U, L, TD)
         mask = seq != self.pad_id
@@ -115,7 +118,8 @@ class DIN(SeqFeatBase):
             n_users_call * n_items, att.shape[-1]
         )
         embeds, _, _ = self._field_embeds(
-            params, self._catalog_pair_inputs(users, n_users_call, overrides)
+            params,
+            self._catalog_pair_inputs(users, n_users_call, overrides, items),
         )
         x = jnp.concatenate(
             [embeds.reshape(embeds.shape[0], -1), att_out], axis=1

@@ -245,15 +245,18 @@ class SIM(SeqFeatBase):
         )
         return esu_out, short_out, pooled
 
-    def _score_catalog(self, params, users, n_users_call, overrides=None):
+    def _score_catalog(self, params, users, n_users_call, overrides=None,
+                       items=None):
         """Full-catalog scoring with the (long_max_len,) history gathered
         ONCE per user: the catalog is the target-block axis of the
         GSU/ESU/short-attention stack, where the generic pair loop would
         re-gather the long history per item (the dominant inference cost
         at the per-index-row floor). ``overrides``: per-user (U, L) "seq" /
-        (U, long_L) "seq_long" / (U, F) feature rows for dynamic requests."""
-        n_items = self.n_items
-        items = jnp.arange(n_items, dtype=jnp.int32)
+        (U, long_L) "seq_long" / (U, F) feature rows for dynamic requests.
+        ``items``: optional (T,) item subset (tiled native serving)."""
+        if items is None:
+            items = jnp.arange(self.n_items, dtype=jnp.int32)
+        n_items = items.shape[0]
         long_seq = self._catalog_seq(users, overrides, key="seq_long")
         long_emb = self._token_embeds(params, long_seq)
         long_mask = long_seq != self.pad_id
@@ -271,7 +274,8 @@ class SIM(SeqFeatBase):
         esu_rows = esu_out.transpose(1, 0, 2).reshape(-1, D)
         short_rows = short_out.transpose(1, 0, 2).reshape(-1, D)
         embeds, _, _ = self._field_embeds(
-            params, self._catalog_pair_inputs(users, n_users_call, overrides)
+            params,
+            self._catalog_pair_inputs(users, n_users_call, overrides, items),
         )
         x = jnp.concatenate(
             [embeds.reshape(embeds.shape[0], -1), esu_rows, short_rows],

@@ -171,7 +171,8 @@ class Transformer(SeqFeatBase):
         ).astype(jnp.float32)                                   # (T, B, TD)
         return self._blocks_to_rows(out) if shared else out[0]
 
-    def _score_catalog(self, params, users, n_users_call, overrides=None):
+    def _score_catalog(self, params, users, n_users_call, overrides=None,
+                       items=None):
         """Full-catalog scoring with per-user seq work shared across items.
 
         The generic score_all repeats each user's (L,) history once per
@@ -180,14 +181,18 @@ class Transformer(SeqFeatBase):
         (T = n_items), so those run once per user. Exact under the same
         conditions as the training fast path; otherwise defers to the
         generic pair loop. ``overrides``: per-user (U, L) "seq" / (U, F)
-        feature rows for dynamic requests.
+        feature rows for dynamic requests. ``items``: optional (T,) item
+        subset (tiled native serving).
         """
-        n_items = self.n_items
-        items = jnp.arange(n_items, dtype=jnp.int32)
+        if items is None:
+            items = jnp.arange(self.n_items, dtype=jnp.int32)
+        n_items = items.shape[0]
         if self.num_tfm_layers > 1 and not self.use_causal_mask:
             # general encoder path: every (target, seq) pair is distinct, so
             # the per-user rows genuinely fan out over items (device-side)
-            inputs = self._catalog_pair_inputs(users, n_users_call, overrides)
+            inputs = self._catalog_pair_inputs(
+                users, n_users_call, overrides, items
+            )
             if overrides and overrides.get("seq") is not None:
                 inputs["seq"] = jnp.repeat(overrides["seq"], n_items, axis=0)
             logits = self._forward(params, inputs, train=False, rng=None)
@@ -218,7 +223,8 @@ class Transformer(SeqFeatBase):
         ).astype(jnp.float32)                               # (n_items, U, TD)
         target_out = out.transpose(1, 0, 2).reshape(U * n_items, TD)
         embeds, _, _ = self._field_embeds(
-            params, self._catalog_pair_inputs(users, n_users_call, overrides)
+            params,
+            self._catalog_pair_inputs(users, n_users_call, overrides, items),
         )
         flat = jnp.concatenate(
             [embeds.reshape(embeds.shape[0], -1), target_out], axis=1

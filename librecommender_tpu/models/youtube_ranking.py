@@ -74,13 +74,15 @@ class YouTubeRanking(SeqFeatBase):
 
     shared_seq = True  # pooling is target-independent: pool once per row
 
-    def _score_catalog(self, params, users, n_users_call, overrides=None):
+    def _score_catalog(self, params, users, n_users_call, overrides=None,
+                       items=None):
         """Full-catalog scoring: pooling is target-independent, so the
         (L,)-history gather + mean-pool run once per user and the pooled
         vector repeats across the catalog (the generic pair loop re-pools
         per item). ``overrides``: per-user (U, L) "seq" / (U, F) feature
-        rows for dynamic requests."""
-        n_items = self.n_items
+        rows for dynamic requests. ``items``: optional (T,) item subset
+        (tiled native serving)."""
+        n_items = self.n_items if items is None else items.shape[0]
         seq = self._catalog_seq(users, overrides)
         seq_emb, mask = self._seq_item_embeds(params, seq)
         maskf = mask.astype(seq_emb.dtype)[:, :, None]
@@ -89,7 +91,8 @@ class YouTubeRanking(SeqFeatBase):
         )                                                    # (U, D)
         pooled = jnp.repeat(pooled, n_items, axis=0)
         embeds, _, _ = self._field_embeds(
-            params, self._catalog_pair_inputs(users, n_users_call, overrides)
+            params,
+            self._catalog_pair_inputs(users, n_users_call, overrides, items),
         )
         x = jnp.concatenate(
             [embeds.reshape(embeds.shape[0], -1), pooled], axis=1

@@ -286,11 +286,24 @@ def save_program(path, name, fn, *example_args):
 
 
 # --------------------------------------------------------- server artifacts
-def export_native_programs(path, model):
+# feat-family tiled catalog scorer: tile width (items per program run).
+# 512 keeps every intermediate of typical CTR/seq programs inside L2
+# (512 rows x ~40 floats of widest hidden ~ 1-3 MB) while amortizing
+# per-op dispatch; the server pads the last tile.
+_TILE_SIZE = 512
+# dyn-family request-coalescing width: concurrent /online requests are
+# batched into one user_repr execution + one (B, D) x (D, n_items) GEMM
+# (the TF Serving batching trick, reference tf_deploy.rs:1).
+_DYN_BATCH = 8
+
+
+def export_native_programs(path, model, tile_size=None):
     """Export the scoring programs + feature-assembly tables the native C++
     server needs to answer /model/recommend and /online/recommend without a
     Python backend. Returns the runtime meta dict (or None when the model
-    family has no native program path)."""
+    family has no native program path). ``tile_size`` overrides the
+    feat-family tiled-scorer width (default ``_TILE_SIZE``; tests use small
+    values to drive the tiled path on tiny catalogs)."""
     from ..bases.feat_base import FeatBase
     from ..bases.dyn_embed_base import DynEmbedBase
 
@@ -347,6 +360,30 @@ def export_native_programs(path, model):
 
             save_program(path, "score_dyn", dyn_fn, *examples)
 
+        # tiled catalog scorer: (users, item tile, override slots) ->
+        # (1, T) scores. The C++ server splits the catalog into T-item
+        # tiles so every intermediate stays cache-resident and tiles fan
+        # out across its worker pool (the large-catalog serving path; the
+        # reference's analog is TF Serving's internal batching,
+        # libserving/actix_serving/src/tf_deploy.rs:1). One program serves
+        # BOTH /model and /online: stored rows are inputs like overrides.
+        tile = int(min(tile_size or _TILE_SIZE, model.n_items))
+        tile_keys = ov_inputs[1:]
+        items_ex = np.arange(tile, dtype=np.int32)
+
+        def tile_fn(u, items, *ovs):
+            overrides = dict(zip(tile_keys, ovs))
+            if hasattr(model, "_score_catalog"):
+                return model._score_catalog(
+                    params, u, 1, overrides=overrides, items=items
+                )
+            inputs = model._catalog_pair_inputs(u, 1, overrides, items)
+            out = model._forward(params, inputs, train=False, rng=None)
+            return out.reshape(1, tile)
+
+        save_program(path, "score_tile", tile_fn, users1, items_ex,
+                     *examples[1:])
+
         # stored recent histories: the score_dyn program takes seq as an
         # INPUT, so the server needs the tables to fill requests without one
         if getattr(model, "recent_seq_table", None) is not None:
@@ -370,6 +407,7 @@ def export_native_programs(path, model):
             "pad_id": int(getattr(model, "pad_id", model.n_items)),
             "max_seq_len": int(getattr(model, "max_seq_len", 0)),
             "long_max_len": int(getattr(model, "long_max_len", 0)),
+            "tile": tile,
         }
         _export_feature_tables(path, model)
 
@@ -403,6 +441,9 @@ def export_native_programs(path, model):
             )
 
         save_program(path, "user_repr", tower_fn, *examples)
+        # coalesced width: B concurrent requests -> one tower execution
+        exB = [np.repeat(e, _DYN_BATCH, axis=0) for e in examples]
+        save_program(path, "user_repr_b", tower_fn, *exB)
         meta = {
             "kind": "dyn_feats",
             "inputs": ov_inputs,
@@ -410,6 +451,7 @@ def export_native_programs(path, model):
             "n_items": int(model.n_items),
             "pad_id": int(model.n_items),
             "max_seq_len": 0,
+            "dyn_batch": _DYN_BATCH,
         }
         _export_feature_tables(path, model)
 
@@ -422,6 +464,11 @@ def export_native_programs(path, model):
             path, "user_repr",
             lambda u, s: model._user_repr(params, u, s, False, None),
             users1, seqs1,
+        )
+        save_program(
+            path, "user_repr_b",
+            lambda u, s: model._user_repr(params, u, s, False, None),
+            np.repeat(users1, _DYN_BATCH), np.repeat(seqs1, _DYN_BATCH, 0),
         )
         host = {k: np.asarray(v) for k, v in
                 jax.device_get(params).items()} if isinstance(params, dict) \
@@ -450,6 +497,7 @@ def export_native_programs(path, model):
             "pad_id": int(model.pad_id),
             "max_seq_len": int(model.max_seq_len),
             "has_bias": bool(has_bias),
+            "dyn_batch": _DYN_BATCH,
         }
 
     if meta is not None:

@@ -60,7 +60,7 @@ def build_benchmark():
 
 
 def export_native(path, model, ivf=False, n_ivf_clusters=None, n_probe=8,
-                  programs=True):
+                  programs=True, tile_size=None):
     """Write flat binary artifacts the C++ server mmap-loads.
 
     Item ids must be integers (MovieLens-style); other id types serve
@@ -82,7 +82,7 @@ def export_native(path, model, ivf=False, n_ivf_clusters=None, n_probe=8,
     if programs:
         from ..native_program import export_native_programs
 
-        export_native_programs(path, model)
+        export_native_programs(path, model, tile_size=tile_size)
     meta = {"n_items": int(model.n_items), "n_users": int(model.n_users)}
     if ivf:
         from ...retrieval.ivf import IVFIndex

@@ -14,12 +14,95 @@
 // removed.
 #pragma once
 
+#include <atomic>
+#include <condition_variable>
 #include <cstdio>
+#include <deque>
+#include <functional>
+#include <mutex>
 #include <optional>
+#include <thread>
 
 #include "jaxpr_interp.hpp"
 
 namespace jxi {
+
+// Shared worker pool for tiled catalog scoring. Tiles are coarse tasks
+// (one program execution over ~512 items), so pool scheduling overhead is
+// negligible — unlike the measured-and-rejected per-GEMM OpenMP regions.
+// Callers submit their tiles and then help drain the queue, so a single
+// request parallelizes across idle cores at low load while concurrent
+// requests interleave tiles without oversubscription at high load.
+class TilePool {
+ public:
+  static TilePool& instance() {
+    static TilePool pool;
+    return pool;
+  }
+
+  void ensure_started() {
+    std::call_once(once_, [&] {
+      int n = 0;
+      if (const char* env = std::getenv("NATIVE_TILE_THREADS"))
+        n = std::atoi(env);
+      if (n <= 0)
+        n = std::max(1u, std::thread::hardware_concurrency()) - 1;
+      for (int i = 0; i < n; ++i)
+        workers_.emplace_back([this] { loop(); });
+    });
+  }
+
+  void submit(std::function<void()> f) {
+    {
+      std::lock_guard<std::mutex> l(mu_);
+      q_.push_back(std::move(f));
+    }
+    cv_.notify_one();
+  }
+
+  bool try_run_one() {
+    std::function<void()> f;
+    {
+      std::lock_guard<std::mutex> l(mu_);
+      if (q_.empty()) return false;
+      f = std::move(q_.front());
+      q_.pop_front();
+    }
+    f();
+    return true;
+  }
+
+  ~TilePool() {
+    {
+      std::lock_guard<std::mutex> l(mu_);
+      stop_ = true;
+    }
+    cv_.notify_all();
+    for (auto& t : workers_) t.join();
+  }
+
+ private:
+  void loop() {
+    for (;;) {
+      std::function<void()> f;
+      {
+        std::unique_lock<std::mutex> l(mu_);
+        cv_.wait(l, [&] { return stop_ || !q_.empty(); });
+        if (stop_ && q_.empty()) return;
+        f = std::move(q_.front());
+        q_.pop_front();
+      }
+      f();
+    }
+  }
+
+  std::once_flag once_;
+  std::mutex mu_;
+  std::condition_variable cv_;
+  std::deque<std::function<void()>> q_;
+  std::vector<std::thread> workers_;
+  bool stop_ = false;
+};
 
 struct FeatCol {
   int pos = 0;
@@ -34,8 +117,11 @@ struct ModelRuntime {
   int64_t n_users = 0, n_items = 0, pad_id = 0;
   int64_t max_seq_len = 0, long_max_len = 0;
   bool has_bias = false;
+  int64_t tile = 0;        // feat family: tiled-scorer width (0 = absent)
+  int64_t dyn_batch = 0;   // dyn families: coalesced tower width
 
   std::optional<Program> score_all, score_dyn, user_repr;
+  std::optional<Program> score_tile_prog, user_repr_b;
   // (n_users + 1, F) stored user feature rows
   std::vector<int32_t> user_sparse_rows;
   int64_t n_sparse_cols = 0;
@@ -86,6 +172,10 @@ struct ModelRuntime {
     score_all = try_load("score_all");
     score_dyn = try_load("score_dyn");
     user_repr = try_load("user_repr");
+    score_tile_prog = try_load("score_tile");
+    user_repr_b = try_load("user_repr_b");
+    if (meta.find("tile")) tile = meta.at("tile").asi();
+    if (meta.find("dyn_batch")) dyn_batch = meta.at("dyn_batch").asi();
 
     const auto sshape = bin<int64_t>(dir + "/user_sparse_rows_shape.bin");
     if (sshape.size() == 2) {
@@ -229,6 +319,7 @@ struct ModelRuntime {
   std::vector<float> scores_static(int64_t uid) const {
     if (kind == "dyn") return scores_dyn_family(uid, nullptr);
     if (kind == "dyn_feats") return scores_tower_feats(uid, nullptr);
+    if (use_tiled()) return scores_feat_tiled(uid, nullptr, {});
     Executor ex(*score_all);
     auto outs = ex.run({users_tensor(uid)});
     return std::vector<float>(outs[0].f.begin(), outs[0].f.end());
@@ -241,7 +332,27 @@ struct ModelRuntime {
     if (kind == "dyn")
       return scores_dyn_family(uid, raw_seq.empty() ? nullptr : &raw_seq);
     if (kind == "dyn_feats") return scores_tower_feats(uid, feats);
+    if (use_tiled()) return scores_feat_tiled(uid, feats, raw_seq);
     if (!score_dyn.has_value()) return scores_static(uid);
+    Executor ex(*score_dyn);
+    auto outs = ex.run(feat_override_args(uid, feats, raw_seq));
+    return std::vector<float>(outs[0].f.begin(), outs[0].f.end());
+  }
+
+  // ---- feat family: tiled catalog execution. The catalog splits into
+  // `tile`-item program runs whose intermediates stay cache-resident;
+  // tiles fan out over the shared TilePool (caller helps drain), so one
+  // request parallelizes at low load and concurrent requests interleave
+  // at high load. Large-catalog p50 AND throughput path.
+  bool use_tiled() const {
+    static const bool off = std::getenv("NATIVE_NO_TILING") != nullptr;
+    return !off && score_tile_prog.has_value() && tile > 0 &&
+           n_items > tile;
+  }
+
+  std::vector<Tensor> feat_override_args(
+      int64_t uid, const JV* feats,
+      const std::vector<int64_t>& raw_seq) const {
     std::vector<Tensor> args;
     for (const auto& name : inputs) {
       if (name == "users") {
@@ -260,9 +371,60 @@ struct ModelRuntime {
         throw std::runtime_error("unknown program input " + name);
       }
     }
-    Executor ex(*score_dyn);
-    auto outs = ex.run(std::move(args));
-    return std::vector<float>(outs[0].f.begin(), outs[0].f.end());
+    return args;
+  }
+
+  std::vector<float> scores_feat_tiled(
+      int64_t uid, const JV* feats,
+      const std::vector<int64_t>& raw_seq) const {
+    // per-request input rows assembled once; shared (copied) per tile.
+    // program input order: users, items, then the override slots
+    const std::vector<Tensor> base = feat_override_args(uid, feats, raw_seq);
+    const int64_t T = tile;
+    const int64_t n_tiles = (n_items + T - 1) / T;
+    std::vector<float> scores(n_items);
+    std::atomic<int64_t> remaining(n_tiles);
+    std::mutex done_mu;
+    std::condition_variable done_cv;
+
+    auto run_tile = [&](int64_t t) {
+      Tensor items;
+      items.dt = DT::I32;
+      items.shape = {T};
+      items.i.resize(T);
+      const int64_t lo = t * T, hi = std::min(n_items, lo + T);
+      for (int64_t j = 0; j < T; ++j)
+        items.i[j] = std::min(lo + j, n_items - 1);  // pad tail with a
+                                                     // clamped id; dropped
+      std::vector<Tensor> args;
+      args.reserve(base.size() + 1);
+      args.push_back(base[0]);
+      args.push_back(std::move(items));
+      for (size_t k = 1; k < base.size(); ++k) args.push_back(base[k]);
+      Executor ex(*score_tile_prog);
+      auto outs = ex.run(std::move(args));
+      std::copy(outs[0].f.begin(), outs[0].f.begin() + (hi - lo),
+                scores.begin() + lo);
+      if (remaining.fetch_sub(1) == 1) {
+        std::lock_guard<std::mutex> l(done_mu);
+        done_cv.notify_all();
+      }
+    };
+
+    auto& pool = TilePool::instance();
+    pool.ensure_started();
+    for (int64_t t = 1; t < n_tiles; ++t)
+      pool.submit([&, t] { run_tile(t); });
+    run_tile(0);
+    // help drain (possibly other requests' tiles) until ours are done
+    while (remaining.load(std::memory_order_acquire) > 0) {
+      if (!pool.try_run_one()) {
+        std::unique_lock<std::mutex> l(done_mu);
+        done_cv.wait_for(l, std::chrono::microseconds(200),
+                         [&] { return remaining.load() == 0; });
+      }
+    }
+    return scores;
   }
 
   // Stored short/long histories for the feat family come from the
@@ -288,32 +450,155 @@ struct ModelRuntime {
       else if (name == "user_dense_row") args.push_back(dense_row_for(uid, feats));
       else throw std::runtime_error("unknown tower input " + name);
     }
-    Executor ex(*user_repr);
-    auto outs = ex.run(std::move(args));
-    const std::vector<float>& u = outs[0].f;
-    if (int64_t(u.size()) != item_dim)
-      throw std::runtime_error("tower dim mismatch");
-    std::vector<float> scores(n_items);
-    for (int64_t i = 0; i < n_items; ++i) {
-      const float* row = item_repr.data() + i * item_dim;
-      float acc = 0.f;
-      for (int64_t d = 0; d < item_dim; ++d) acc += u[d] * row[d];
-      scores[i] = acc;
-    }
-    return scores;
+    return scores_via_tower(std::move(args));
   }
 
   std::vector<float> scores_dyn_family(
       int64_t uid, const std::vector<int64_t>* raw_seq) const {
     Tensor seq = raw_seq ? seq_tensor(*raw_seq, max_seq_len)
                          : stored_seq(uid, recent_seq, max_seq_len);
-    Executor ex(*user_repr);
-    auto outs = ex.run({users_tensor(uid), std::move(seq)});
-    std::vector<float> u(outs[0].f.begin(), outs[0].f.end());
+    std::vector<Tensor> args;
+    args.push_back(users_tensor(uid));
+    args.push_back(std::move(seq));
+    return scores_via_tower(std::move(args));
+  }
+
+  // ---- dyn-family request coalescing (the TF Serving batching trick,
+  // reference libserving/actix_serving/src/tf_deploy.rs:1, with no added
+  // latency window): the first request through becomes the LEADER and
+  // executes immediately; requests arriving while it runs enqueue, and
+  // the leader drains them in groups of `dyn_batch` — one user_repr_b
+  // execution + one (B, D) x (D, n_items) GEMM whose item rows stream
+  // once for all B requests instead of once per request.
+  struct DynPending {
+    std::vector<Tensor> args;
+    std::vector<float>* out;
+    bool done = false;
+  };
+  struct DynBatcher {
+    std::mutex mu;
+    std::condition_variable cv;
+    std::deque<DynPending*> q;
+    bool busy = false;
+  };
+  // heap-held so ModelRuntime stays movable (Artifacts returns by value)
+  std::unique_ptr<DynBatcher> batcher_ = std::make_unique<DynBatcher>();
+
+  std::vector<float> scores_via_tower(std::vector<Tensor> args) const {
+    std::vector<float> scores(n_items);
+    if (!user_repr_b.has_value() || dyn_batch <= 1) {
+      run_tower_group({}, &args, &scores);  // no coalescing artifact
+      return scores;
+    }
+    DynPending me{std::move(args), &scores};
+    std::unique_lock<std::mutex> l(batcher_->mu);
+    if (batcher_->busy) {
+      batcher_->q.push_back(&me);
+      batcher_->cv.wait(l, [&] { return me.done; });
+      return scores;
+    }
+    batcher_->busy = true;
+    l.unlock();
+    run_tower_group({}, &me.args, &scores);  // leader: solo, no wait
+    for (;;) {
+      l.lock();
+      if (batcher_->q.empty()) {
+        batcher_->busy = false;
+        return scores;
+      }
+      std::vector<DynPending*> group;
+      while (!batcher_->q.empty() &&
+             int64_t(group.size()) < dyn_batch) {
+        group.push_back(batcher_->q.front());
+        batcher_->q.pop_front();
+      }
+      l.unlock();
+      run_tower_group(group, nullptr, nullptr);
+      l.lock();
+      for (DynPending* p : group) p->done = true;
+      l.unlock();
+      batcher_->cv.notify_all();
+    }
+  }
+
+  // Execute the tower for either one request (`solo_args`/`solo_out`) or
+  // a coalesced group, then the catalog GEMM. Group runs pad the batched
+  // program's fixed width with row 0.
+  void run_tower_group(const std::vector<DynPending*>& group,
+                       std::vector<Tensor>* solo_args,
+                       std::vector<float>* solo_out) const {
+    if (solo_args) {
+      Executor ex(*user_repr);
+      auto outs = ex.run(std::move(*solo_args));
+      item_scores(outs[0].f.data(), int64_t(outs[0].f.size()),
+                  solo_out->data());
+      return;
+    }
+    const int64_t k = int64_t(group.size());
+    if (k == 1) {
+      Executor ex(*user_repr);
+      auto outs = ex.run(std::move(group[0]->args));
+      item_scores(outs[0].f.data(), int64_t(outs[0].f.size()),
+                  group[0]->out->data());
+      return;
+    }
+    // stack width-1 inputs to the batched width, padding with entry 0
+    const size_t n_in = group[0]->args.size();
+    std::vector<Tensor> args(n_in);
+    for (size_t s = 0; s < n_in; ++s) {
+      const Tensor& t0 = group[0]->args[s];
+      Tensor& st = args[s];
+      st.dt = t0.dt;
+      st.shape = t0.shape;
+      if (st.shape.empty() || st.shape[0] != 1)
+        st.shape.insert(st.shape.begin(), dyn_batch);
+      else
+        st.shape[0] = dyn_batch;
+      const int64_t row = t0.numel();
+      if (st.isf()) {
+        st.f.resize(row * dyn_batch);
+        for (int64_t b = 0; b < dyn_batch; ++b) {
+          const Tensor& src = group[std::min(b, k - 1)]->args[s];
+          std::copy(src.f.begin(), src.f.end(), st.f.begin() + b * row);
+        }
+      } else {
+        st.i.resize(row * dyn_batch);
+        for (int64_t b = 0; b < dyn_batch; ++b) {
+          const Tensor& src = group[std::min(b, k - 1)]->args[s];
+          std::copy(src.i.begin(), src.i.end(), st.i.begin() + b * row);
+        }
+      }
+    }
+    Executor ex(*user_repr_b);
+    auto outs = ex.run(std::move(args));
+    const int64_t D = outs[0].shape.back();
+    // one (k, D) x (D, n_items) GEMM with items outer: each item row is
+    // loaded once from cache/RAM and reused by every coalesced request
+    if ((has_bias ? D + 1 : D) != item_dim)
+      throw std::runtime_error("user repr dim mismatch");
+    std::vector<float> U(size_t(k) * item_dim);
+    for (int64_t b = 0; b < k; ++b) {
+      std::copy(outs[0].f.begin() + b * D, outs[0].f.begin() + (b + 1) * D,
+                U.begin() + b * item_dim);
+      if (has_bias) U[b * item_dim + item_dim - 1] = 1.0f;
+    }
+    for (int64_t i = 0; i < n_items; ++i) {
+      const float* row = item_repr.data() + i * item_dim;
+      for (int64_t b = 0; b < k; ++b) {
+        const float* u = U.data() + b * item_dim;
+        float acc = 0.f;
+        for (int64_t d = 0; d < item_dim; ++d) acc += u[d] * row[d];
+        (*group[b]->out)[i] = acc;
+      }
+    }
+  }
+
+  // u (D floats, + implicit bias column when has_bias) . item_repr rows
+  void item_scores(const float* u_raw, int64_t d_raw, float* out) const {
+    std::vector<float> u(u_raw, u_raw + d_raw);
     if (has_bias) u.push_back(1.0f);
     if (int64_t(u.size()) != item_dim)
       throw std::runtime_error("user repr dim mismatch");
-    std::vector<float> scores(n_items);
     for (int64_t i = 0; i < n_items; ++i) {
       const float* row = item_repr.data() + i * item_dim;
       float acc[8] = {0.f};
@@ -322,10 +607,9 @@ struct ModelRuntime {
         for (int j = 0; j < 8; ++j) acc[j] += u[d + j] * row[d + j];
       float tail = 0.f;
       for (; d < item_dim; ++d) tail += u[d] * row[d];
-      scores[i] = ((acc[0] + acc[4]) + (acc[1] + acc[5])) +
-                  ((acc[2] + acc[6]) + (acc[3] + acc[7])) + tail;
+      out[i] = ((acc[0] + acc[4]) + (acc[1] + acc[5])) +
+               ((acc[2] + acc[6]) + (acc[3] + acc[7])) + tail;
     }
-    return scores;
   }
 };
 

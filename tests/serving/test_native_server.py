@@ -156,6 +156,85 @@ def test_native_feat_model_online(feat_builds, feat_frames, tmp_path):
         proc.wait()
 
 
+def test_native_tiled_scoring(feat_builds, feat_frames, tmp_path):
+    """Tiled catalog execution (tile_size < n_items forces multiple tiles
+    through the TilePool) returns the SAME recommendations as the model
+    for /model and /online — large-catalog path parity."""
+    from librecommender_tpu.models import DIN
+
+    train_data, *_, data_info = feat_builds
+    model = DIN("ranking", data_info, embed_size=8, n_epochs=1,
+                batch_size=256, recent_num=5)
+    model.fit(train_data, neg_sampling=True, verbose=0)
+
+    artifact_dir = export_native(tmp_path / "native_tiled", model,
+                                 tile_size=16)
+    meta = json.loads(
+        (artifact_dir / "runtime_meta.json").read_text())
+    assert meta["tile"] == 16 and data_info.n_items > 16
+    proc, port = start_native_server(artifact_dir)
+    try:
+        frame = feat_frames[0]
+        user = frame.user.iloc[0]
+        out = _post(port, "/model/recommend", {"user": int(user), "n_rec": 7})
+        recs = model.recommend_user(user=user, n_rec=7)[user]
+        assert list(map(int, out["rec_list"])) == list(map(int, recs))
+
+        seq = [int(i) for i in frame.item.iloc[:4]]
+        feats = {"sex": str(frame.sex.iloc[1]), "age": 0.25}
+        out_dyn = _post(
+            port, "/online/recommend",
+            {"user": int(user), "n_rec": 7, "seq": seq, "user_feats": feats},
+        )
+        recs_dyn = model.recommend_user(
+            user=user, n_rec=7, seq=seq, user_feats=feats
+        )[user]
+        assert list(map(int, out_dyn["rec_list"])) == list(map(int, recs_dyn))
+    finally:
+        proc.kill()
+        proc.wait()
+
+
+def test_native_dyn_request_coalescing(pure_builds, pure_frames, tmp_path):
+    """Concurrent /online requests on a dyn-family model coalesce into
+    batched tower executions (user_repr_b) — every response must still
+    match the model's answer for ITS user/seq (no cross-request bleed)."""
+    import concurrent.futures
+
+    from librecommender_tpu.models import RNN4Rec
+
+    train_data, *_, data_info = pure_builds
+    model = RNN4Rec("ranking", data_info, embed_size=8, n_epochs=1,
+                    batch_size=256)
+    model.fit(train_data, neg_sampling=True, verbose=0)
+
+    artifact_dir = export_native(tmp_path / "native_coalesce", model)
+    assert (artifact_dir / "user_repr_b.program.json").exists()
+    proc, port = start_native_server(artifact_dir)
+    try:
+        frame = pure_frames[0]
+        users = [int(u) for u in frame.user.unique()[:12]]
+        seqs = {u: [int(i) for i in frame.item.iloc[k : k + 4]]
+                for k, u in enumerate(users)}
+        want = {
+            u: list(map(int, model.recommend_user(
+                user=u, n_rec=5, seq=seqs[u])[u]))
+            for u in users
+        }
+
+        def hit(u):
+            out = _post(port, "/online/recommend",
+                        {"user": u, "n_rec": 5, "seq": seqs[u]})
+            return u, list(map(int, out["rec_list"]))
+
+        with concurrent.futures.ThreadPoolExecutor(max_workers=12) as pool:
+            for u, got in pool.map(hit, users * 4):
+                assert got == want[u], (u, got, want[u])
+    finally:
+        proc.kill()
+        proc.wait()
+
+
 def test_native_benchmark_client(pure_builds, tmp_path):
     """The C++ load generator round-trips keep-alive requests without
     failures and reports sane latency stats."""
