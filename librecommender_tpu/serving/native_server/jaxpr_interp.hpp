@@ -243,6 +243,10 @@ struct Op {
   std::vector<TensorDecl> outputs;
   JV attrs;
   std::shared_ptr<SubProgram> body;  // scan
+  // liveness: input k's register dies at this op (not a constant, not a
+  // program output, no later consumer) — layout ops may MOVE it instead
+  // of deep-copying multi-MB buffers
+  std::vector<bool> input_dies;
 };
 
 struct ConstDecl {
@@ -276,6 +280,28 @@ inline TensorDecl parse_decl(const JV& j) {
   return d;
 }
 
+// Mark, for every op input, whether its register dies there (no later
+// consumer, not a subprogram output). Constants are excluded at execution
+// time (they live in const_vals, not regs). Walk backwards: first sighting
+// of an id is its last use.
+inline void compute_liveness(SubProgram* sp) {
+  std::vector<bool> seen(size_t(sp->max_id) + 1, false);
+  for (int oid : sp->outputs)
+    if (oid >= 0 && oid <= sp->max_id) seen[oid] = true;
+  for (auto it = sp->ops.rbegin(); it != sp->ops.rend(); ++it) {
+    Op& op = *it;
+    op.input_dies.assign(op.inputs.size(), false);
+    // within one op, only the LAST occurrence of a repeated id may move
+    for (size_t k = op.inputs.size(); k-- > 0;) {
+      const int id = op.inputs[k];
+      if (id >= 0 && id <= sp->max_id && !seen[id]) {
+        op.input_dies[k] = true;
+        seen[id] = true;
+      }
+    }
+  }
+}
+
 inline void parse_subprogram(const JV& j, SubProgram* sp) {
   for (const auto& v : j.at("inputs").arr) {
     sp->inputs.push_back(parse_decl(v));
@@ -306,6 +332,7 @@ inline void parse_subprogram(const JV& j, SubProgram* sp) {
     sp->ops.push_back(std::move(op));
   }
   for (const auto& v : j.at("outputs").arr) sp->outputs.push_back(int(v.asi()));
+  compute_liveness(sp);
 }
 
 inline std::string read_file(const std::string& path) {
@@ -456,6 +483,19 @@ class Executor {
     return t;
   }
 
+  // Take ownership of input k's buffer when its register dies at this op
+  // (layout ops become O(1) moves instead of multi-MB copies); otherwise
+  // deep-copy. Constants never move — they live in const_vals, not regs.
+  static Tensor take_or_copy(const Op& op, size_t k, const SubProgram& sp,
+                             std::vector<Tensor>& regs) {
+    const int id = op.inputs[k];
+    if (k < op.input_dies.size() && op.input_dies[k] &&
+        sp.const_vals.find(id) == sp.const_vals.end())
+      return std::move(regs[id]);
+    const auto it = sp.const_vals.find(id);
+    return it != sp.const_vals.end() ? it->second : regs[id];
+  }
+
   // ---- op dispatch
   void exec_op(const Op& op, const SubProgram& sp,
                std::vector<Tensor>& regs) const {
@@ -485,13 +525,13 @@ class Executor {
     };
 
     auto bit = kBin.find(p);
-    if (bit != kBin.end()) { set(0, binop(bit->second, in(0), in(1), op.outputs[0])); return; }
+    if (bit != kBin.end()) { set(0, binop(bit->second, op, sp, regs)); return; }
     auto cit = kCmp.find(p);
     if (cit != kCmp.end()) { set(0, cmpop(cit->second, in(0), in(1), op.outputs[0])); return; }
     auto lit = kLogic.find(p);
     if (lit != kLogic.end()) { set(0, logicop(lit->second, in(0), in(1), op.outputs[0])); return; }
     auto uit = kUn.find(p);
-    if (uit != kUn.end()) { set(0, unop(uit->second, in(0), op.outputs[0])); return; }
+    if (uit != kUn.end()) { set(0, unop(uit->second, op, sp, regs)); return; }
 
     if (p == "integer_pow") {
       const int64_t y = op.attrs.at("y").asi();
@@ -542,7 +582,7 @@ class Executor {
       set(0, convert(in(0), op.outputs[0]));
     } else if (p == "reduce_precision") {
       // bf16 rounding pass-through (exponent 8 / mantissa 7)
-      Tensor out = in(0);
+      Tensor out = take_or_copy(op, 0, sp, regs);
       for (auto& v : out.f) v = bf16_round(v);
       out.shape = op.outputs[0].shape;
       set(0, std::move(out));
@@ -556,7 +596,7 @@ class Executor {
       }
       set(0, std::move(out));
     } else if (p == "reshape" || p == "squeeze" || p == "expand_dims") {
-      Tensor out = in(0);
+      Tensor out = take_or_copy(op, 0, sp, regs);
       out.shape = op.outputs[0].shape;
       out.dt = op.outputs[0].dt;
       set(0, std::move(out));
@@ -598,8 +638,7 @@ class Executor {
     } else if (p == "scan") {
       scan(op, sp, regs);
     } else if (p == "stop_gradient" || p == "copy") {
-      Tensor out = in(0);
-      set(0, std::move(out));
+      set(0, take_or_copy(op, 0, sp, regs));
     } else {
       throw std::runtime_error("jaxpr_interp: unsupported primitive '" + p + "'");
     }
@@ -853,17 +892,51 @@ class Executor {
     const Tensor& operator*() const { return *p; }
   };
 
-  Tensor binop(int kind, const Tensor& a, const Tensor& b,
-               const TensorDecl& od) const {
-    Tensor out = make_out(od);
+  // Can op input k's register buffer be reused as this op's output?
+  // (dies here, lives in regs not const_vals, full output shape, same
+  // storage class) — turns the elementwise tier in-place: no allocation,
+  // no zero-fill pass, and the write lands in an already-hot buffer.
+  static bool reusable_as_out(const Op& op, size_t k, const SubProgram& sp,
+                              const Tensor& t, const TensorDecl& od) {
+    return k < op.input_dies.size() && op.input_dies[k] &&
+           sp.const_vals.find(op.inputs[k]) == sp.const_vals.end() &&
+           t.shape == od.shape && t.isf() == dt_is_float(od.dt);
+  }
+
+  Tensor binop(int kind, const Op& op, const SubProgram& sp,
+               std::vector<Tensor>& regs) const {
+    const TensorDecl& od = op.outputs[0];
+    const int ia = op.inputs[0], ib = op.inputs[1];
+    // plan from shapes before any buffer moves
+    const Tensor& a0 = reg_get(sp, regs, ia);
+    const Tensor& b0 = reg_get(sp, regs, ib);
+    const auto astr = bcast_strides(a0, od.shape);
+    const auto bstr = bcast_strides(b0, od.shape);
+    const Bcast2 pl = plan_bcast2(od.shape, astr, bstr);
+
+    int reuse = -1;
+    if (reusable_as_out(op, 0, sp, a0, od)) reuse = 0;
+    else if (reusable_as_out(op, 1, sp, b0, od)) reuse = 1;
+    Tensor out;
+    if (reuse >= 0) {
+      out = std::move(regs[op.inputs[reuse]]);
+      out.dt = od.dt;
+      out.shape = od.shape;
+    } else {
+      out = make_out(od);
+    }
     if (out.numel() == 0) return out;
+    // a full-shape reused operand aliases the output elementwise (same
+    // packed layout), which is safe for these pure per-element kernels;
+    // when ia == ib both operands alias it too
+    const Tensor& a = (reuse == 0 || (reuse >= 0 && ia == ib))
+                          ? out : reg_get(sp, regs, ia);
+    const Tensor& b = (reuse == 1 || (reuse >= 0 && ia == ib))
+                          ? out : reg_get(sp, regs, ib);
     // fused broadcast execution: outer odometer over the leading dims,
     // tight vectorizable inner loop of `m` elements; operands are read in
     // place with inner step 1 (contiguous) or 0 (broadcast) — no
     // materialized copies
-    const auto astr = bcast_strides(a, out.shape);
-    const auto bstr = bcast_strides(b, out.shape);
-    const Bcast2 pl = plan_bcast2(out.shape, astr, bstr);
     const int64_t m = pl.run;
 
     auto launch = [&](auto&& kern) {
@@ -974,8 +1047,20 @@ class Executor {
     return out;
   }
 
-  Tensor unop(int kind, const Tensor& a, const TensorDecl& od) const {
-    Tensor out = make_out(od);
+  Tensor unop(int kind, const Op& op, const SubProgram& sp,
+              std::vector<Tensor>& regs) const {
+    const TensorDecl& od = op.outputs[0];
+    const Tensor& a0 = reg_get(sp, regs, op.inputs[0]);
+    Tensor out;
+    bool in_place = reusable_as_out(op, 0, sp, a0, od);
+    if (in_place) {
+      out = std::move(regs[op.inputs[0]]);
+      out.dt = od.dt;
+      out.shape = od.shape;
+    } else {
+      out = make_out(od);
+    }
+    const Tensor& a = in_place ? out : reg_get(sp, regs, op.inputs[0]);
     const int64_t n = out.numel();
     if (out.isf() && (kind == 0 || kind == 2 || kind == 3 || kind == 6)) {
       // hot transcendental kinds get dedicated vectorizable loops over
@@ -1616,23 +1701,42 @@ class Executor {
       }
       return out;
     }
+    // N-blocked with a fixed-width local accumulator: the 64-float block
+    // lives in vector registers across the whole K loop (the plain ikj
+    // form re-loads/stores the output row every K step — measured ~4x
+    // slower on the catalog MLP layers). An OpenMP parallel-for here
+    // still LOSES (173ms vs 88ms on the DIN catalog program): many small
+    // matmuls pay region setup; tile/request-level parallelism is the
+    // scaling axis instead.
+    constexpr int64_t NB = 64;
     for (int64_t bb = 0; bb < B; ++bb) {
       const float* Lb = L + bb * M * K;
       const float* Rb = R + bb * K * N;
       float* Ob = O + bb * M * N;
-      // ikj with accumulate: vectorizes over N. Measured: an OpenMP
-      // parallel-for here LOSES (173ms vs 88ms on the DIN catalog
-      // program) — many small matmuls pay region setup; request-level
-      // parallelism across epoll threads is the scaling axis instead
-      for (int64_t m = 0; m < M; ++m) {
-        float* orow = Ob + m * N;
-        std::fill(orow, orow + N, 0.f);
-        const float* lrow = Lb + m * K;
-        for (int64_t kk = 0; kk < K; ++kk) {
-          const float lv = lrow[kk];
-          if (lv == 0.f) continue;
-          const float* rrow = Rb + kk * N;
-          for (int64_t nn = 0; nn < N; ++nn) orow[nn] += lv * rrow[nn];
+      for (int64_t n0 = 0; n0 < N; n0 += NB) {
+        const int64_t nb = std::min(NB, N - n0);
+        if (nb == NB) {
+          for (int64_t m = 0; m < M; ++m) {
+            float acc[NB] = {0.f};
+            const float* lrow = Lb + m * K;
+            for (int64_t kk = 0; kk < K; ++kk) {
+              const float lv = lrow[kk];
+              const float* rrow = Rb + kk * N + n0;
+              for (int64_t j = 0; j < NB; ++j) acc[j] += lv * rrow[j];
+            }
+            std::copy(acc, acc + NB, Ob + m * N + n0);
+          }
+        } else {
+          for (int64_t m = 0; m < M; ++m) {
+            float acc[NB] = {0.f};
+            const float* lrow = Lb + m * K;
+            for (int64_t kk = 0; kk < K; ++kk) {
+              const float lv = lrow[kk];
+              const float* rrow = Rb + kk * N + n0;
+              for (int64_t j = 0; j < nb; ++j) acc[j] += lv * rrow[j];
+            }
+            std::copy(acc, acc + nb, Ob + m * N + n0);
+          }
         }
       }
     }

@@ -45,8 +45,8 @@ class TilePool {
       int n = 0;
       if (const char* env = std::getenv("NATIVE_TILE_THREADS"))
         n = std::atoi(env);
-      if (n <= 0)
-        n = std::max(1u, std::thread::hardware_concurrency()) - 1;
+      if (n <= 0)  // hw/2: epoll threads share the cores; measured sweep
+        n = std::max(1u, std::thread::hardware_concurrency() / 2);
       for (int i = 0; i < n; ++i)
         workers_.emplace_back([this] { loop(); });
     });
@@ -134,6 +134,11 @@ struct ModelRuntime {
   int64_t item_dim = 0;
   std::vector<int32_t> recent_seq;      // (n_users + 1, L)
   std::map<int64_t, int32_t> item2id;   // raw item -> inner id
+  // feat family: precomputed (n_users + 1, static_k) sorted item ids for
+  // /model/recommend (the reference's TfBase default_recs analog — static
+  // stored-feature requests are deterministic given the artifact)
+  std::vector<int32_t> static_topk;
+  int64_t static_k = 0;
 
   static std::string slurp(const std::string& p) {
     std::ifstream f(p, std::ios::binary);
@@ -176,6 +181,12 @@ struct ModelRuntime {
     user_repr_b = try_load("user_repr_b");
     if (meta.find("tile")) tile = meta.at("tile").asi();
     if (meta.find("dyn_batch")) dyn_batch = meta.at("dyn_batch").asi();
+    if (meta.find("static_topk")) {
+      static_k = meta.at("static_topk").asi();
+      static_topk = bin<int32_t>(dir + "/static_topk.bin");
+      if (int64_t(static_topk.size()) != (n_users + 1) * static_k)
+        static_k = 0;  // malformed/absent table: live scoring only
+    }
 
     const auto sshape = bin<int64_t>(dir + "/user_sparse_rows_shape.bin");
     if (sshape.size() == 2) {
@@ -314,6 +325,30 @@ struct ModelRuntime {
     return t;
   }
 
+  // /model/recommend from the precomputed table: walk the user's sorted
+  // list, drop consumed, return up to n_rec inner ids. Empty result =
+  // table can't cover this request (caller falls back to live scoring).
+  std::vector<int32_t> topk_from_table(
+      int64_t uid, const std::vector<int32_t>& consumed,
+      int64_t n_rec) const {
+    std::vector<int32_t> out;
+    if (static_k == 0 || n_rec + int64_t(consumed.size()) > static_k)
+      return out;
+    const int64_t row = std::min<int64_t>(uid, n_users);
+    const int32_t* ids = static_topk.data() + row * static_k;
+    std::vector<bool> is_consumed;  // consumed ids are inner, < n_items
+    if (!consumed.empty()) {
+      is_consumed.assign(size_t(n_items), false);
+      for (int32_t c : consumed)
+        if (c >= 0 && c < n_items) is_consumed[size_t(c)] = true;
+    }
+    out.reserve(size_t(n_rec));
+    for (int64_t j = 0; j < static_k && int64_t(out.size()) < n_rec; ++j)
+      if (is_consumed.empty() || !is_consumed[size_t(ids[j])])
+        out.push_back(ids[j]);
+    return out;
+  }
+
   // ---- scoring entry points. uid == n_users means cold/OOV.
   // Returns (n_items,) raw scores.
   std::vector<float> scores_static(int64_t uid) const {
@@ -374,9 +409,48 @@ struct ModelRuntime {
     return args;
   }
 
+  // Admission gate: bound the number of catalog scorings in flight
+  // (NATIVE_SCORING_PERMITS, default cores/2 + 1). Unbounded interleaving
+  // makes every concurrent request finish late (processor-sharing tail);
+  // bounding keeps the tile pool a short pipeline. On the noisy shared
+  // bench VM the default measures within noise of unbounded — the knob
+  // exists for production hosts where steal time isn't the tail driver.
+  struct Gate {
+    std::mutex mu;
+    std::condition_variable cv;
+    int active = 0;
+  };
+  std::unique_ptr<Gate> gate_ = std::make_unique<Gate>();
+
+  static int scoring_permits() {
+    static const int n = [] {
+      if (const char* env = std::getenv("NATIVE_SCORING_PERMITS")) {
+        const int v = std::atoi(env);
+        if (v > 0) return v;
+      }
+      return int(std::max(2u, std::thread::hardware_concurrency() / 2 + 1));
+    }();
+    return n;
+  }
+
   std::vector<float> scores_feat_tiled(
       int64_t uid, const JV* feats,
       const std::vector<int64_t>& raw_seq) const {
+    struct Admission {
+      Gate& g;
+      explicit Admission(Gate& gate) : g(gate) {
+        std::unique_lock<std::mutex> l(g.mu);
+        g.cv.wait(l, [&] { return g.active < scoring_permits(); });
+        ++g.active;
+      }
+      ~Admission() {
+        {
+          std::lock_guard<std::mutex> l(g.mu);
+          --g.active;
+        }
+        g.cv.notify_one();
+      }
+    } admission(*gate_);
     // per-request input rows assembled once; shared (copied) per tile.
     // program input order: users, items, then the override slots
     const std::vector<Tensor> base = feat_override_args(uid, feats, raw_seq);

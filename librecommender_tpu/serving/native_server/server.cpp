@@ -547,6 +547,22 @@ std::pair<int, std::string> dispatch_checked(const std::string& req,
     const auto it = a.user2id.find(user);
     const int64_t uid =
         it == a.user2id.end() ? a.runtime.n_users : it->second;
+    if (!online && a.runtime.static_k > 0) {
+      // precomputed static list (default_recs analog); empty -> request
+      // needs a deeper list than the table holds, fall through to live
+      const auto& consumed0 =
+          (uid >= 0 && uid < (int64_t)a.consumed.size())
+              ? a.consumed[uid] : std::vector<int32_t>{};
+      const auto ids = a.runtime.topk_from_table(uid, consumed0, n_rec);
+      if (!ids.empty()) {
+        std::string out = "{\"rec_list\": [";
+        for (size_t i = 0; i < ids.size(); ++i) {
+          if (i) out += ", ";
+          out += a.id2item[ids[i]];
+        }
+        return {200, out + "]}"};
+      }
+    }
     std::vector<float> scores;
     if (online) {
       const auto feats_raw = json_raw_value(body, "user_feats");
