@@ -1,9 +1,12 @@
 """Consumed-interaction bookkeeping.
 
-``user_consumed[u]`` lists the items user ``u`` interacted with (first
-occurrence order, deduplicated); ``item_consumed[i]`` the users per item.
-Reference parity: libreco/data/consumed.py (the reference defers to a Rust
-helper; here it's vectorized pandas/numpy).
+``user_consumed[u]`` lists the items user ``u`` interacted with in
+interaction order with CONSECUTIVE duplicates removed — the reference's
+exact semantics (libreco/data/consumed.py defers to its Rust
+``_remove_consecutive_duplicates``; ported battery in
+tests/test_batch_semantics.py). Revisits separated by other interactions
+are kept: they re-enter the recent-history window like the reference's.
+``item_consumed[i]`` lists the users per item the same way.
 """
 import numpy as np
 import pandas as pd
@@ -13,14 +16,17 @@ def interaction_consumed(user_indices, item_indices):
     frame = pd.DataFrame(
         {"user": np.asarray(user_indices), "item": np.asarray(item_indices)}
     )
-    dedup = frame.drop_duplicates(keep="first")
+    # consecutive-duplicate removal happens WITHIN each group's own
+    # subsequence (a user's items; an item's users) — two distinct masks
+    u_keep = frame["item"] != frame.groupby("user")["item"].shift()
     user_consumed = {
         int(u): items.tolist()
-        for u, items in dedup.groupby("user", sort=False)["item"]
+        for u, items in frame[u_keep].groupby("user", sort=False)["item"]
     }
+    i_keep = frame["user"] != frame.groupby("item")["user"].shift()
     item_consumed = {
         int(i): users.tolist()
-        for i, users in dedup.groupby("item", sort=False)["user"]
+        for i, users in frame[i_keep].groupby("item", sort=False)["user"]
     }
     return user_consumed, item_consumed
 

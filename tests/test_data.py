@@ -171,6 +171,83 @@ def test_consumed_order_preserved():
     assert consumed_items == [30, 10, 20]
 
 
+def test_interaction_consumed_reference_battery():
+    """Port of reference tests/test_consumed.py::test_remove_consecutive_
+    duplicates — only CONSECUTIVE duplicates drop; revisits stay."""
+    from librecommender_tpu.data.consumed import interaction_consumed
+
+    user_indices = [1, 1, 1, 2, 2, 1, 2, 3, 2, 3]
+    item_indices = [11, 11, 999, 0, 11, 11, 999, 11, 999, 0]
+    user_consumed, item_consumed = interaction_consumed(
+        user_indices, item_indices
+    )
+    assert isinstance(user_consumed, dict)
+    assert isinstance(user_consumed[1], list)
+    assert user_consumed[1] == [11, 999, 11]
+    assert user_consumed[2] == [0, 11, 999]
+    assert user_consumed[3] == [11, 0]
+    assert item_consumed[11] == [1, 2, 1, 3]
+    assert item_consumed[999] == [1, 2]
+    assert item_consumed[0] == [2, 3]
+
+
+def test_consumed_merge_reference_battery():
+    """Port of reference tests/test_consumed.py::test_merge_remove_
+    duplicates + test_no_merge — retrain merge concatenates old + new;
+    no-merge keeps new rows and fills the rest from old."""
+    from librecommender_tpu.data.consumed import _fill_empty, _merge_dedup
+
+    old = {0: [1, 2, 3], 1: [4, 5]}
+    new = {0: [2, 1], 2: [7, 8]}
+    merged = _merge_dedup(new, 3, old)
+    assert merged[0] == [1, 2, 3, 2, 1]
+    assert merged[1] == [4, 5]
+    assert merged[2] == [7, 8]
+
+    old = {0: [1, 2, 3], 1: [4, 5], 2: [0], 3: [99]}
+    filled = _fill_empty(new, 4, old)
+    assert filled[0] == [2, 1]
+    assert filled[1] == [4, 5]
+    assert filled[2] == [7, 8]
+    assert filled[3] == [99]
+
+
+def test_split_multi_value_reference_battery():
+    """Port of reference tests/test_multi_sparse_processing.py: max_len
+    type check raises; a wrong separator leaves every row one value wide
+    (all pads beyond genre_1); column layout matches exactly."""
+    def genre_frame():
+        return pd.DataFrame({
+            "user": [1, 2, 3], "item": [10, 20, 30],
+            "label": [1.0, 1.0, 1.0], "time": [3, 2, 1],
+            "sex": ["m", "f", "m"], "age": [22, 31, 18],
+            "occupation": [0, 1, 2],
+            "genre": ["a|b", "b", "a|b|c"],
+        })
+
+    with pytest.raises(AssertionError):
+        split_multi_value(genre_frame(), ["genre"], sep="|", max_len=3)
+
+    out, *_ = split_multi_value(
+        genre_frame(), ["genre"], sep=",", max_len=[3], pad_val="missing",
+        user_col=["sex", "age", "occupation"], item_col=["genre"],
+    )
+    assert all(out["genre_2"].str.contains("missing"))
+    assert all(out["genre_3"].str.contains("missing"))
+
+    out, multi_cols, user_cols, item_cols = split_multi_value(
+        genre_frame(), ["genre"], sep="|", max_len=[3], pad_val="missing",
+        user_col=["sex", "age", "occupation"], item_col=["genre"],
+    )
+    assert multi_cols == [["genre_1", "genre_2", "genre_3"]]
+    assert user_cols == []
+    assert item_cols == ["genre_1", "genre_2", "genre_3"]
+    cols = out.columns.tolist()
+    assert "genre" not in cols
+    assert cols == ["user", "item", "label", "time", "sex", "age",
+                    "occupation", "genre_1", "genre_2", "genre_3"]
+
+
 def test_merge_trainset_consumed_merge():
     frame = make_interactions(n_rows=400)
     _, data_info = DatasetPure.build_trainset(frame)

@@ -24,15 +24,88 @@ def test_rank_without_filter_keeps_best():
 
 
 def test_rank_consumed_exhausts_catalog():
-    """A user who consumed almost everything still gets a full-length list
-    (reference pads from the remaining pool)."""
+    """When the unconsumed remainder can't fill n_rec, the reference
+    returns the UNFILTERED top-k (consumed included) — ranking.py:38."""
     scores = np.asarray([[5.0, 4.0, 3.0, 2.0, 1.0]])
     consumed = {0: [0, 1, 2, 3]}
     ids = np.asarray(rank_recommendations(
         "ranking", [0], scores, 3, 5, consumed, filter_consumed=True
     )).ravel()
-    assert ids[0] == 4  # only unconsumed item ranks first
-    assert len(ids) == 3
+    assert list(ids) == [0, 1, 2]
+
+
+def test_rank_reco_reference_battery():
+    """Port of reference tests/test_rank_reco.py::test_rank_reco — exact
+    expected lists for filtered, can't-filter, scores, and 2-D input."""
+    user_ids = [1, 2]
+    preds = np.array([-0.1, -0.01, 0, 0.1, 0.01, 1, -2, 4, 5, 6])
+    n_rec, n_items = 2, 5
+    consumed = {1: [3, 4], 2: [4]}
+
+    with pytest.raises(ValueError):
+        rank_recommendations("ranking", user_ids, preds, n_rec + 10,
+                             n_items, consumed, filter_consumed=True)
+
+    rec = rank_recommendations("ranking", user_ids, preds, n_rec, n_items,
+                               consumed, filter_consumed=True)
+    assert rec.shape == (2, 2)
+    np.testing.assert_array_equal(rec[0], [2, 1])
+    np.testing.assert_array_equal(rec[1], [3, 2])
+
+    # can't-filter: n_rec + |consumed| > n_items -> unfiltered top-k
+    rec = rank_recommendations("ranking", user_ids, preds, n_rec + 2,
+                               n_items, consumed, filter_consumed=True)
+    assert rec.shape == (2, 4)
+    np.testing.assert_array_equal(rec[0], [3, 4, 2, 1])
+    np.testing.assert_array_equal(rec[1], [3, 2, 0, 1])
+
+    _, scores = rank_recommendations("ranking", user_ids, preds, n_rec,
+                                     n_items, consumed,
+                                     filter_consumed=True,
+                                     return_scores=True)
+    assert scores.shape == (2, 2)
+    for row in scores.tolist():
+        assert all(row[i - 1] >= row[i] for i in range(1, len(row)))
+
+    # 2-D input accepted
+    rec = rank_recommendations("ranking", user_ids, preds.reshape(2, 5),
+                               n_rec, n_items, consumed,
+                               filter_consumed=True)
+    np.testing.assert_array_equal(rec[0], [2, 1])
+    np.testing.assert_array_equal(rec[1], [3, 2])
+
+
+def test_rank_random_reference_battery():
+    """Port of reference tests/test_rank_reco.py::test_rank_random —
+    softmax(raw)**0.75 sampling: +/-1e8 logits make membership
+    deterministic."""
+    rng = np.random.default_rng(0)
+    user_ids = [1, 2]
+    preds = np.array([-0.1, -1e8, 0, 0.1, 0.01, 1e8, -0.01, 1e7, 0.1, 0.01])
+    n_rec, n_items = 2, 5
+    consumed = {1: [3, 4], 2: [4]}
+
+    rec = rank_recommendations("ranking", user_ids, preds, n_rec, n_items,
+                               consumed, filter_consumed=True,
+                               random_rec=True, np_rng=rng)
+    assert rec.shape == (2, 2)
+    assert 0 in rec[0] and 2 in rec[0]   # only finite-prob survivors
+    assert 0 in rec[1]                   # 1e8 logit always sampled
+
+    rec = rank_recommendations("ranking", user_ids, preds, n_rec + 2,
+                               n_items, consumed, filter_consumed=True,
+                               random_rec=True, np_rng=rng)
+    assert rec.shape == (2, 4)
+    assert 1 not in rec[0]  # -1e8 logit: prob ~1e-8 of being drawn
+    assert 1 in rec[1]      # unfiltered row includes everything at k=4
+
+    _, scores = rank_recommendations("ranking", user_ids, preds, n_rec,
+                                     n_items, consumed,
+                                     filter_consumed=True, random_rec=True,
+                                     return_scores=True, np_rng=rng)
+    assert scores.shape == (2, 2)
+    for row in scores.tolist():
+        assert all(row[i - 1] >= row[i] for i in range(1, len(row)))
 
 
 def test_rank_random_rec_samples_by_score():
