@@ -1,10 +1,18 @@
-"""Native in-process model/online serving (round-3 runtime).
+"""Native in-process model/online serving.
 
 The C++ server executes the model's exported scoring program itself —
 where the reference's actix tier pays a network hop to TF Serving
 (libserving/actix_serving/src/tf_deploy.rs), here the jitted scorer is
 traced to a jaxpr, serialized, and interpreted natively: no Python, no
 second service on the scoring path.
+
+Round-4 engine: /model/recommend serves the precomputed static top-K
+table (the reference's default_recs analog — ~11x the Python tier at the
+full ML-1M catalog); /online/recommend executes the program live in
+cache-resident item tiles over a worker pool, and concurrent dyn-family
+requests coalesce into one batched tower GEMM. Knobs:
+export_native(tile_size=...), NATIVE_TILE_THREADS,
+NATIVE_SCORING_PERMITS, NATIVE_NO_TILING. See docs/serving_guide.md.
 """
 import sys
 from pathlib import Path
