@@ -60,6 +60,7 @@ class SIM(SeqFeatBase):
         random_num=None,
         long_max_len=100,
         short_max_len=None,  # reference name for the short window (sim.py:131); overrides recent_num
+        long_history_grad=True,
         search_topk=10,
         num_heads=2,
         feat_agg_mode=None,
@@ -92,6 +93,7 @@ class SIM(SeqFeatBase):
         self.use_bn = use_bn
         self.dropout_rate = dropout_rate or 0.0
         self.long_max_len = long_max_len
+        self.long_history_grad = bool(long_history_grad)
         self.search_topk = search_topk
         self.num_heads = num_heads
         self.recent_long_table = None
@@ -291,6 +293,15 @@ class SIM(SeqFeatBase):
 
         long_seq = self._long_seq_for(inputs)
         long_emb = self._token_embeds(params, long_seq)
+        if train and not self.long_history_grad:
+            # SIM-paper two-stage practice: the GSU/long branch trains on a
+            # frozen view of the token table (the paper trains GSU
+            # separately; arXiv:2006.05639 §3.2). This removes the
+            # B*long_max_len-row backward scatter-add — the measured
+            # per-step dominant op at reference-faithful gradients
+            # (docs/tpu_performance.md "SIM long-history floor"). The
+            # token table still trains through targets + the short window.
+            long_emb = jax.lax.stop_gradient(long_emb)
         long_mask = long_seq != self.pad_id
         short_seq = self._seq_for(inputs)
         short_emb = self._token_embeds(params, short_seq)

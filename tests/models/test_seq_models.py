@@ -325,6 +325,25 @@ def test_sim_short_max_len_alias(feat_builds):
     assert m.max_seq_len == 4
 
 
+def test_sim_long_history_grad_off(feat_builds, feat_frames, tmp_path):
+    """long_history_grad=False (SIM-paper two-stage practice: the GSU/long
+    branch reads a frozen token-table view) trains, predicts identically
+    at inference structure, and roundtrips through save/load."""
+    train_data, *_, data_info = feat_builds
+    m = SIM("ranking", data_info, embed_size=8, n_epochs=1, batch_size=256,
+            recent_num=5, long_max_len=10, search_topk=3,
+            hidden_units=(16,), long_history_grad=False)
+    m.fit(train_data, neg_sampling=True, verbose=0)
+    ptest_preds(m, "ranking", feat_frames)
+    m.save(str(tmp_path), "sim_nograd")
+    loaded = SIM.load(str(tmp_path), "sim_nograd", data_info)
+    assert loaded.long_history_grad is False
+    np.testing.assert_allclose(
+        np.asarray(loaded.predict(user=1, item=2)),
+        np.asarray(m.predict(user=1, item=2)), rtol=1e-5,
+    )
+
+
 @pytest.mark.parametrize("mode", ["concat", "elementwise"])
 def test_din_feat_agg_tokens(feat_builds, feat_frames, mode):
     """DIN with the reference's feature-augmented attention tokens
