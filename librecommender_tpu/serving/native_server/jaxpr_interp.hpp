@@ -560,6 +560,14 @@ class Executor {
       }
       set(0, std::move(out));
     } else if (p == "select_n") {
+      // two-case float select (the only form our programs emit in hot
+      // paths): fused broadcast plan + vectorizable blended inner loop
+      if (op.inputs.size() == 3 && dt_is_float(op.outputs[0].dt) &&
+          !in(0).isf() && in(0).numel() > 1 && in(1).isf() &&
+          in(2).isf()) {
+        set(0, select2(op, sp, regs));
+        return;
+      }
       Tensor out = make_out(op.outputs[0]);
       const int ncase = int(op.inputs.size()) - 1;
       const MatRef mp(in(0), out.shape);
@@ -901,6 +909,124 @@ class Executor {
     return k < op.input_dies.size() && op.input_dies[k] &&
            sp.const_vals.find(op.inputs[k]) == sp.const_vals.end() &&
            t.shape == od.shape && t.isf() == dt_is_float(od.dt);
+  }
+
+  // Two-case float select with the fused broadcast plan: one trailing
+  // suffix over which pred/a/b are each contiguous-or-constant, blended
+  // in a vectorizable inner loop; a dying full-shape case buffer is
+  // reused as the output (the masked-score selects in attention programs
+  // used to materialize every operand per element).
+  Tensor select2(const Op& op, const SubProgram& sp,
+                 std::vector<Tensor>& regs) const {
+    const TensorDecl& od = op.outputs[0];
+    const int ia = op.inputs[1], ib = op.inputs[2];
+    const Tensor& p0 = reg_get(sp, regs, op.inputs[0]);
+    const Tensor& a0 = reg_get(sp, regs, ia);
+    const Tensor& b0 = reg_get(sp, regs, ib);
+    const auto pstr = bcast_strides(p0, od.shape);
+    const auto astr = bcast_strides(a0, od.shape);
+    const auto bstr = bcast_strides(b0, od.shape);
+    int64_t run = 1;
+    int pm = 2, am = 2, bm = 2;  // plan_bcast2 modes, three ways
+    size_t r = od.shape.size();
+    while (r > 0) {
+      const size_t d = r - 1;
+      auto ext = [&](int64_t s, int& mode) {
+        if (od.shape[d] == 1) return true;
+        if (s == 0) {
+          if (mode == 1) return false;
+          mode = 0;
+          return true;
+        }
+        if (s == run) {
+          if (mode == 0) return false;
+          mode = 1;
+          return true;
+        }
+        return false;
+      };
+      int p2 = pm, a2 = am, b2 = bm;
+      if (!ext(pstr[d], p2) || !ext(astr[d], a2) || !ext(bstr[d], b2))
+        break;
+      pm = p2;
+      am = a2;
+      bm = b2;
+      run *= od.shape[d];
+      --r;
+    }
+    const int64_t m = run;
+    const std::vector<int64_t> osub(od.shape.begin(), od.shape.begin() + r);
+    const std::vector<int64_t> psub(pstr.begin(), pstr.begin() + r);
+    const std::vector<int64_t> asub(astr.begin(), astr.begin() + r);
+    const std::vector<int64_t> bsub(bstr.begin(), bstr.begin() + r);
+
+    int reuse = -1;
+    if (reusable_as_out(op, 1, sp, a0, od)) reuse = 1;
+    else if (reusable_as_out(op, 2, sp, b0, od)) reuse = 2;
+    Tensor out;
+    if (reuse >= 0) {
+      out = std::move(regs[op.inputs[reuse]]);
+      out.dt = od.dt;
+      out.shape = od.shape;
+    } else {
+      out = make_out(od);
+    }
+    if (out.numel() == 0) return out;
+    const Tensor& a = (reuse == 1 || (reuse >= 0 && ia == ib))
+                          ? out : reg_get(sp, regs, ia);
+    const Tensor& b = (reuse == 2 || (reuse >= 0 && ia == ib))
+                          ? out : reg_get(sp, regs, ib);
+    const int64_t* vp = p0.i.data();
+    const float* va = a.f.data();
+    const float* vb = b.f.data();
+    float* vo = out.f.data();
+
+    auto kern = [&](auto cp_c, auto ca_c, auto cb_c) {
+      constexpr int64_t cp = decltype(cp_c)::value;
+      constexpr int64_t ca = decltype(ca_c)::value;
+      constexpr int64_t cb = decltype(cb_c)::value;
+      // 3-source odometer over the outer dims
+      int64_t n = 1;
+      for (int64_t d : osub) n *= d;
+      std::vector<int64_t> coord(osub.size(), 0);
+      int64_t pi = 0, ai = 0, bi = 0;
+      for (int64_t k = 0;;) {
+        const int64_t* wp = vp + pi;
+        const float* wa = va + ai;
+        const float* wb = vb + bi;
+        float* wo = vo + k * m;
+        for (int64_t j = 0; j < m; ++j)
+          wo[j] = wp[j * cp] ? wb[j * cb] : wa[j * ca];
+        if (++k >= n) break;
+        size_t d = osub.size();
+        while (d-- > 0) {
+          ++coord[d];
+          pi += psub[d];
+          ai += asub[d];
+          bi += bsub[d];
+          if (coord[d] < osub[d]) break;
+          pi -= osub[d] * psub[d];
+          ai -= osub[d] * asub[d];
+          bi -= osub[d] * bsub[d];
+          coord[d] = 0;
+        }
+      }
+    };
+    using c0 = std::integral_constant<int64_t, 0>;
+    using c1 = std::integral_constant<int64_t, 1>;
+    const bool sp1 = pm != 0, sa1 = am != 0, sb1 = bm != 0;
+    if (sp1) {
+      if (sa1 && sb1) kern(c1{}, c1{}, c1{});
+      else if (sa1) kern(c1{}, c1{}, c0{});
+      else if (sb1) kern(c1{}, c0{}, c1{});
+      else kern(c1{}, c0{}, c0{});
+    } else {
+      if (sa1 && sb1) kern(c0{}, c1{}, c1{});
+      else if (sa1) kern(c0{}, c1{}, c0{});
+      else if (sb1) kern(c0{}, c0{}, c1{});
+      else kern(c0{}, c0{}, c0{});
+    }
+    return out;
   }
 
   Tensor binop(int kind, const Op& op, const SubProgram& sp,
