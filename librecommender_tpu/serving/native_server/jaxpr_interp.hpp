@@ -1837,35 +1837,50 @@ class Executor {
     // still LOSES (173ms vs 88ms on the DIN catalog program): many small
     // matmuls pay region setup; tile/request-level parallelism is the
     // scaling axis instead.
-    constexpr int64_t NB = 64;
+    // fixed-width sub-blocks (64/32/16 + runtime tail) so the compiler
+    // keeps each accumulator block fully in vector registers across the
+    // K loop — a runtime-width block spills (attention MLPs with N=36
+    // measured 1.4x slower through the old runtime tail)
+    auto block = [&](auto nb_c, int64_t n0, const float* Lb, const float* Rb,
+                     float* Ob) {
+      constexpr int64_t NBk = decltype(nb_c)::value;
+      for (int64_t m = 0; m < M; ++m) {
+        float acc[NBk] = {0.f};
+        const float* lrow = Lb + m * K;
+        for (int64_t kk = 0; kk < K; ++kk) {
+          const float lv = lrow[kk];
+          const float* rrow = Rb + kk * N + n0;
+          for (int64_t j = 0; j < NBk; ++j) acc[j] += lv * rrow[j];
+        }
+        std::copy(acc, acc + NBk, Ob + m * N + n0);
+      }
+    };
     for (int64_t bb = 0; bb < B; ++bb) {
       const float* Lb = L + bb * M * K;
       const float* Rb = R + bb * K * N;
       float* Ob = O + bb * M * N;
-      for (int64_t n0 = 0; n0 < N; n0 += NB) {
-        const int64_t nb = std::min(NB, N - n0);
-        if (nb == NB) {
-          for (int64_t m = 0; m < M; ++m) {
-            float acc[NB] = {0.f};
-            const float* lrow = Lb + m * K;
-            for (int64_t kk = 0; kk < K; ++kk) {
-              const float lv = lrow[kk];
-              const float* rrow = Rb + kk * N + n0;
-              for (int64_t j = 0; j < NB; ++j) acc[j] += lv * rrow[j];
-            }
-            std::copy(acc, acc + NB, Ob + m * N + n0);
+      int64_t n0 = 0;
+      for (; n0 + 64 <= N; n0 += 64)
+        block(std::integral_constant<int64_t, 64>{}, n0, Lb, Rb, Ob);
+      if (n0 + 32 <= N) {
+        block(std::integral_constant<int64_t, 32>{}, n0, Lb, Rb, Ob);
+        n0 += 32;
+      }
+      if (n0 + 16 <= N) {
+        block(std::integral_constant<int64_t, 16>{}, n0, Lb, Rb, Ob);
+        n0 += 16;
+      }
+      if (n0 < N) {
+        const int64_t nb = N - n0;
+        for (int64_t m = 0; m < M; ++m) {
+          float acc[16] = {0.f};
+          const float* lrow = Lb + m * K;
+          for (int64_t kk = 0; kk < K; ++kk) {
+            const float lv = lrow[kk];
+            const float* rrow = Rb + kk * N + n0;
+            for (int64_t j = 0; j < nb; ++j) acc[j] += lv * rrow[j];
           }
-        } else {
-          for (int64_t m = 0; m < M; ++m) {
-            float acc[NB] = {0.f};
-            const float* lrow = Lb + m * K;
-            for (int64_t kk = 0; kk < K; ++kk) {
-              const float lv = lrow[kk];
-              const float* rrow = Rb + kk * N + n0;
-              for (int64_t j = 0; j < nb; ++j) acc[j] += lv * rrow[j];
-            }
-            std::copy(acc, acc + nb, Ob + m * N + n0);
-          }
+          std::copy(acc, acc + nb, Ob + m * N + n0);
         }
       }
     }
