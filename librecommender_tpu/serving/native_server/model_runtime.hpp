@@ -461,24 +461,31 @@ struct ModelRuntime {
     std::mutex done_mu;
     std::condition_variable done_cv;
 
+    std::atomic<bool> failed(false);
     auto run_tile = [&](int64_t t) {
-      Tensor items;
-      items.dt = DT::I32;
-      items.shape = {T};
-      items.i.resize(T);
-      const int64_t lo = t * T, hi = std::min(n_items, lo + T);
-      for (int64_t j = 0; j < T; ++j)
-        items.i[j] = std::min(lo + j, n_items - 1);  // pad tail with a
-                                                     // clamped id; dropped
-      std::vector<Tensor> args;
-      args.reserve(base.size() + 1);
-      args.push_back(base[0]);
-      args.push_back(std::move(items));
-      for (size_t k = 1; k < base.size(); ++k) args.push_back(base[k]);
-      Executor ex(*score_tile_prog);
-      auto outs = ex.run(std::move(args));
-      std::copy(outs[0].f.begin(), outs[0].f.begin() + (hi - lo),
-                scores.begin() + lo);
+      try {
+        Tensor items;
+        items.dt = DT::I32;
+        items.shape = {T};
+        items.i.resize(T);
+        const int64_t lo = t * T, hi = std::min(n_items, lo + T);
+        for (int64_t j = 0; j < T; ++j)
+          items.i[j] = std::min(lo + j, n_items - 1);  // pad tail with a
+                                                       // clamped id; dropped
+        std::vector<Tensor> args;
+        args.reserve(base.size() + 1);
+        args.push_back(base[0]);
+        args.push_back(std::move(items));
+        for (size_t k = 1; k < base.size(); ++k) args.push_back(base[k]);
+        Executor ex(*score_tile_prog);
+        auto outs = ex.run(std::move(args));
+        std::copy(outs[0].f.begin(), outs[0].f.begin() + (hi - lo),
+                  scores.begin() + lo);
+      } catch (...) {
+        // the caller must still unblock and every tile must still count
+        // down — a throw here would otherwise hang the request forever
+        failed.store(true, std::memory_order_release);
+      }
       if (remaining.fetch_sub(1) == 1) {
         std::lock_guard<std::mutex> l(done_mu);
         done_cv.notify_all();
@@ -498,6 +505,8 @@ struct ModelRuntime {
                          [&] { return remaining.load() == 0; });
       }
     }
+    if (failed.load(std::memory_order_acquire))
+      throw std::runtime_error("tiled scoring failed");
     return scores;
   }
 
@@ -548,6 +557,7 @@ struct ModelRuntime {
     std::vector<Tensor> args;
     std::vector<float>* out;
     bool done = false;
+    bool failed = false;  // leader died before scoring this request
   };
   struct DynBatcher {
     std::mutex mu;
@@ -569,25 +579,50 @@ struct ModelRuntime {
     if (batcher_->busy) {
       batcher_->q.push_back(&me);
       batcher_->cv.wait(l, [&] { return me.done; });
+      if (me.failed)
+        throw std::runtime_error("coalesced tower scoring failed");
       return scores;
     }
     batcher_->busy = true;
     l.unlock();
+    // on ANY throw the leader must release the gate and unblock waiters,
+    // or every future dyn request deadlocks on `busy`. `group` is declared
+    // BEFORE Release so it outlives the unwinding destructor that reads it.
+    std::vector<DynPending*> group;
+    struct Release {
+      DynBatcher* b;
+      std::vector<DynPending*>* grp;
+      ~Release() {
+        if (!b) return;
+        {
+          std::lock_guard<std::mutex> g(b->mu);
+          if (grp)  // popped group the throw left unscored
+            for (DynPending* p : *grp) p->done = p->failed = true;
+          for (DynPending* p : b->q) p->done = p->failed = true;
+          b->q.clear();
+          b->busy = false;
+        }
+        b->cv.notify_all();
+      }
+    } release{batcher_.get(), nullptr};
     run_tower_group({}, &me.args, &scores);  // leader: solo, no wait
     for (;;) {
       l.lock();
       if (batcher_->q.empty()) {
         batcher_->busy = false;
+        release.b = nullptr;
         return scores;
       }
-      std::vector<DynPending*> group;
+      group.clear();
       while (!batcher_->q.empty() &&
              int64_t(group.size()) < dyn_batch) {
         group.push_back(batcher_->q.front());
         batcher_->q.pop_front();
       }
       l.unlock();
+      release.grp = &group;
       run_tower_group(group, nullptr, nullptr);
+      release.grp = nullptr;
       l.lock();
       for (DynPending* p : group) p->done = true;
       l.unlock();
