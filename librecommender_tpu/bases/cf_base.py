@@ -213,7 +213,9 @@ class CfBase(Base):
             scores = self._user_scores(uid)
             if filter_consumed:
                 consumed = list(self.user_consumed.get(uid, ()))
-                scores[consumed] = -np.inf
+                # reference can't-filter passthrough (ranking.py:38)
+                if n_rec + len(consumed) <= self.n_items:
+                    scores[consumed] = -np.inf
             top = np.argpartition(-scores, min(n_rec, self.n_items - 1))[:n_rec]
             top = top[np.argsort(-scores[top])]
             finite = top[np.isfinite(scores[top])]

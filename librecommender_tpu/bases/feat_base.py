@@ -470,7 +470,8 @@ class FeatBase(Base):
                 )
             else:
                 consumed = (
-                    pad_consumed(self.user_consumed, uids_p)
+                    pad_consumed(self.user_consumed, uids_p,
+                                 n_rec=int(n_rec), n_items=self.n_items)
                     if filter_consumed else None
                 )
                 ids, _ = topk_from_scores(scores, consumed, int(n_rec))
@@ -589,7 +590,9 @@ class FeatBase(Base):
             )
             start += len(uids_chunk)
         consumed = (
-            pad_consumed(self.user_consumed, uids) if filter_consumed else None
+            pad_consumed(self.user_consumed, uids,
+                         n_rec=int(n_rec), n_items=self.n_items)
+            if filter_consumed else None
         )
         ids, _ = topk_from_scores(jnp.asarray(all_scores), consumed, int(n_rec))
         ids = np.asarray(ids)

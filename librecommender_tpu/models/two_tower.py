@@ -442,7 +442,8 @@ class TwoTower(EmbedBase):
                 )
             else:
                 consumed = (
-                    pad_consumed(self.user_consumed, m_uids)
+                    pad_consumed(self.user_consumed, m_uids,
+                                 n_rec=int(n_rec), n_items=self.n_items)
                     if filter_consumed else None
                 )
                 ids, _ = topk_from_scores(

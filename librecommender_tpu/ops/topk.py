@@ -52,7 +52,8 @@ def topk_from_embeddings(user_embeds, item_embeds, n_rec, user_consumed=None,
     item_embeds = np.asarray(item_embeds, dtype=np.float32)
     consumed = None
     if filter_consumed and user_consumed is not None and user_ids is not None:
-        consumed = pad_consumed(user_consumed, user_ids)
+        consumed = pad_consumed(user_consumed, user_ids, n_rec=int(n_rec),
+                                n_items=int(item_embeds.shape[0]))
 
     n_users, n_items = user_embeds.shape[0], item_embeds.shape[0]
     if (
@@ -102,11 +103,18 @@ def _streaming_topk(user_embeds, item_embeds, n_rec, consumed,
     return ids[:, : int(n_rec)], scores[:, : int(n_rec)]
 
 
-def pad_consumed(user_consumed, user_ids):
+def pad_consumed(user_consumed, user_ids, n_rec=None, n_items=None):
     """Build a (U, C) consumed matrix padded with -1; C is rounded up to a
-    power of two so repeated calls reuse one compiled top-k program."""
+    power of two so repeated calls reuse one compiled top-k program.
+
+    ``n_rec``/``n_items``: when given, a user whose unconsumed remainder
+    can't fill ``n_rec`` gets an EMPTY row — the reference's can't-filter
+    passthrough (libreco/recommendation/ranking.py:38 filters only when
+    ``n_rec + len(consumed) <= n_items``)."""
     lists = [np.asarray(user_consumed.get(int(u), []), dtype=np.int64)
              for u in np.atleast_1d(user_ids)]
+    if n_rec is not None and n_items is not None:
+        lists = [c if n_rec + len(c) <= n_items else c[:0] for c in lists]
     max_len = max((len(c) for c in lists), default=0)
     if max_len == 0:
         return None

@@ -549,11 +549,17 @@ std::pair<int, std::string> dispatch_checked(const std::string& req,
         it == a.user2id.end() ? a.runtime.n_users : it->second;
     if (!online && a.runtime.static_k > 0) {
       // precomputed static list (default_recs analog); empty -> request
-      // needs a deeper list than the table holds, fall through to live
-      const auto& consumed0 =
+      // needs a deeper list than the table holds, fall through to live.
+      // Reference can't-filter semantics: when the unconsumed remainder
+      // can't fill n_rec, serve the unfiltered list (ranking.py:38)
+      const auto& table_consumed0 =
           (uid >= 0 && uid < (int64_t)a.consumed.size())
               ? a.consumed[uid] : std::vector<int32_t>{};
-      const auto ids = a.runtime.topk_from_table(uid, consumed0, n_rec);
+      const bool table_can_filter =
+          n_rec + (int64_t)table_consumed0.size() <= (int64_t)a.n_items;
+      const auto ids = a.runtime.topk_from_table(
+          uid, table_can_filter ? table_consumed0 : std::vector<int32_t>{},
+          n_rec);
       if (!ids.empty()) {
         std::string out = "{\"rec_list\": [";
         for (size_t i = 0; i < ids.size(); ++i) {
@@ -576,9 +582,15 @@ std::pair<int, std::string> dispatch_checked(const std::string& req,
     } else {
       scores = a.runtime.scores_static(uid);
     }
-    const auto& consumed =
+    const auto& consumed0 =
         (uid >= 0 && uid < (int64_t)a.consumed.size())
             ? a.consumed[uid] : std::vector<int32_t>{};
+    // reference can't-filter semantics (ranking.py:38): when the
+    // unconsumed remainder can't fill n_rec, return the unfiltered top-k
+    const bool can_filter =
+        n_rec + (int64_t)consumed0.size() <= (int64_t)a.n_items;
+    const auto& consumed =
+        can_filter ? consumed0 : std::vector<int32_t>{};
     const auto ids = topk_filtered(scores, consumed, n_rec);
     std::string out = "{\"rec_list\": [";
     for (size_t i = 0; i < ids.size(); ++i) {

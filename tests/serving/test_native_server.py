@@ -190,6 +190,15 @@ def test_native_tiled_scoring(feat_builds, feat_frames, tmp_path):
             user=user, n_rec=7, seq=seq, user_feats=feats
         )[user]
         assert list(map(int, out_dyn["rec_list"])) == list(map(int, recs_dyn))
+
+        # deep request: n_rec + |consumed| > n_items triggers the
+        # reference's can't-filter passthrough (unfiltered top-k,
+        # ranking.py:38) — server and model must agree on it
+        deep = data_info.n_items - 3
+        out_deep = _post(port, "/model/recommend",
+                         {"user": int(user), "n_rec": deep})
+        recs_deep = model.recommend_user(user=user, n_rec=deep)[user]
+        assert list(map(int, out_deep["rec_list"])) == list(map(int, recs_deep))
     finally:
         proc.kill()
         proc.wait()
