@@ -58,9 +58,13 @@ WARMUP_EPOCHS, TIMED_EPOCHS = 1, 3
 PEAK_TFLOPS = {"TPU v5 lite": 197.0, "TPU v5e": 197.0, "TPU v4": 275.0}
 PEAK_HBM_GBS = {"TPU v5 lite": 819.0, "TPU v5e": 819.0, "TPU v4": 1228.0}
 
-# models measured; first entries are the long-standing headline trio
+# models measured; first entries are the long-standing headline trio.
+# sim_fast = SIM(long_history_grad=False): the SIM paper's two-stage
+# training practice — deletes the B*long_max_len-row backward scatter
+# that pins default SIM at the per-row hardware constant
+# (docs/tpu_performance.md "SIM long-history floor").
 MODELS = ("bpr", "din", "lightgcn", "two_tower", "youtube_retrieval",
-          "transformer", "sim")
+          "transformer", "sim", "sim_fast")
 LISTWISE = {"two_tower", "youtube_retrieval"}  # in-batch/sampled negatives
 
 
@@ -236,11 +240,12 @@ def _build(name, n_rows):
                             n_epochs=epochs, lr=0.001,
                             batch_size=2 * BATCH_SIZE,
                             hidden_units=(128, 64, 32), **seq_kw)
-    elif name == "sim":
+    elif name in ("sim", "sim_fast"):
         model = SIM("ranking", data_info, embed_size=EMBED_SIZE,
                     n_epochs=epochs, lr=0.001, batch_size=2 * BATCH_SIZE,
                     hidden_units=(128, 64, 32), long_max_len=50,
-                    search_topk=10, **seq_kw)
+                    search_topk=10,
+                    long_history_grad=(name == "sim"), **seq_kw)
     elif name == "two_tower":
         model = TwoTower("ranking", data_info, embed_size=EMBED_SIZE,
                          n_epochs=epochs, lr=0.001, batch_size=BATCH_SIZE,
