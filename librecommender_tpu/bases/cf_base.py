@@ -244,13 +244,25 @@ class CfBase(Base):
         )
         result = {}
         warm = [(q, uid) for q, uid in enumerate(uids) if uid >= 0]
-        if warm:
-            qs, warm_uids = zip(*warm)
+        # reference can't-filter passthrough (ranking.py:38): users whose
+        # unconsumed remainder can't fill n_rec recommend UNFILTERED —
+        # the native kernel takes one flag, so such users go in a second
+        # call with filtering off (matches the Python path above)
+        def _eff_filter(uid):
+            return filter_consumed and (
+                n_rec + len(self.user_consumed.get(uid, ())) <= self.n_items
+            )
+
+        for eff in (True, False):
+            grp = [(q, uid) for q, uid in warm if _eff_filter(uid) == eff]
+            if not grp:
+                continue
+            qs, warm_uids = zip(*grp)
             ids, _ = cf_recommend_native(
                 0 if self.cf_mode == "user" else 1,
                 1 if self.task == "rating" else 0,
                 self.sim_ids, self.sim_vals, self._sorted_interaction(),
-                np.asarray(warm_uids, np.int32), n_rec, filter_consumed,
+                np.asarray(warm_uids, np.int32), n_rec, eff,
                 pops, self.num_threads,
             )
             for row, q in enumerate(qs):

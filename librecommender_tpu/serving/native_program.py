@@ -389,8 +389,20 @@ def export_native_programs(path, model, tile_size=None):
             out = model._forward(params, inputs, train=False, rng=None)
             return out.reshape(1, tile)
 
-        save_program(path, "score_tile", tile_fn, users1, items_ex,
-                     *examples[1:])
+        # trace the tile program with PER-ID token assembly: a tile touches
+        # only `tile` items, so the packed all-items token table (a
+        # training-time optimization, seq_base.token_pack_max_items) would
+        # rebuild O(n_items) token rows in every tile execution —
+        # n_items/tile times the work per request
+        pack_attr = getattr(model, "token_pack_max_items", None)
+        try:
+            if pack_attr is not None:
+                model.token_pack_max_items = 0
+            save_program(path, "score_tile", tile_fn, users1, items_ex,
+                         *examples[1:])
+        finally:
+            if pack_attr is not None:
+                model.token_pack_max_items = pack_attr
 
         # stored recent histories: the score_dyn program takes seq as an
         # INPUT, so the server needs the tables to fill requests without one

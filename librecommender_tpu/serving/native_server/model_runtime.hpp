@@ -578,10 +578,17 @@ struct ModelRuntime {
     std::unique_lock<std::mutex> l(batcher_->mu);
     if (batcher_->busy) {
       batcher_->q.push_back(&me);
-      batcher_->cv.wait(l, [&] { return me.done; });
-      if (me.failed)
-        throw std::runtime_error("coalesced tower scoring failed");
-      return scores;
+      // woken either scored (done) or promoted: a leader that hit its
+      // batch cap hands leadership off so its own response isn't
+      // withheld indefinitely under a sustained arrival stream
+      batcher_->cv.wait(l, [&] { return me.done || !batcher_->busy; });
+      if (me.done) {
+        if (me.failed)
+          throw std::runtime_error("coalesced tower scoring failed");
+        return scores;
+      }
+      auto it = std::find(batcher_->q.begin(), batcher_->q.end(), &me);
+      if (it != batcher_->q.end()) batcher_->q.erase(it);
     }
     batcher_->busy = true;
     l.unlock();
@@ -606,7 +613,8 @@ struct ModelRuntime {
       }
     } release{batcher_.get(), nullptr};
     run_tower_group({}, &me.args, &scores);  // leader: solo, no wait
-    for (;;) {
+    constexpr int kMaxLeaderBatches = 4;     // then hand leadership off
+    for (int b = 0; b < kMaxLeaderBatches; ++b) {
       l.lock();
       if (batcher_->q.empty()) {
         batcher_->busy = false;
@@ -628,6 +636,14 @@ struct ModelRuntime {
       l.unlock();
       batcher_->cv.notify_all();
     }
+    // cap reached with waiters left: release the gate; a woken waiter
+    // promotes itself to leader and the stream keeps draining
+    l.lock();
+    batcher_->busy = false;
+    release.b = nullptr;
+    l.unlock();
+    batcher_->cv.notify_all();
+    return scores;
   }
 
   // Execute the tower for either one request (`solo_args`/`solo_out`) or

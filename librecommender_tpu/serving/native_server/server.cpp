@@ -303,9 +303,13 @@ std::string recommend_embed(const Artifacts& a, int32_t uid, int k) {
   std::vector<float> scores(a.n_items);
   for (int32_t i = 0; i < a.n_items; ++i)
     scores[i] = dotf(u, a.item_embed.row(i), D);
-  const auto& consumed =
+  const auto& consumed0 =
       (uid >= 0 && uid < (int32_t)a.consumed.size()) ? a.consumed[uid]
                                                      : std::vector<int32_t>{};
+  // reference can't-filter passthrough (ranking.py:38)
+  const auto& consumed =
+      k + (int64_t)consumed0.size() <= (int64_t)a.n_items
+          ? consumed0 : std::vector<int32_t>{};
   const auto ids = topk_filtered(scores, consumed, k);
   std::string out = "{\"rec_list\": [";
   for (size_t i = 0; i < ids.size(); ++i) {
@@ -338,9 +342,13 @@ std::string recommend_knn(const Artifacts& a, int32_t uid, int k) {
       }
     }
   }
-  const auto& consumed =
+  const auto& consumed0 =
       (uid >= 0 && uid < (int32_t)a.consumed.size()) ? a.consumed[uid]
                                                      : std::vector<int32_t>{};
+  // reference can't-filter passthrough (ranking.py:38)
+  const auto& consumed =
+      k + (int64_t)consumed0.size() <= (int64_t)a.n_items
+          ? consumed0 : std::vector<int32_t>{};
   const auto ids = topk_filtered(scores, consumed, k);
   std::string out = "{\"rec_list\": [";
   size_t n = 0;

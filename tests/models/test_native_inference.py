@@ -81,6 +81,49 @@ def test_native_recommend_matches_python(pure_builds, pure_frames, cls, task,
 
 
 @pytest.mark.skipif(get_lib() is None, reason="native lib unavailable")
+@pytest.mark.parametrize("cls", [UserCF, ItemCF])
+def test_native_recommend_cant_filter_passthrough(pure_builds, pure_frames,
+                                                  cls, monkeypatch):
+    """Deep n_rec (n_rec + |consumed| > n_items) triggers the reference's
+    can't-filter passthrough (ranking.py:38): such users recommend
+    UNFILTERED. A mixed batch exercises the native tier's two-group split
+    (cf_base._recommend_native) — each group must match the Python tier."""
+    model, data_info = _fit(cls, "ranking", pure_builds)
+    train, *_ = pure_frames
+    users = np.unique(train["user"].to_numpy())[:12]
+    counts = {u: len(model.user_consumed.get(data_info.user2id[u], ()))
+              for u in users}
+    n_rec = model.n_items - min(counts.values()) - 1
+    # mixed batch: some users filterable at this n_rec, some not
+    assert n_rec >= 1
+    _toggle_native(monkeypatch, True)
+    rec_nat = model.recommend_user(users, n_rec)
+    _toggle_native(monkeypatch, False)
+    rec_py = model.recommend_user(users, n_rec)
+    saw_passthrough = False
+    for u in users:
+        key = u.item() if isinstance(u, np.generic) else u
+        uid = data_info.user2id[key]
+        consumed = set(model.user_consumed.get(uid, ()))
+        if n_rec + len(consumed) > model.n_items:
+            saw_passthrough = True  # consumed items allowed back in
+        assert len(rec_nat[key]) == len(rec_py[key]) == n_rec
+        # exact-order parity modulo score ties, as in the test above
+        a, b = np.asarray(rec_nat[key]), np.asarray(rec_py[key])
+        if np.array_equal(a, b):
+            continue
+        scores = model._user_scores(uid)
+        if n_rec + len(consumed) <= model.n_items:
+            scores[list(consumed)] = -np.inf
+        only_a = [data_info.item2id[i] for i in set(a) - set(b)]
+        only_b = [data_info.item2id[i] for i in set(b) - set(a)]
+        np.testing.assert_allclose(
+            np.sort(scores[only_a]), np.sort(scores[only_b]), rtol=1e-5
+        )
+    assert saw_passthrough  # the deep group actually exercised the fix
+
+
+@pytest.mark.skipif(get_lib() is None, reason="native lib unavailable")
 def test_native_recommend_cold_user_and_fill(pure_builds, monkeypatch):
     train_data, *_, data_info = pure_builds
     model = UserCF("ranking", data_info, k_sim=10)

@@ -37,6 +37,13 @@ def test_native_embed_server(pure_builds, pure_frames, tmp_path):
         # cold user falls to the OOV embedding row
         cold = _post(port, "/embed/recommend", {"user": -9999, "n_rec": 5})
         assert len(cold["rec_list"]) == 5
+        # deep request: n_rec + |consumed| > n_items -> reference's
+        # can't-filter passthrough (unfiltered top-k, ranking.py:38)
+        deep = data_info.n_items - 3
+        out_deep = _post(port, "/embed/recommend",
+                         {"user": int(user), "n_rec": deep})
+        recs_deep = model.recommend_user(user=user, n_rec=deep)[user]
+        assert list(map(int, out_deep["rec_list"])) == list(map(int, recs_deep))
     finally:
         proc.kill()
         proc.wait()
@@ -62,6 +69,15 @@ def test_native_knn_server(pure_builds, pure_frames, tmp_path):
             int(data_info.id2item[i]) for i in data_info.user_consumed[uid]
         }
         assert not (set(map(int, out["rec_list"])) & consumed_raw)
+        # deep request: can't-filter passthrough means consumed items are
+        # no longer demoted — they dominate their own similarity-derived
+        # scores, so they must surface in the FRONT half of the deep list
+        # (with demotion they would all sit at the very tail)
+        deep = data_info.n_items - 3
+        out_deep = _post(port, "/knn/recommend",
+                         {"user": int(user), "n_rec": deep})
+        front = set(map(int, out_deep["rec_list"][: deep // 2]))
+        assert front & consumed_raw
     finally:
         proc.kill()
         proc.wait()
