@@ -1,0 +1,223 @@
+"""Offline classifier / regressor on the assembled feature vector.
+
+TPU-native counterpart of the Spark pipeline's supervised models
+(distributed/spark/.../model/Classifier.scala:13, Regressor.scala:11):
+the MLP family trains as a jitted optax loop on device (replacing
+MultilayerPerceptronClassifier); the tree family (RandomForest / GBT)
+runs host-side via the vectorized histogram grower in ``trees.py``; the
+generalized linear regressor (gaussian/identity, regParam 0) is solved
+in closed form with one batched least-squares on device.
+
+The rating -> class mapping matches Classifier.scala:72-77 exactly:
+5 -> 2, 4 -> 1, everything else -> 0.
+"""
+import numpy as np
+
+from .pipeline import Pipeline, preprocess_pipeline
+from .trees import GradientBoostedTrees, RandomForest
+
+
+def map_rating_label(ratings):
+    """Classifier.scala:72-77 ``mapValue``."""
+    r = np.asarray(ratings)
+    return np.where(r == 5, 2, np.where(r == 4, 1, 0)).astype(np.int64)
+
+
+def _train_mlp(X, y, layers, step_size, max_iter, seed, task,
+               batch_size=1024):
+    """Jitted minibatch MLP: softmax cross-entropy for classification,
+    squared loss for regression. ``layers`` excludes the (inferred) input
+    width, matching MultilayerPerceptronClassifier.setLayers semantics
+    with the first entry dropped (Classifier.scala:40: Array(62,40,10,3)
+    — 62 is the feature width, inferred here)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    X = np.asarray(X, np.float32)
+    n, f = X.shape
+    dims = [f] + list(layers)
+    key = jax.random.PRNGKey(seed)
+    params = []
+    for i in range(len(dims) - 1):
+        key, k = jax.random.split(key)
+        scale = float(np.sqrt(2.0 / dims[i]))
+        params.append({
+            "w": jax.random.normal(k, (dims[i], dims[i + 1])) * scale,
+            "b": jnp.zeros(dims[i + 1]),
+        })
+
+    def forward(params, x):
+        for i, layer in enumerate(params):
+            x = x @ layer["w"] + layer["b"]
+            if i < len(params) - 1:
+                x = jax.nn.relu(x)
+        return x
+
+    if task == "classification":
+        y_arr = np.asarray(y, np.int32)
+
+        def loss_fn(params, xb, yb):
+            logits = forward(params, xb)
+            return jnp.mean(
+                optax.softmax_cross_entropy_with_integer_labels(logits, yb)
+            )
+    else:
+        y_arr = np.asarray(y, np.float32)
+
+        def loss_fn(params, xb, yb):
+            pred = forward(params, xb)[:, 0]
+            return jnp.mean((pred - yb) ** 2)
+
+    optimizer = optax.adam(step_size)
+    opt_state = optimizer.init(params)
+
+    @jax.jit
+    def step(params, opt_state, xb, yb):
+        loss, grads = jax.value_and_grad(loss_fn)(params, xb, yb)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    rng = np.random.default_rng(seed)
+    bs = min(batch_size, n)
+    for _ in range(max_iter):
+        take = rng.choice(n, bs, replace=False)
+        params, opt_state, _ = step(
+            params, opt_state, jnp.asarray(X[take]), jnp.asarray(y_arr[take])
+        )
+    return params, forward
+
+
+class Classifier:
+    """``algo``: "mlp" (device) or "rf" (host trees). Mirrors
+    Classifier.scala:13-69: ``train(df)`` runs the feature pipeline and
+    the model; ``transform(df)`` appends ``pred`` and ``prob``."""
+
+    def __init__(self, algo="mlp", feature_pipeline=None, hidden=(40, 10),
+                 n_classes=3, step_size=0.01, max_iter=300, n_trees=100,
+                 max_depth=3, seed=42, label_fn=map_rating_label,
+                 label_col="rating"):
+        if algo not in ("mlp", "rf"):
+            raise ValueError("algo must be 'mlp' or 'rf'")
+        self.algo = algo
+        self.pipeline = feature_pipeline
+        self.hidden = tuple(hidden)
+        self.n_classes = n_classes
+        self.step_size = step_size
+        self.max_iter = max_iter
+        self.n_trees = n_trees
+        self.max_depth = max_depth
+        self.seed = seed
+        self.label_fn = label_fn
+        self.label_col = label_col
+
+    def _features(self, df, fit):
+        if self.pipeline is None:
+            self.pipeline = preprocess_pipeline()
+        if fit:
+            self.pipeline.fit(df)
+        return self.pipeline.transform(df)
+
+    def train(self, df):
+        X = self._features(df, fit=True)
+        y = self.label_fn(df[self.label_col].to_numpy())
+        if self.algo == "mlp":
+            self._params, self._forward = _train_mlp(
+                X, y, self.hidden + (self.n_classes,), self.step_size,
+                self.max_iter, self.seed, "classification",
+            )
+        else:
+            self._rf = RandomForest(
+                n_trees=self.n_trees, max_depth=self.max_depth,
+                seed=self.seed,
+            ).fit(X, y)
+        return self
+
+    def predict_proba(self, df):
+        X = self._features(df, fit=False)
+        if self.algo == "mlp":
+            import jax
+            import jax.numpy as jnp
+
+            logits = self._forward(self._params, jnp.asarray(X))
+            return np.asarray(jax.device_get(jax.nn.softmax(logits, axis=-1)))
+        return self._rf.predict_proba(X)
+
+    def transform(self, df):
+        prob = self.predict_proba(df)
+        out = df.copy()
+        out["pred"] = prob.argmax(axis=1)
+        out["prob"] = list(np.asarray(prob, np.float64))
+        return out
+
+
+class Regressor:
+    """``algo``: "gbdt" (host trees), "glr" (closed-form least squares on
+    device), or "mlp". Mirrors Regressor.scala:11-64."""
+
+    def __init__(self, algo="gbdt", feature_pipeline=None, hidden=(40, 10),
+                 step_size=0.01, max_iter=20, subsample=0.8, max_depth=3,
+                 seed=42, label_col="rating"):
+        if algo not in ("gbdt", "glr", "mlp"):
+            raise ValueError("algo must be 'gbdt', 'glr' or 'mlp'")
+        self.algo = algo
+        self.pipeline = feature_pipeline
+        self.hidden = tuple(hidden)
+        self.step_size = step_size
+        self.max_iter = max_iter
+        self.subsample = subsample
+        self.max_depth = max_depth
+        self.seed = seed
+        self.label_col = label_col
+
+    def _features(self, df, fit):
+        if self.pipeline is None:
+            self.pipeline = preprocess_pipeline()
+        if fit:
+            self.pipeline.fit(df)
+        return self.pipeline.transform(df)
+
+    def train(self, df):
+        X = self._features(df, fit=True)
+        y = np.asarray(df[self.label_col].to_numpy(), np.float64)
+        if self.algo == "gbdt":
+            self._gbt = GradientBoostedTrees(
+                n_iter=self.max_iter, max_depth=self.max_depth,
+                learning_rate=self.step_size, subsample=self.subsample,
+                seed=self.seed,
+            ).fit(X, y)
+        elif self.algo == "glr":
+            # gaussian family, identity link, regParam 0
+            # (Regressor.scala:43-49) = ordinary least squares; solved
+            # with one device lstsq on the MXU
+            import jax.numpy as jnp
+
+            Xb = jnp.asarray(
+                np.concatenate([X, np.ones((len(X), 1), np.float32)], axis=1)
+            )
+            coef, *_ = jnp.linalg.lstsq(Xb, jnp.asarray(y, jnp.float32))
+            self._coef = np.asarray(coef)
+        else:
+            self._params, self._forward = _train_mlp(
+                X, y, self.hidden + (1,), self.step_size,
+                max(self.max_iter, 200), self.seed, "regression",
+            )
+        return self
+
+    def predict(self, df):
+        X = self._features(df, fit=False)
+        if self.algo == "gbdt":
+            return self._gbt.predict(X)
+        if self.algo == "glr":
+            return X @ self._coef[:-1] + self._coef[-1]
+        import jax
+        import jax.numpy as jnp
+
+        return np.asarray(
+            jax.device_get(self._forward(self._params, jnp.asarray(X))[:, 0])
+        )
+
+    def transform(self, df):
+        out = df.copy()
+        out["pred"] = self.predict(df)
+        return out
