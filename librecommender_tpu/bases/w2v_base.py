@@ -49,30 +49,9 @@ class W2VBase(EmbedBase):
         raise NotImplementedError
 
     def _skipgram_pairs(self, corpus, rng, max_pairs=20_000_000):
-        centers, contexts = [], []
-        W = self.window_size
-        for sent in corpus:
-            sent = np.asarray(sent, dtype=np.int32)
-            n = len(sent)
-            if n < 2:
-                continue
-            # dynamic window like word2vec: per-position reduced window
-            reduced = rng.integers(1, W + 1, n)
-            for pos in range(n):
-                lo = max(0, pos - reduced[pos])
-                hi = min(n, pos + reduced[pos] + 1)
-                for ctx in range(lo, hi):
-                    if ctx != pos:
-                        centers.append(sent[pos])
-                        contexts.append(sent[ctx])
-        centers = np.asarray(centers, np.int32)
-        contexts = np.asarray(contexts, np.int32)
-        if len(centers) > max_pairs:
-            # whole-list windows (Item2Vec) are O(len^2) per user; cap the
-            # epoch size for power users
-            take = rng.choice(len(centers), max_pairs, replace=False)
-            centers, contexts = centers[take], contexts[take]
-        return centers, contexts
+        from ..sampling.skipgram import skipgram_pairs
+
+        return skipgram_pairs(corpus, self.window_size, rng, max_pairs)
 
     def build_model(self):
         rng = jax.random.PRNGKey(self.seed)

@@ -41,12 +41,16 @@ class EvalRecommender:
         self.regs = tuple(regs)
         self.max_iter = max_iter
         self.seed = seed
-        self.best_score = 0.0
-        self.best_params = {"rank": 0, "reg": -1.0}
+        self.best_score = -np.inf
+        self.best_params = None
 
     def eval(self, df, verbose=1):
         from ..models import ALS
 
+        # fresh grid state per call: a previous eval's score must not
+        # veto this dataset's legitimately-best combo
+        self.best_score = -np.inf
+        self.best_params = None
         train_df, test_df = stratified_chrono_split(df)
         train_data, data_info = DatasetPure.build_trainset(
             train_df[["user", "item", "label"]]
@@ -121,40 +125,83 @@ def _f1_weighted(y_true, y_pred):
     return float(np.sum(np.asarray(f1s) * weights))
 
 
+def _fit_features_once(feature_pipeline, train_df, test_df):
+    """Features don't depend on the model grid: fit the pipeline ONCE on
+    the train split and transform both splits — removes the O(grid)
+    refits (incl. the on-device SGNS stage) a naive per-combo train
+    would pay, and keeps the caller's pipeline in use for EVERY combo."""
+    from .pipeline import preprocess_pipeline
+
+    pipe = feature_pipeline or preprocess_pipeline()
+    x_train = pipe.fit_transform(train_df)
+    x_test = pipe.transform(test_df)
+    return x_train, x_test
+
+
 class EvalClassifier:
-    """Small param grid over the MLP classifier, scored by weighted F1 +
-    accuracy on the chrono split (EvalClassifier.scala:15-57)."""
+    """Param grid over the classifier, scored by weighted F1 + accuracy
+    on the chrono split (EvalClassifier.scala:15-57). Grid axes follow
+    the algo: (step_size, max_iter) for "mlp"; (max_depth, n_trees) for
+    "rf" — the reference's respective ParamGridBuilder axes."""
 
     def __init__(self, algo="mlp", step_sizes=(0.01, 0.05),
-                 max_iters=(100, 300), seed=42):
+                 max_iters=(100, 300), max_depths=(3, 5),
+                 n_trees=(50, 100), seed=42):
         self.algo = algo
         self.step_sizes = tuple(step_sizes)
         self.max_iters = tuple(max_iters)
+        self.max_depths = tuple(max_depths)
+        self.n_trees = tuple(n_trees)
         self.seed = seed
-        self.best_score = 0.0
-        self.best_params = {}
+        self.best_score = -np.inf
+        self.best_params = None
 
     def eval(self, df, feature_pipeline=None, verbose=1):
-        from .supervised import Classifier
+        from .supervised import _train_mlp, map_rating_label
+        from .trees import RandomForest
 
+        self.best_score = -np.inf
+        self.best_params = None
         train_df, test_df = stratified_chrono_split(df)
-        for lr in self.step_sizes:
-            for it in self.max_iters:
-                clf = Classifier(
-                    algo=self.algo, feature_pipeline=feature_pipeline,
-                    step_size=lr, max_iter=it, seed=self.seed,
-                ).train(train_df)
-                out = clf.transform(test_df)
-                y_true = clf.label_fn(test_df[clf.label_col].to_numpy())
-                f1 = _f1_weighted(y_true, out["pred"].to_numpy())
-                acc = _accuracy(y_true, out["pred"].to_numpy())
-                if f1 > self.best_score:
-                    self.best_score = f1
-                    self.best_params = {"step_size": lr, "max_iter": it}
-                if verbose:
-                    print(f"step_size={lr}, max_iter={it}: "
-                          f"f1={f1:.4f}, accuracy={acc:.4f}")
-                feature_pipeline = None  # refit per combo
+        x_train, x_test = _fit_features_once(
+            feature_pipeline, train_df, test_df
+        )
+        y_train = map_rating_label(train_df["rating"].to_numpy())
+        y_true = map_rating_label(test_df["rating"].to_numpy())
+        n_classes = int(max(y_train.max(), y_true.max())) + 1
+
+        if self.algo == "mlp":
+            grid = [{"step_size": lr, "max_iter": it}
+                    for lr in self.step_sizes for it in self.max_iters]
+        else:
+            grid = [{"max_depth": d, "n_trees": t}
+                    for d in self.max_depths for t in self.n_trees]
+        for combo in grid:
+            if self.algo == "mlp":
+                import jax.numpy as jnp
+
+                params, forward = _train_mlp(
+                    x_train, y_train, (40, 10, n_classes),
+                    combo["step_size"], combo["max_iter"], self.seed,
+                    "classification",
+                )
+                pred = np.asarray(
+                    forward(params, jnp.asarray(x_test))
+                ).argmax(axis=1)
+            else:
+                rf = RandomForest(
+                    n_trees=combo["n_trees"], max_depth=combo["max_depth"],
+                    seed=self.seed,
+                ).fit(x_train, y_train)
+                pred = rf.predict(x_test)
+            f1 = _f1_weighted(y_true, pred)
+            acc = _accuracy(y_true, pred)
+            if f1 > self.best_score:
+                self.best_score = f1
+                self.best_params = combo
+            if verbose:
+                print(", ".join(f"{k}={v}" for k, v in combo.items())
+                      + f": f1={f1:.4f}, accuracy={acc:.4f}")
         if verbose:
             print(f"best params: {self.best_params}, "
                   f"f1={self.best_score:.4f}")
@@ -162,37 +209,59 @@ class EvalClassifier:
 
 
 class EvalRegressor:
-    """Param grid over the regressor, scored by rmse/mae/r2
-    (EvalRegressor.scala)."""
+    """Param grid over the GBT regressor, scored by rmse/mae/r2
+    (EvalRegressor.scala). Features are fitted once per split and shared
+    across the grid (see _fit_features_once)."""
 
-    def __init__(self, algo="gbdt", max_iters=(20, 50), seed=42):
+    def __init__(self, algo="gbdt", max_iters=(20, 50),
+                 step_sizes=(0.01, 0.1), seed=42):
         self.algo = algo
         self.max_iters = tuple(max_iters)
+        self.step_sizes = tuple(step_sizes)
         self.seed = seed
         self.best_score = np.inf
-        self.best_params = {}
+        self.best_params = None
 
     def eval(self, df, feature_pipeline=None, verbose=1):
         from ..evaluation.metrics import mae, r2, rmse
-        from .supervised import Regressor
+        from .supervised import _train_mlp
+        from .trees import GradientBoostedTrees
 
+        self.best_score = np.inf
+        self.best_params = None
         train_df, test_df = stratified_chrono_split(df)
+        x_train, x_test = _fit_features_once(
+            feature_pipeline, train_df, test_df
+        )
+        y_train = np.asarray(train_df["rating"].to_numpy(), np.float64)
+        y = np.asarray(test_df["rating"].to_numpy(), np.float64)
+
         for it in self.max_iters:
-            reg = Regressor(
-                algo=self.algo, feature_pipeline=feature_pipeline,
-                max_iter=it, seed=self.seed,
-            ).train(train_df)
-            pred = reg.predict(test_df)
-            y = np.asarray(test_df[reg.label_col].to_numpy(), np.float64)
-            scores = {"rmse": rmse(y, pred), "mae": mae(y, pred),
-                      "r2": r2(y, pred)}
-            if scores["rmse"] < self.best_score:
-                self.best_score = scores["rmse"]
-                self.best_params = {"max_iter": it}
-            if verbose:
-                print(f"max_iter={it}: " + ", ".join(
-                    f"{k}={v:.4f}" for k, v in scores.items()))
-            feature_pipeline = None
+            for lr in self.step_sizes:
+                combo = {"max_iter": it, "step_size": lr}
+                if self.algo == "gbdt":
+                    model = GradientBoostedTrees(
+                        n_iter=it, learning_rate=lr, seed=self.seed,
+                    ).fit(x_train, y_train)
+                    pred = model.predict(x_test)
+                else:  # mlp
+                    import jax.numpy as jnp
+
+                    params, forward = _train_mlp(
+                        x_train, y_train, (40, 10, 1), lr, it, self.seed,
+                        "regression",
+                    )
+                    pred = np.asarray(
+                        forward(params, jnp.asarray(x_test))
+                    )[:, 0]
+                scores = {"rmse": rmse(y, pred), "mae": mae(y, pred),
+                          "r2": r2(y, pred)}
+                if scores["rmse"] < self.best_score:
+                    self.best_score = scores["rmse"]
+                    self.best_params = combo
+                if verbose:
+                    print(f"max_iter={it}, step_size={lr}: " + ", ".join(
+                        f"{k}={v:.4f}" for k, v in scores.items()))
         if verbose:
             print(f"best params: {self.best_params}, "
                   f"rmse={self.best_score:.4f}")

@@ -58,9 +58,10 @@ class StandardScaler(Stage):
     def fit(self, df, cols=None):
         x = df[self.input_cols].to_numpy(np.float64)
         self.mean_ = x.mean(axis=0)
-        # ddof=1 matches Spark's sample std
+        # ddof=1 matches Spark's sample std; NaN (single-row fit) and
+        # zero-variance columns pass through unscaled
         self.std_ = x.std(axis=0, ddof=1)
-        self.std_[self.std_ == 0] = 1.0
+        self.std_[~np.isfinite(self.std_) | (self.std_ == 0)] = 1.0
         return self
 
     def transform(self, df, cols):
@@ -111,7 +112,12 @@ class OneHotEncoder(Stage):
         # width fixed at fit: train label count + one OOV slot, so train
         # and test transforms always assemble the same feature width
         idx = (cols or {}).get(self.input_col)
-        self.width_ = (int(idx.max(initial=0)) + 2) if idx is not None and len(idx) else 1
+        if idx is None:
+            raise ValueError(
+                f"OneHotEncoder needs '{self.input_col}' produced by an "
+                f"upstream StringIndexer in the same Pipeline fit"
+            )
+        self.width_ = (int(idx.max(initial=0)) + 2) if len(idx) else 1
         return self
 
     def transform(self, df, cols):
@@ -224,12 +230,15 @@ class WordVectors(Stage):
     def _find_tokenizer(self):
         tok = getattr(self, "_tokenizer", None)
         if tok is None:
-            tok = self._tokenizer = Tokenizer("__unset__",
-                                              output_col=self.input_col)
+            raise ValueError(
+                f"WordVectors found no '{self.input_col}' token column: "
+                f"add an upstream Tokenizer stage, or call "
+                f"set_source_column(<text column>) for standalone use"
+            )
         return tok
 
     def set_source_column(self, col):
-        self._find_tokenizer().input_col = col
+        self._tokenizer = Tokenizer(col, output_col=self.input_col)
 
     def transform(self, df, cols):
         sents = cols.get(self.input_col)
@@ -275,10 +284,7 @@ class Pipeline:
         self.stages = list(stages)
 
     def fit(self, df):
-        cols = {}
-        for s in self.stages:
-            s.fit(df, cols)
-            s.transform(df, cols)
+        self.fit_transform(df)
         return self
 
     def transform(self, df, output_col="featureVector"):
@@ -288,8 +294,14 @@ class Pipeline:
         return cols[output_col] if output_col in cols else cols
 
     def fit_transform(self, df, output_col="featureVector"):
-        self.fit(df)
-        return self.transform(df, output_col)
+        # single pass: Pipeline.fit already runs each stage's transform
+        # to chain estimators, so reuse those outputs instead of a
+        # second full transform over the frame
+        cols = {}
+        for s in self.stages:
+            s.fit(df, cols)
+            s.transform(df, cols)
+        return cols[output_col] if output_col in cols else cols
 
     def transform_chunks(self, frames, output_col="featureVector"):
         for frame in frames:
@@ -329,24 +341,12 @@ def _train_sgns(sentences, n_vocab, dim, window, epochs, num_neg, lr,
     import jax.numpy as jnp
     import optax
 
+    from ..sampling.skipgram import skipgram_pairs
+
     rng = np.random.default_rng(seed)
-    centers, contexts = [], []
-    for sent in sentences:
-        n = len(sent)
-        if n < 2:
-            continue
-        reduced = rng.integers(1, window + 1, n)
-        for pos in range(n):
-            lo = max(0, pos - reduced[pos])
-            hi = min(n, pos + reduced[pos] + 1)
-            for ctx in range(lo, hi):
-                if ctx != pos:
-                    centers.append(sent[pos])
-                    contexts.append(sent[ctx])
-    if not centers:
+    centers, contexts = skipgram_pairs(sentences, window, rng)
+    if not len(centers):
         return np.zeros((n_vocab, dim), np.float32)
-    centers = np.asarray(centers, np.int32)
-    contexts = np.asarray(contexts, np.int32)
 
     key = jax.random.PRNGKey(seed)
     k1, k2 = jax.random.split(key)

@@ -48,7 +48,9 @@ class Recommender:
             alpha=self.alpha,
             seed=self.seed,
         )
-        self.model.fit(train_data, neg_sampling=True, verbose=0)
+        # implicit (ranking) ALS trains with sampled negatives per the
+        # library convention; explicit (rating) ALS fits observed ratings
+        self.model.fit(train_data, neg_sampling=self.implicit, verbose=0)
         return self
 
     def transform(self, df):
@@ -86,9 +88,10 @@ class Recommender:
 
     def _rec_scores(self, user, items):
         try:
-            return np.asarray(
+            # predict returns a bare scalar for a single pair; normalize
+            return np.atleast_1d(np.asarray(
                 self.model.predict([user] * len(items), list(items))
-            )
+            ))
         except Exception:  # noqa: BLE001 — names-only callers
             return np.full(len(items), np.nan)
 

@@ -114,8 +114,8 @@ class Classifier:
     def _features(self, df, fit):
         if self.pipeline is None:
             self.pipeline = preprocess_pipeline()
-        if fit:
-            self.pipeline.fit(df)
+        if fit:  # single pass: fit already chains each stage's transform
+            return self.pipeline.fit_transform(df)
         return self.pipeline.transform(df)
 
     def train(self, df):
@@ -173,8 +173,8 @@ class Regressor:
     def _features(self, df, fit):
         if self.pipeline is None:
             self.pipeline = preprocess_pipeline()
-        if fit:
-            self.pipeline.fit(df)
+        if fit:  # single pass: fit already chains each stage's transform
+            return self.pipeline.fit_transform(df)
         return self.pipeline.transform(df)
 
     def train(self, df):
@@ -198,9 +198,11 @@ class Regressor:
             coef, *_ = jnp.linalg.lstsq(Xb, jnp.asarray(y, jnp.float32))
             self._coef = np.asarray(coef)
         else:
+            # max_iter is honored verbatim; note the gbdt-oriented
+            # default (20) undertrains an MLP — pass a few hundred
             self._params, self._forward = _train_mlp(
                 X, y, self.hidden + (1,), self.step_size,
-                max(self.max_iter, 200), self.seed, "regression",
+                self.max_iter, self.seed, "regression",
             )
         return self
 

@@ -215,6 +215,55 @@ def test_offline_recommender_train_and_batch_recs():
     assert np.isfinite(scored["prediction"].to_numpy()).all()
 
 
+def test_offline_recommender_edge_cases():
+    df = _movie_frame(800)
+    # num=1: single-pair predict returns a scalar; must not crash
+    rec = Recommender(rank=8, max_iter=3).train(df)
+    out = rec.recommend_for_users(df.iloc[:50], num=1)
+    assert (out.groupby("user").size() == 1).all()
+    assert np.isfinite(out["prob"].to_numpy()).all()
+    # explicit (rating) ALS trains and scores
+    rec2 = Recommender(rank=8, max_iter=3, implicit=False).train(df)
+    scored = rec2.transform(df.iloc[:20])
+    assert np.isfinite(scored["prediction"].to_numpy()).all()
+
+
+def test_pipeline_guardrails():
+    df = _movie_frame(50)
+    # OneHotEncoder without its upstream indexer output: explicit error
+    with pytest.raises(ValueError, match="upstream StringIndexer"):
+        Pipeline([OneHotEncoder("sex_index")]).fit(df)
+    # StandardScaler on a single-row fit: no NaN leakage (ddof=1 std)
+    sc = StandardScaler(["age"]).fit(df.iloc[:1])
+    cols = {}
+    sc.transform(df, cols)
+    assert np.isfinite(cols["scaled_continuous_features"]).all()
+    # WordVectors standalone without a tokenizer: explicit error...
+    with pytest.raises(ValueError, match="set_source_column"):
+        WordVectors("words", vector_size=4, epochs=1).fit(df)
+    # ...and works once the source column is named
+    wv = WordVectors("words", vector_size=4, epochs=1, batch_size=128)
+    wv.set_source_column("movie")
+    wv.fit(df)
+    cols = {}
+    wv.transform(df, cols)
+    assert cols["word_vectors"].shape == (len(df), 4)
+
+
+def test_eval_classifier_custom_pipeline_all_combos():
+    """The caller's pipeline must drive EVERY grid combo — a frame
+    lacking the default pipeline's columns proves no silent fallback."""
+    from librecommender_tpu.offline import EvalClassifier, StandardScaler
+    from librecommender_tpu.offline.pipeline import FeatureAssembler
+
+    df = _movie_frame(600)[["user", "item", "rating", "time", "age"]]
+    pipe = Pipeline([StandardScaler(["age"]),
+                     FeatureAssembler(["scaled_continuous_features"])])
+    ev = EvalClassifier(algo="mlp", step_sizes=(0.05,), max_iters=(30, 60))
+    best = ev.eval(df, feature_pipeline=pipe, verbose=0)
+    assert best is not None and set(best) == {"step_size", "max_iter"}
+
+
 def test_eval_recommender_grid(capsys):
     df = _movie_frame(1500)
     ev = EvalRecommender(num=5, metrics="ndcg", ranks=(8,), regs=(0.01,),
