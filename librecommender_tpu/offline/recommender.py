@@ -72,13 +72,15 @@ class Recommender:
         recs = self.model.recommend_user(
             user=list(users), n_rec=num, filter_consumed=True
         )
-        rows_u, rows_i, rows_p = [], [], []
+        rows_u, rows_i = [], []
         for u in users:
             items = recs[u.item() if isinstance(u, np.generic) else u]
-            scores = self._rec_scores(u, items)
             rows_u.extend([u] * len(items))
             rows_i.extend(list(items))
-            rows_p.extend(list(scores))
+        # ONE batched predict over every (user, item) pair — not one
+        # jitted call per user (this is the batch path; dispatch overhead
+        # dominates per-user calls at offline scale)
+        rows_p = self._rec_scores(rows_u, rows_i)
         out = pd.DataFrame({"user": rows_u, "item": rows_i, "prob": rows_p})
         if item_name_map:
             out["name"] = out["item"].map(
@@ -86,11 +88,11 @@ class Recommender:
             )
         return out
 
-    def _rec_scores(self, user, items):
+    def _rec_scores(self, users, items):
         try:
             # predict returns a bare scalar for a single pair; normalize
             return np.atleast_1d(np.asarray(
-                self.model.predict([user] * len(items), list(items))
+                self.model.predict(list(users), list(items))
             ))
         except Exception:  # noqa: BLE001 — names-only callers
             return np.full(len(items), np.nan)
