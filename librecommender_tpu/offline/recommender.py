@@ -32,7 +32,9 @@ class Recommender:
         evaluation instead — exactly the reference's switch
         (Recommender.scala:15-33)."""
         if evaluate:
-            EvalRecommender(num=num, metrics=metrics).eval(df)
+            # keep the evaluator so callers can read best_params/score
+            self.eval_ = EvalRecommender(num=num, metrics=metrics)
+            self.eval_.eval(df)
             return self
         train_data, data_info = DatasetPure.build_trainset(
             df[["user", "item", "label"]]
