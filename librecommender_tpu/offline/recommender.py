@@ -96,7 +96,17 @@ class Recommender:
             return np.atleast_1d(np.asarray(
                 self.model.predict(list(users), list(items))
             ))
-        except Exception:  # noqa: BLE001 — names-only callers
+        except (KeyError, TypeError, ValueError) as exc:
+            # expected only for names-only callers (unknown raw ids /
+            # models without a pair-predict path); anything else — a
+            # broken model state, bad dtype deep in the scorer — should
+            # surface, not silently degrade to NaN probabilities
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "offline recommender predict degraded to NaN scores: %s",
+                exc,
+            )
             return np.full(len(items), np.nan)
 
 

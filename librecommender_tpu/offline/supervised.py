@@ -29,7 +29,14 @@ def _train_mlp(X, y, layers, step_size, max_iter, seed, task,
     squared loss for regression. ``layers`` excludes the (inferred) input
     width, matching MultilayerPerceptronClassifier.setLayers semantics
     with the first entry dropped (Classifier.scala:40: Array(62,40,10,3)
-    — 62 is the feature width, inferred here)."""
+    — 62 is the feature width, inferred here).
+
+    ``max_iter`` counts ``batch_size``-row Adam STEPS, not Spark L-BFGS
+    iterations over the full dataset: Spark's ``maxIter=100`` sees the
+    whole training set 100 times, while 100 steps here see ~100*1024
+    rows total. Grids that mirror ParamGridBuilder maxIter axes (100,
+    300) therefore represent a much smaller budget — scale by roughly
+    ``n_rows / batch_size`` for a comparable epoch count."""
     import jax
     import jax.numpy as jnp
     import optax

@@ -42,15 +42,17 @@ def rank_recommendations(
     users = np.atleast_1d(np.asarray(user_ids))
     ids = np.empty((len(users), n_rec), dtype=np.int64)
     out_scores = np.empty((len(users), n_rec), dtype=np.float64)
+    all_items = np.arange(n_items)
+    keep = np.empty(n_items, dtype=bool)
     for row, u in enumerate(users):
         s = raw[row]
         consumed = user_consumed.get(int(u), ()) if filter_consumed else ()
         if len(consumed) and n_rec + len(consumed) <= n_items:
-            cand = np.setdiff1d(
-                np.arange(n_items), np.asarray(list(consumed))
-            )
+            keep[:] = True
+            keep[np.fromiter(consumed, dtype=np.int64)] = False
+            cand = all_items[keep]
         else:
-            cand = np.arange(n_items)
+            cand = all_items
         sc = s[cand]
         # the filter condition guarantees len(cand) >= n_rec
         take = n_rec

@@ -420,7 +420,14 @@ def export_native_programs(path, model, tile_size=None):
             tab.tofile(path / "recent_long.bin")
 
         # precomputed static top-K through the XLA scorer (batched over
-        # user chunks; one compile at the fixed chunk width)
+        # user chunks; one compile at the fixed chunk width).
+        # Score provenance: this table is XLA-produced, while a /model
+        # request that exhausts the table (n_rec + consumed > K) falls
+        # back to live tiled scoring in the C++ interpreter (fexp
+        # approximation, different float-sum order) — near-tie ranks at
+        # the table/live boundary may therefore differ between the two
+        # paths for the same user. Bound and verification protocol:
+        # docs/serving_guide.md §4 (scoring-precision boundary).
         K = int(min(model.n_items, _STATIC_TOPK))
         n_rows = model.n_users + 1  # + OOV/cold row
         top_ids = np.empty((n_rows, K), np.int32)

@@ -557,7 +557,6 @@ struct ModelRuntime {
     std::vector<Tensor> args;
     std::vector<float>* out;
     bool done = false;
-    bool failed = false;  // leader died before scoring this request
   };
   struct DynBatcher {
     std::mutex mu;
@@ -582,19 +581,20 @@ struct ModelRuntime {
       // batch cap hands leadership off so its own response isn't
       // withheld indefinitely under a sustained arrival stream
       batcher_->cv.wait(l, [&] { return me.done || !batcher_->busy; });
-      if (me.done) {
-        if (me.failed)
-          throw std::runtime_error("coalesced tower scoring failed");
-        return scores;
-      }
+      if (me.done) return scores;
       auto it = std::find(batcher_->q.begin(), batcher_->q.end(), &me);
       if (it != batcher_->q.end()) batcher_->q.erase(it);
     }
     batcher_->busy = true;
     l.unlock();
     // on ANY throw the leader must release the gate and unblock waiters,
-    // or every future dyn request deadlocks on `busy`. `group` is declared
-    // BEFORE Release so it outlives the unwinding destructor that reads it.
+    // or every future dyn request deadlocks on `busy`. Waiters are NOT
+    // failed with the leader: the popped group is requeued un-done, busy
+    // clears, and a woken waiter promotes itself to leader and retries.
+    // A promoted leader always executes SOLO first, so a deterministic
+    // failure degrades to one 500 per owning request — no retry loop.
+    // `group` is declared BEFORE Release so it outlives the unwinding
+    // destructor that reads it.
     std::vector<DynPending*> group;
     struct Release {
       DynBatcher* b;
@@ -603,10 +603,9 @@ struct ModelRuntime {
         if (!b) return;
         {
           std::lock_guard<std::mutex> g(b->mu);
-          if (grp)  // popped group the throw left unscored
-            for (DynPending* p : *grp) p->done = p->failed = true;
-          for (DynPending* p : b->q) p->done = p->failed = true;
-          b->q.clear();
+          if (grp)  // popped group the throw left unscored: requeue
+            for (auto it = grp->rbegin(); it != grp->rend(); ++it)
+              b->q.push_front(*it);
           b->busy = false;
         }
         b->cv.notify_all();

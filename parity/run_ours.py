@@ -139,7 +139,7 @@ def main():
         # cannot run under Keras 3 in this image)
         "SVDpp": ("pure", lambda di: SVDpp(
             "ranking", di, embed_size=32, n_epochs=epochs, lr=0.001,
-            batch_size=2048)),
+            batch_size=2048, recent_num=30)),
         "NCF": ("feat", lambda di: NCF(
             "ranking", di, embed_size=32, n_epochs=epochs, lr=0.001,
             batch_size=2048, hidden_units=(128, 64, 32), use_bn=False)),
@@ -149,7 +149,7 @@ def main():
             hidden_units=(128, 64, 32), use_bn=False)),
         "AutoInt": ("feat", lambda di: AutoInt(
             "ranking", di, embed_size=32, n_epochs=epochs, lr=0.001,
-            batch_size=2048)),
+            batch_size=2048, use_bn=False)),
         "YouTubeRanking": ("feat", lambda di: YouTubeRanking(
             "ranking", di, embed_size=32, n_epochs=epochs, lr=0.001,
             batch_size=2048, hidden_units=(128, 64, 32), recent_num=10,
@@ -179,14 +179,16 @@ def main():
             "ranking", di, embed_size=32, n_epochs=epochs, lr=0.001,
             batch_size=2048, recent_num=10)),
         "NGCF": ("pure", lambda di: NGCF(
-            "ranking", di, embed_size=32, n_epochs=epochs, lr=0.001,
-            batch_size=2048)),
+            "ranking", di, loss_type="bpr", embed_size=32, n_epochs=epochs,
+            lr=0.001, batch_size=2048)),
         "GraphSage": ("feat", lambda di: GraphSage(
-            "ranking", di, embed_size=32, n_epochs=epochs, lr=0.001,
-            batch_size=2048)),
+            "ranking", di, loss_type="cross_entropy", paradigm="u2i",
+            embed_size=32, n_epochs=epochs, lr=0.001, batch_size=2048,
+            num_layers=2, num_neighbors=3)),
         "PinSage": ("feat", lambda di: PinSage(
-            "ranking", di, embed_size=32, n_epochs=epochs, lr=0.001,
-            batch_size=2048)),
+            "ranking", di, loss_type="max_margin", paradigm="u2i",
+            embed_size=32, n_epochs=epochs, lr=0.001, batch_size=2048,
+            num_layers=2, num_neighbors=3, neighbor_walk_len=2)),
     }
 
     results = {}

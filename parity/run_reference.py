@@ -41,13 +41,24 @@ def main():
     from libreco.algorithms import (  # noqa: E402
         DIN,
         FM,
+        NCF,
+        SIM,
         SVD,
         BPR,
+        NGCF,
+        Caser,
+        SVDpp,
         DeepFM,
+        AutoInt,
+        PinSage,
+        WaveNet,
         LightGCN,
         RNN4Rec,
+        WideDeep,
+        GraphSage,
         Transformer,
         TwoTower,
+        YouTubeRanking,
         YouTubeRetrieval,
     )
     from libreco.data import DatasetFeat, DatasetPure  # noqa: E402
@@ -127,6 +138,48 @@ def main():
         "Transformer": ("feat", lambda di: Transformer(
             "ranking", di, embed_size=32, n_epochs=epochs, lr=0.001,
             batch_size=2048, recent_num=10, use_bn=False)),
+        # ---- round-5 additions: close the parity matrix (VERDICT #1) ----
+        # reference NCF is pure (user/item indices only, ncf.py:116);
+        # ours is feat-capable — noted in PARITY.md
+        "NCF": ("pure", lambda di: NCF(
+            "ranking", di, embed_size=32, n_epochs=epochs, lr=0.001,
+            batch_size=2048, hidden_units=(128, 64, 32), use_bn=False)),
+        "WideDeep": ("feat", lambda di: WideDeep(
+            "ranking", di, embed_size=32, n_epochs=epochs,
+            lr={"wide": 0.01, "deep": 1e-3}, batch_size=2048,
+            hidden_units=(128, 64, 32), use_bn=False)),
+        "AutoInt": ("feat", lambda di: AutoInt(
+            "ranking", di, embed_size=32, n_epochs=epochs, lr=0.001,
+            batch_size=2048, use_bn=False)),
+        "YouTubeRanking": ("feat", lambda di: YouTubeRanking(
+            "ranking", di, embed_size=32, n_epochs=epochs, lr=0.001,
+            batch_size=2048, hidden_units=(128, 64, 32), recent_num=10,
+            use_bn=False)),
+        "SVDpp": ("pure", lambda di: SVDpp(
+            "ranking", di, embed_size=32, n_epochs=epochs, lr=0.001,
+            batch_size=2048, recent_num=30)),
+        "Caser": ("pure", lambda di: Caser(
+            "ranking", di, embed_size=32, n_epochs=epochs, lr=0.001,
+            batch_size=2048, recent_num=10)),
+        "WaveNet": ("pure", lambda di: WaveNet(
+            "ranking", di, embed_size=32, n_epochs=epochs, lr=0.001,
+            batch_size=2048, recent_num=10)),
+        "SIM": ("feat", lambda di: SIM(
+            "ranking", di, embed_size=32, n_epochs=epochs, lr=0.001,
+            batch_size=2048, hidden_units=(128, 64, 32), short_max_len=10,
+            long_max_len=50, search_topk=10, use_bn=False)),
+        # torch CPU family (u2i paradigm, matched explicit configs)
+        "NGCF": ("pure", lambda di: NGCF(
+            "ranking", di, loss_type="bpr", embed_size=32, n_epochs=epochs,
+            lr=0.001, batch_size=2048)),
+        "GraphSage": ("feat", lambda di: GraphSage(
+            "ranking", di, loss_type="cross_entropy", paradigm="u2i",
+            embed_size=32, n_epochs=epochs, lr=0.001, batch_size=2048,
+            num_layers=2, num_neighbors=3)),
+        "PinSage": ("feat", lambda di: PinSage(
+            "ranking", di, loss_type="max_margin", paradigm="u2i",
+            embed_size=32, n_epochs=epochs, lr=0.001, batch_size=2048,
+            num_layers=2, num_neighbors=3, neighbor_walk_len=2)),
     }
 
     results = {}
