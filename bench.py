@@ -385,7 +385,11 @@ def main():
     details = Path(__file__).parent / "BENCH_DETAILS.json"
     extra = {}
     _watchdogs(extra)
-    for name in MODELS:
+    # BENCH_MODELS=lightgcn,two_tower re-measures a subset (details file
+    # then holds only that subset — for variance probes, not the driver)
+    subset = os.environ.get("BENCH_MODELS")
+    models = tuple(subset.split(",")) if subset else MODELS
+    for name in models:
         try:
             extra[name] = measure(name)
         except Exception as exc:  # keep the headline alive on any failure

@@ -69,6 +69,17 @@ class DIN(SeqFeatBase):
         if feat_agg_mode not in ("concat", "elementwise", None):
             raise ValueError("`feat_agg_mode` must be `concat`, `elementwise` or None")
         self.feat_agg_mode = feat_agg_mode
+        if use_tf_attention:
+            import warnings
+
+            warnings.warn(
+                "`use_tf_attention=True` is accepted for API familiarity "
+                "but has no effect: this DIN always uses the paper-style "
+                "attention (the reference's default use_tf_attention=False "
+                "path, din.py:247)",
+                UserWarning,
+                stacklevel=2,
+            )
 
     def _init_params(self, rng):
         D = self.embed_size
