@@ -30,6 +30,11 @@ import glob, gzip, json, os, sys, time
 pid, nproc, port, out_path, trace_dir = (
     int(sys.argv[1]), int(sys.argv[2]), sys.argv[3], sys.argv[4], sys.argv[5]
 )
+# big-vocab + touched-row-compaction config (round 5): production-shaped
+# tables where the batch touches ~8% of rows — the regime the compacted
+# all-gather is built for
+big = os.environ.get("BENCH_MULTIPROC_BIG") == "1"
+vocab_scale = 10 if big else 1
 # pin each process to ONE core: per-process compute capacity is constant
 # across P, so the weak-scaling curve isolates coordination/collective
 # overhead instead of measuring localhost core contention
@@ -52,14 +57,29 @@ BASE_ROWS, BASE_BATCH = 120_000, 4096
 rng = np.random.default_rng(0)
 n_rows = BASE_ROWS * nproc
 frame = pd.DataFrame({
-    "user": rng.integers(0, 6040, n_rows),
-    "item": rng.integers(0, 3706, n_rows),
+    "user": rng.integers(0, 6040 * vocab_scale, n_rows),
+    "item": rng.integers(0, 3706 * vocab_scale, n_rows),
     "label": np.ones(n_rows),
 }).drop_duplicates(subset=["user", "item"])
 train_data, data_info = DatasetPure.build_trainset(frame)
 mesh = build_mesh(n_devices=2 * nproc, model_parallel=2)
 m = BPR("ranking", data_info, embed_size=64, n_epochs=4,
         batch_size=BASE_BATCH * nproc)
+if big:
+    # grad_compaction='auto' (the default) engages here: touched ids per
+    # data shard (B_local user ids + 2*B_local item ids) are far fewer
+    # than table rows, so the cross-process payload is the compacted
+    # (ids, rows) all-gather instead of the dense-table all-reduce
+    D = 64
+    dense_payload = sum(
+        (n + 1) * D * 4 for n in (data_info.n_users, data_info.n_items)
+    )
+    t_local = 3 * BASE_BATCH  # user + item + neg ids per shard
+    compact_payload = nproc * t_local * (D + 1) * 4
+else:
+    # tables smaller than the batch's touched set: auto keeps the dense
+    # all-reduce (compacting would move MORE bytes)
+    dense_payload = compact_payload = None
 if pid == 0 and trace_dir:
     # epoch 1 compiles; trace epoch 2+ via the fit hook
     m.fit(train_data, neg_sampling=True, verbose=0, mesh=mesh,
@@ -69,6 +89,9 @@ else:
 steady = m.trainer.epoch_times[2:] if trace_dir else m.trainer.epoch_times[1:]
 eps = len(train_data) / (sum(steady) / len(steady))
 result = {"pid": pid, "examples_per_sec": eps, "rows": len(train_data)}
+if dense_payload is not None:
+    result["dense_grad_payload_bytes_per_step"] = dense_payload
+    result["compacted_payload_bytes_per_step"] = compact_payload
 if pid == 0 and trace_dir:
     # aggregate collective time from the xplane trace
     try:
@@ -132,28 +155,43 @@ def run(nproc, port):
 
 def main():
     max_procs = int(sys.argv[1]) if len(sys.argv) > 1 else 4
-    base = None
-    for nproc, port in [(1, "23471"), (2, "23472"), (4, "23474")]:
-        if nproc > max_procs:
-            break
-        r = run(nproc, port)
-        eps = r["examples_per_sec"]
-        if base is None:
-            base = eps
-        coll_pct = (
-            round(100.0 * r["collective_us"] / r["traced_total_us"], 1)
-            if r.get("traced_total_us") else None
-        )
-        print(json.dumps({
-            "processes": nproc,
-            "devices": 2 * nproc,
-            "examples_per_sec": round(eps, 1),
-            # weak scaling: efficiency = throughput / (P * single-proc)
-            "weak_scaling_efficiency": round(eps / (base * nproc), 3),
-            "collective_time_pct": coll_pct,
-            "per_collective_us": r.get("per_collective_us"),
-            "caveat": "gloo-over-localhost CPU rehearsal, not ICI",
-        }))
+    # sweep both configs: the legacy small-vocab one (auto compaction
+    # stays off — tables are smaller than the touched set) and the
+    # big-vocab one where touched-row compaction carries the step
+    configs = [("small_vocab", False), ("big_vocab_compacted", True)]
+    if os.environ.get("BENCH_MULTIPROC_ONLY") in ("small", "big"):
+        keep = os.environ["BENCH_MULTIPROC_ONLY"] == "big"
+        configs = [c for c in configs if c[1] is keep]
+    for label, big in configs:
+        os.environ["BENCH_MULTIPROC_BIG"] = "1" if big else "0"
+        base = None
+        for nproc, port in [(1, "23471"), (2, "23472"), (4, "23474")]:
+            if nproc > max_procs:
+                break
+            r = run(nproc, port)
+            eps = r["examples_per_sec"]
+            if base is None:
+                base = eps
+            coll_pct = (
+                round(100.0 * r["collective_us"] / r["traced_total_us"], 1)
+                if r.get("traced_total_us") else None
+            )
+            out = {
+                "config": label,
+                "processes": nproc,
+                "devices": 2 * nproc,
+                "examples_per_sec": round(eps, 1),
+                # weak scaling: efficiency = throughput / (P * single-proc)
+                "weak_scaling_efficiency": round(eps / (base * nproc), 3),
+                "collective_time_pct": coll_pct,
+                "per_collective_us": r.get("per_collective_us"),
+                "caveat": "gloo-over-localhost CPU rehearsal, not ICI",
+            }
+            for k in ("dense_grad_payload_bytes_per_step",
+                      "compacted_payload_bytes_per_step"):
+                if k in r:
+                    out[k] = r[k]
+            print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -177,6 +177,110 @@ class Trainer:
 
         layout = self._epoch_layout
 
+        # --- touched-row gradient compaction over the cross-process axis ---
+        # Under a mesh whose `data` axis spans processes, XLA's implicit
+        # grad all-reduce ships every table's FULL dense gradient each step
+        # (measured 2.5 MB/step at bench_multiproc shapes — dominant on
+        # DCN-class links, PARITY.md weak-scaling table). When the batch
+        # touches far fewer rows than the table holds, ship the touched
+        # rows instead: a shard_map manual over `data` (model axis stays
+        # GSPMD-auto) computes LOCAL grads, gathers each table's touched
+        # row-grads, all-gathers the compacted (ids, rows) payload, and
+        # rebuilds the replicated dense gradient by local scatter-add —
+        # payload O(touched x D) instead of O(rows x D), with everything
+        # downstream (dense/lazy/masked Adam) unchanged.
+        # model.grad_compaction: "auto" (compact any table with fewer
+        # touched ids than rows) | True (always) | False (off).
+        compaction = getattr(self.model, "grad_compaction", "auto")
+        data_span = (
+            self.mesh.shape.get("data", 1) if self.mesh is not None else 1
+        )
+        # listwise losses couple examples ACROSS the batch (in-batch /
+        # sampled softmax denominators); a per-shard grad does not
+        # decompose, so those families keep the dense GSPMD all-reduce
+        listwise_loss = getattr(self.model, "loss_type", "") in (
+            "softmax", "sampled_softmax", "nce",
+        )
+        use_compaction = (
+            compaction is not False
+            and data_span > 1
+            and touched_fn is not None
+            and not listwise_loss
+        )
+        mesh = self.mesh
+
+        def _compacted_value_and_grad(params, batch, rng):
+            from jax.sharding import PartitionSpec as PSpec
+
+            def local_grads(params, batch, rng):
+                # per-example randomness must differ per data shard; the
+                # global-program stream would have drawn one (B_global,...)
+                # mask — fold the shard index so shards decorrelate
+                # (bit-identical to the unsharded run for rng-free losses)
+                rng_l = jax.random.fold_in(
+                    rng, jax.lax.axis_index("data")
+                )
+                loss, grads = jax.value_and_grad(loss_fn)(
+                    params, batch, rng_l
+                )
+                # every loss is a WEIGHTED mean over its examples (pad
+                # rows carry weight 0 on the epoch's final batch), so the
+                # shards' divisors are unequal there: recombine local
+                # grads as psum(g_p * W_p/W_global), which equals the
+                # global weighted-mean gradient exactly — and reduces to
+                # an exact *1/P on full batches (powers of two)
+                w_local = (
+                    jnp.sum(batch["weight"]) if "weight" in batch
+                    else jnp.float32(1.0)
+                )
+                w_global = jax.lax.psum(w_local, "data")
+                factor = w_local / w_global
+                touched = {
+                    k: v.reshape(-1)
+                    for k, v in touched_fn(batch).items()
+                    if k in grads
+                    and (
+                        compaction is True
+                        or v.size * data_span < grads[k].shape[0]
+                    )
+                }
+                for k, ids in touched.items():
+                    # the local dense grad has already SUMMED duplicate
+                    # ids; dedup before gathering rows or the scatter
+                    # re-counts each duplicate. Fixed-capacity unique
+                    # (jit-static); pad slots get an out-of-range id the
+                    # scatter drops (and whose clamped gather is inert)
+                    n_rows_k = grads[k].shape[0]
+                    uids = jnp.unique(
+                        ids, size=ids.shape[0], fill_value=n_rows_k
+                    )
+                    rows_g = grads[k][
+                        jnp.minimum(uids, n_rows_k - 1)
+                    ] * factor
+                    gids = jax.lax.all_gather(uids, "data", tiled=True)
+                    grows = jax.lax.all_gather(rows_g, "data", tiled=True)
+                    grads[k] = (
+                        jnp.zeros_like(grads[k])
+                        .at[gids]
+                        .add(grows, mode="drop")
+                    )
+                rest = {k: g for k, g in grads.items() if k not in touched}
+                rest = jax.lax.psum(
+                    jax.tree.map(lambda g: g * factor, rest), "data"
+                )
+                loss = jax.lax.psum(loss * factor, "data")
+                return loss, {**rest, **{k: grads[k] for k in touched}}
+
+            return jax.shard_map(
+                local_grads,
+                mesh=mesh,
+                in_specs=(PSpec(), {k: PSpec("data") for k in batch},
+                          PSpec()),
+                out_specs=(PSpec(), PSpec()),
+                axis_names={"data"},
+                check_vma=False,
+            )(params, batch, rng)
+
         def epoch_fn(params, opt_state, data, host_negs, perm_rng, base_rng):
             # the shuffle permutation is drawn INSIDE the jitted program:
             # a separate host-dispatched permutation costs one extra
@@ -220,7 +324,14 @@ class Trainer:
                     batch["item_neg"] = neg
                 elif has_host_negs:
                     batch["item_neg"] = host_negs[rows]
-                loss, grads = jax.value_and_grad(loss_fn)(params, batch, rng)
+                if use_compaction:
+                    loss, grads = _compacted_value_and_grad(
+                        params, batch, rng
+                    )
+                else:
+                    loss, grads = jax.value_and_grad(loss_fn)(
+                        params, batch, rng
+                    )
                 if sparse_tables:
                     from .sparse_optim import (
                         dense_masked_adam_update,
