@@ -40,13 +40,23 @@ class DictStore:
 
 
 class RedisStore:
-    """Minimal RESP2 client: SET/GET/HSET/HGET/EXISTS/FLUSHDB/PING."""
+    """Minimal RESP2 client: SET/GET/HSET/HGET/EXISTS/FLUSHDB/PING.
+
+    A command issued over a broken connection (server restart, idle
+    timeout) re-dials once and retries — the common deploy failure is a
+    Redis bounce between hydration and the first request.
+    """
 
     def __init__(self, host="localhost", port=6379, db=0):
-        self.sock = socket.create_connection((host, port))
+        self.host, self.port, self.db = host, port, db
+        self._connect()
+
+    def _connect(self):
+        self.sock = socket.create_connection((self.host, self.port))
         self.buf = b""
-        if db:
-            self._cmd("SELECT", str(db))
+        if self.db:
+            self._send("SELECT", str(self.db))
+            self._reply()
 
     def _send(self, *args):
         out = [f"*{len(args)}\r\n".encode()]
@@ -91,8 +101,14 @@ class RedisStore:
         raise RuntimeError(f"bad RESP type: {line!r}")
 
     def _cmd(self, *args):
-        self._send(*args)
-        return self._reply()
+        try:
+            self._send(*args)
+            return self._reply()
+        except (ConnectionError, BrokenPipeError, OSError):
+            # one reconnect attempt; a second failure propagates
+            self._connect()
+            self._send(*args)
+            return self._reply()
 
     def ping(self):
         return self._cmd("PING") == "PONG"
