@@ -220,6 +220,78 @@ struct Tensor {
   double get(int64_t k) const { return isf() ? f[k] : double(i[k]); }
 };
 
+// Per-thread output-buffer pool (round 5, the /online p99 lever): a
+// fixed-shape tile program allocates the same multi-MB intermediates on
+// every execution; run_sub donates dead register buffers here on exit and
+// make_out reuses them, so steady-state tile execution performs ZERO heap
+// allocation (reuse = one memset, no malloc, no first-touch page faults —
+// the long-tail latency source). thread_local: each worker owns its pool.
+struct BufferPool {
+  static constexpr size_t kMaxBuffers = 64;
+  static constexpr size_t kMinBytes = 4096;        // don't pool tiny ones
+  static constexpr size_t kMaxPoolBytes = 256u << 20;
+  std::vector<std::vector<float>> f;
+  std::vector<std::vector<int64_t>> i;
+  size_t bytes = 0;
+
+  static BufferPool& local() {
+    static thread_local BufferPool pool;
+    return pool;
+  }
+
+  template <class V>
+  void donate_one(std::vector<std::vector<V>>& list, std::vector<V>&& v) {
+    const size_t b = v.capacity() * sizeof(V);
+    if (b < kMinBytes || list.size() >= kMaxBuffers ||
+        bytes + b > kMaxPoolBytes)
+      return;
+    bytes += b;
+    v.clear();
+    list.push_back(std::move(v));
+  }
+  void donate(Tensor&& t);
+
+  // best-fit: smallest pooled buffer with capacity >= n (bounded linear
+  // scan; the pool holds <= 64 entries)
+  template <class V>
+  bool acquire(std::vector<std::vector<V>>& list, size_t n,
+               std::vector<V>* out) {
+    int best = -1;
+    for (int k = 0; k < int(list.size()); ++k) {
+      if (list[k].capacity() < n) continue;
+      if (best < 0 || list[k].capacity() < list[best].capacity()) best = k;
+    }
+    if (best < 0) return false;
+    bytes -= list[best].capacity() * sizeof(V);
+    *out = std::move(list[best]);
+    list.erase(list.begin() + best);
+    return true;
+  }
+};
+
+inline void BufferPool::donate(Tensor&& t) {
+  if (!t.f.empty() || t.f.capacity()) donate_one(f, std::move(t.f));
+  if (!t.i.empty() || t.i.capacity()) donate_one(i, std::move(t.i));
+  t.shape.clear();
+}
+
+// pool-aware zero-initialized allocation (make_out's path)
+inline void alloc_pooled(Tensor& t) {
+  const int64_t n = t.numel();
+  BufferPool& pool = BufferPool::local();
+  if (t.isf()) {
+    t.i.clear();
+    if (t.f.capacity() < size_t(n) && size_t(n) * 4 >= BufferPool::kMinBytes)
+      pool.acquire(pool.f, size_t(n), &t.f);
+    t.f.assign(n, 0.0f);
+  } else {
+    t.f.clear();
+    if (t.i.capacity() < size_t(n) && size_t(n) * 8 >= BufferPool::kMinBytes)
+      pool.acquire(pool.i, size_t(n), &t.i);
+    t.i.assign(n, 0);
+  }
+}
+
 inline std::vector<int64_t> strides_of(const std::vector<int64_t>& shape) {
   std::vector<int64_t> st(shape.size(), 1);
   for (int d = int(shape.size()) - 2; d >= 0; --d)
@@ -471,7 +543,22 @@ class Executor {
     }
     std::vector<Tensor> outs;
     outs.reserve(sp.outputs.size());
-    for (int oid : sp.outputs) outs.push_back(reg_get(sp, regs, oid));
+    for (size_t k = 0; k < sp.outputs.size(); ++k) {
+      const int oid = sp.outputs[k];
+      // move the register into the result on its LAST use (consts and
+      // earlier duplicate occurrences copy)
+      bool last = true;
+      for (size_t j = k + 1; j < sp.outputs.size(); ++j)
+        if (sp.outputs[j] == oid) { last = false; break; }
+      if (last && sp.const_vals.find(oid) == sp.const_vals.end())
+        outs.push_back(std::move(regs[oid]));
+      else
+        outs.push_back(reg_get(sp, regs, oid));
+    }
+    // recycle every remaining register buffer into the thread's pool —
+    // the next execution of this (fixed-shape) program reuses them
+    BufferPool& pool = BufferPool::local();
+    for (Tensor& t : regs) pool.donate(std::move(t));
     return outs;
   }
 
@@ -479,7 +566,7 @@ class Executor {
     Tensor t;
     t.dt = d.dt;
     t.shape = d.shape;
-    t.alloc();
+    alloc_pooled(t);
     return t;
   }
 
@@ -691,7 +778,7 @@ class Executor {
     Tensor out;
     out.dt = dt;
     out.shape = oshape;
-    out.alloc();
+    alloc_pooled(out);
     size_t r = oshape.size();
     int64_t run = 1;
     while (r > 0 && istr[r - 1] == run) { run *= oshape[r - 1]; --r; }
