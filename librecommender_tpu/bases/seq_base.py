@@ -130,13 +130,29 @@ class SeqFeatBase(FeatBase):
             pad = (-n) % 8
             if pad:
                 table = jnp.pad(table, ((0, pad), (0, 0)))
-            return table[ids]
+            return self._grad_aware_gather(table, ids)
         return self._token_embeds_raw(params, ids)
+
+    def _grad_aware_gather(self, table, ids):
+        """Gather with a swappable backward scatter. Default is XLA's
+        autodiff scatter: the round-5 A/B (docs/tpu_performance.md "SIM
+        long-history floor — Mosaic A/B") measured the Pallas
+        VMEM-accumulator kernel at 15.9 ns/row vs XLA's 4.6 — per-row
+        dynamic VMEM accumulation serializes at ~14 cycles/row in Mosaic,
+        so XLA's dynamic-update-slice loop remains the fastest available
+        form on this hardware. ``pallas_grad_scatter=True`` opts a model
+        into the kernel (kept for future hardware/Mosaic revisions)."""
+        mode = getattr(self, "pallas_grad_scatter", False)
+        if mode is True and not getattr(self, "_under_mesh", False):
+            from ..ops.pallas_scatter import gather_rows
+
+            return gather_rows(table, ids)
+        return table[ids]
 
     def _token_embeds_raw(self, params, ids):
         from ..ops.nn import layer_norm
 
-        base = params["item_embed"][ids]
+        base = self._grad_aware_gather(params["item_embed"], ids)
         f_s, f_d = self._token_field_counts()
         if not (f_s or f_d):
             return base
