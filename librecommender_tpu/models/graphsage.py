@@ -198,13 +198,21 @@ class GraphSage(GraphEmbedBase):
             i_nbr_mean = self._sample_neighbor_mean(
                 user_h, self.item_nbr, self.item_deg, r2, train
             )
-            u_new = jax.nn.relu(
+            # the FINAL layer is linear (reference graphsage_module.py:133
+            # applies relu only when layer < num_layers-1): relu-ing the
+            # last layer forces nonnegative embeddings whose dot products
+            # can't express dislikes — measured -0.10 AUC at the u2i
+            # parity config
+            act = (
+                (lambda x: x) if l == self.num_layers - 1 else jax.nn.relu
+            )
+            u_new = act(
                 dense(
                     params["user_w"][l],
                     jnp.concatenate([user_h[:n_u], u_nbr_mean], axis=1),
                 )
             )
-            i_new = jax.nn.relu(
+            i_new = act(
                 dense(
                     params["item_w"][l],
                     jnp.concatenate([item_h[:n_i], i_nbr_mean], axis=1),

@@ -96,13 +96,19 @@ class PinSage(GraphSage):
             i_nbr_mean = jnp.einsum(
                 "ntd,nt->nd", nbr_embeds, self.item_item_w
             )
-            u_new = jax.nn.relu(
+            # final layer linear — the reference's output head ends in a
+            # linear G2 (pinsage_module.py:96), so final embeddings are
+            # signed; relu-ing the last conv forces nonnegative dots
+            act = (
+                (lambda x: x) if l == self.num_layers - 1 else jax.nn.relu
+            )
+            u_new = act(
                 dense(
                     params["user_w"][l],
                     jnp.concatenate([user_h[:n_u], u_nbr_mean], axis=1),
                 )
             )
-            i_new = jax.nn.relu(
+            i_new = act(
                 dense(
                     params["item_w"][l],
                     jnp.concatenate([item_h[:n_i], i_nbr_mean], axis=1),

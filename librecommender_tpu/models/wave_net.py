@@ -1,8 +1,9 @@
 """WaveNet: dilated causal convolutions over the behavior sequence.
 
 Reference parity: libreco/algorithms/wave_net.py:8 — stacked dilated causal
-conv blocks (dilations 1,2,4,...) over item embeddings; the last timestep is
-projected to the user embedding.
+conv blocks (dilations 1,2,4,...) over item embeddings, a final 1x1 conv,
+a global max-pool over time projected to embed_size, concatenated with a
+static per-user embedding (wave_net.py:181-222).
 """
 import jax
 import jax.numpy as jnp
@@ -61,9 +62,10 @@ class WaveNet(DynEmbedBase):
 
     def _init_params(self, rng):
         D = self.embed_size
+        u_rows = aligned_rows(self.n_users)
         i_rows = aligned_rows(self.n_items)
         n_convs = self.n_blocks * self.n_layers_per_block
-        r = jax.random.split(rng, 4 + n_convs)
+        r = jax.random.split(rng, 6 + n_convs)
         convs = []
         in_ch = D
         for i in range(n_convs):
@@ -71,20 +73,34 @@ class WaveNet(DynEmbedBase):
             in_ch = self.n_filters
         return {
             "item_embed_in": truncated_normal(r[0], (i_rows, D)),
-            "item_embed": truncated_normal(r[1], (i_rows, D)),
+            # the user side is concat(static user embed, conv summary) —
+            # 2D wide, so item embeddings are 2D too (reference
+            # wave_net.py:222 tf.concat([user_repr, convs_out]))
+            "user_embed": truncated_normal(r[4], (u_rows, D)),
+            "item_embed": truncated_normal(r[1], (i_rows, 2 * D)),
             "item_bias": jnp.zeros((i_rows,)),
             "convs": convs,
+            # reference wave_net.py:210: a final kernel-size-1 conv (relu)
+            # after the dilated stack, before the global max-pool
+            "final_conv": init_conv1d(
+                r[5], 1, self.n_filters, self.n_filters
+            ),
             "proj": init_dense(r[2], self.n_filters, D),
         }
 
     def _user_repr(self, params, users, seq, train, rng):
         x = params["item_embed_in"][seq]                        # (B, L, D)
-        mask = (seq != self.pad_id).astype(x.dtype)
-        x = x * mask[:, :, None]
         for i, conv in enumerate(params["convs"]):
             dilation = 2 ** (i % self.n_layers_per_block)
             x = jax.nn.relu(causal_conv1d(conv, x, dilation=dilation))
-        out = dense(params["proj"], x[:, -1, :])
+        x = jax.nn.relu(causal_conv1d(params["final_conv"], x, dilation=1))
+        # global max-pool over the sequence (reference wave_net.py:219),
+        # not the last timestep
+        x = jnp.max(x, axis=1)
+        conv_out = dense(params["proj"], x)
+        out = jnp.concatenate(
+            [params["user_embed"][users], conv_out], axis=1
+        )
         if self.norm_embed:
             out = out / jnp.maximum(
                 jnp.linalg.norm(out, axis=-1, keepdims=True), 1e-8
