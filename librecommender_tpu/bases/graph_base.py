@@ -51,6 +51,72 @@ class GraphEmbedBase(EmbedBase):
         """-> (user_out (u_rows, D'), item_out (i_rows, D'))."""
         raise NotImplementedError
 
+    # ---- reference-style node features (SAGE family) --------------------
+    # GraphSageModelBase.get_raw_features (torch_modules/
+    # graphsage_module.py:54-79): a node's level-0 representation is
+    # proj(concat([sparse-field embeds, dense-field embeds, id embed])).
+    # Models opt in by calling _init_node_feats from _init_params and
+    # _node_base from _propagate.
+    def _init_node_feats(self, rng, params):
+        from ..ops.features import FeatureTables
+        from ..ops.initializers import truncated_normal
+        from ..ops.nn import init_dense
+
+        di = self.data_info
+        has = bool(len(di.sparse_col.name) or len(di.dense_col.name))
+        self.feats = FeatureTables(di) if has else None
+        if self.feats is None:
+            return params
+        D = self.embed_size
+        r = jax.random.split(rng, 4)
+        if self.feats.has_sparse:
+            params["sparse_embed"] = truncated_normal(
+                r[0], (self.feats.sparse_vocab, D)
+            )
+        if self.feats.has_dense:
+            params["dense_embed"] = truncated_normal(
+                r[1], (self.feats.n_dense_fields, D)
+            )
+        fu = 1 + len(self.feats.user_sparse_pos) + len(self.feats.user_dense_pos)
+        fi = 1 + len(self.feats.item_sparse_pos) + len(self.feats.item_dense_pos)
+        if getattr(self, "graph_paradigm", "u2i") == "u2i":
+            params["user_feat_proj"] = init_dense(r[2], fu * D, D)
+        params["item_feat_proj"] = init_dense(r[3], fi * D, D)
+        return params
+
+    def _node_base(self, params, which):
+        """(n_rows_aligned, D) level-0 node representations: the id
+        embedding when the dataset has no features, else the reference's
+        projected concat of field embeds + id embed."""
+        from ..ops.nn import dense as dense_op
+
+        key = "user_embed" if which == "user" else "item_embed"
+        base = params[key]
+        if getattr(self, "feats", None) is None:
+            return base
+        f = self.feats
+        n = self.n_users if which == "user" else self.n_items
+        parts = []
+        if f.has_sparse:
+            tab = f.user_sparse if which == "user" else f.item_sparse
+            if tab is not None:
+                rows = params["sparse_embed"][tab[:n]]      # (n, F_s, D)
+                parts.append(rows.reshape(n, -1))
+        if f.has_dense:
+            vals = f.user_dense if which == "user" else f.item_dense
+            pos = f.user_dense_pos if which == "user" else f.item_dense_pos
+            if vals is not None and pos:
+                dvec = params["dense_embed"][jnp.asarray(pos)]  # (F_d, D)
+                parts.append(
+                    (vals[:n, :, None] * dvec[None]).reshape(n, -1)
+                )
+        parts.append(base[:n])
+        proj_key = "user_feat_proj" if which == "user" else "item_feat_proj"
+        if proj_key not in params:
+            return base
+        out = dense_op(params[proj_key], jnp.concatenate(parts, axis=1))
+        return jnp.zeros_like(base[:, : out.shape[1]]).at[:n].set(out)
+
     def _init_params(self, rng):
         raise NotImplementedError
 

@@ -159,14 +159,16 @@ class GraphSage(GraphEmbedBase):
 
     def _init_params(self, rng):
         D = self.embed_size
-        r = jax.random.split(rng, 2 + 2 * self.num_layers)
+        r = jax.random.split(rng, 3 + 2 * self.num_layers)
         params = {
             "user_embed": truncated_normal(r[0], (aligned_rows(self.n_users), D)),
             "item_embed": truncated_normal(r[1], (aligned_rows(self.n_items), D)),
             "user_w": [init_dense(r[2 + 2 * l], 2 * D, D) for l in range(self.num_layers)],
             "item_w": [init_dense(r[3 + 2 * l], 2 * D, D) for l in range(self.num_layers)],
         }
-        return params
+        # reference get_raw_features: node level-0 = proj(field embeds +
+        # id embed) when the dataset carries features
+        return self._init_node_feats(r[2 + 2 * self.num_layers], params)
 
     def _sample_neighbor_mean(self, h_other, nbr_table, deg, rng, train):
         """Mean embedding of K neighbors per node (K sampled during train,
@@ -187,8 +189,8 @@ class GraphSage(GraphEmbedBase):
         return jnp.where(has_nbr, mean, 0.0)
 
     def _propagate(self, params, rng, train):
-        user_h = params["user_embed"]
-        item_h = params["item_embed"]
+        user_h = self._node_base(params, "user")
+        item_h = self._node_base(params, "item")
         n_u, n_i = self.n_users, self.n_items
         for l in range(self.num_layers):
             rng, r1, r2 = jax.random.split(rng, 3)

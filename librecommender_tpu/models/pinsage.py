@@ -82,8 +82,8 @@ class PinSage(GraphSage):
         super().build_model()
 
     def _propagate(self, params, rng, train):
-        user_h = params["user_embed"]
-        item_h = params["item_embed"]
+        user_h = self._node_base(params, "user")
+        item_h = self._node_base(params, "item")
         n_u, n_i = self.n_users, self.n_items
         for l in range(self.num_layers):
             rng, r1 = jax.random.split(rng)
