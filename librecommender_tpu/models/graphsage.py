@@ -192,6 +192,35 @@ class GraphSage(GraphEmbedBase):
         user_h = self._node_base(params, "user")
         item_h = self._node_base(params, "item")
         n_u, n_i = self.n_users, self.n_items
+        if self.graph_paradigm == "u2i":
+            # reference u2i: the USER side is the raw projected features
+            # (sage_base.py:106 user_repr -> get_raw_features, NO conv);
+            # only items run the SAGE layers
+            user_raw = user_h
+            for l in range(self.num_layers):
+                rng, r2 = jax.random.split(rng)
+                i_nbr_mean = self._sample_neighbor_mean(
+                    user_h, self.item_nbr, self.item_deg, r2, train
+                )
+                act = (
+                    (lambda x: x) if l == self.num_layers - 1
+                    else jax.nn.relu
+                )
+                i_new = act(
+                    dense(
+                        params["item_w"][l],
+                        jnp.concatenate([item_h[:n_i], i_nbr_mean], axis=1),
+                    )
+                )
+                if train and self.dropout_rate > 0.0:
+                    rng, rd = jax.random.split(rng)
+                    i_new = dropout(i_new, self.dropout_rate, rd)
+                item_h = (
+                    jnp.zeros_like(item_h[:, : i_new.shape[1]])
+                    .at[:n_i]
+                    .set(i_new)
+                )
+            return user_raw, item_h
         for l in range(self.num_layers):
             rng, r1, r2 = jax.random.split(rng, 3)
             u_nbr_mean = self._sample_neighbor_mean(

@@ -85,12 +85,8 @@ class PinSage(GraphSage):
         user_h = self._node_base(params, "user")
         item_h = self._node_base(params, "item")
         n_u, n_i = self.n_users, self.n_items
+        u2i = self.graph_paradigm == "u2i"
         for l in range(self.num_layers):
-            rng, r1 = jax.random.split(rng)
-            # users: uniform mean over consumed items
-            u_nbr_mean = self._sample_neighbor_mean(
-                item_h, self.user_nbr, self.user_deg, r1, train
-            )
             # items: importance-weighted mean over walk neighborhoods
             nbr_embeds = item_h[self.item_item_nbr]             # (n_i, T, D)
             i_nbr_mean = jnp.einsum(
@@ -102,24 +98,34 @@ class PinSage(GraphSage):
             act = (
                 (lambda x: x) if l == self.num_layers - 1 else jax.nn.relu
             )
-            u_new = act(
-                dense(
-                    params["user_w"][l],
-                    jnp.concatenate([user_h[:n_u], u_nbr_mean], axis=1),
-                )
-            )
             i_new = act(
                 dense(
                     params["item_w"][l],
                     jnp.concatenate([item_h[:n_i], i_nbr_mean], axis=1),
                 )
             )
+            if not u2i:
+                rng, r1 = jax.random.split(rng)
+                # users: uniform mean over consumed items
+                u_nbr_mean = self._sample_neighbor_mean(
+                    item_h, self.user_nbr, self.user_deg, r1, train
+                )
+                u_new = act(
+                    dense(
+                        params["user_w"][l],
+                        jnp.concatenate([user_h[:n_u], u_nbr_mean], axis=1),
+                    )
+                )
             if train and self.dropout_rate > 0.0:
                 rng, rd1, rd2 = jax.random.split(rng, 3)
-                u_new = dropout(u_new, self.dropout_rate, rd1)
                 i_new = dropout(i_new, self.dropout_rate, rd2)
-            user_h = jnp.zeros_like(user_h).at[:n_u].set(u_new)
+                if not u2i:
+                    u_new = dropout(u_new, self.dropout_rate, rd1)
+            if not u2i:
+                user_h = jnp.zeros_like(user_h).at[:n_u].set(u_new)
             item_h = jnp.zeros_like(item_h).at[:n_i].set(i_new)
+        # reference u2i: user side is the raw projected features
+        # (sage_base.py:106), only items run the conv stack
         return user_h, item_h
 
     def post_load(self):

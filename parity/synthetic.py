@@ -31,7 +31,15 @@ def make_ml1m_like(
     genre_weight=1.2,
     drift=0.15,
     seed=0,
+    demo_effect=0.0,
 ):
+    """``demo_effect > 0`` plants a DEMOGRAPHIC rating component
+    (sex x genre and age x genre effects feed the rating affinity, not
+    just the consumption logits) so supervised estimators that see only
+    (sex, age, occupation, genre) have real signal — the offline-tier
+    anchor dataset (PARITY.md "Offline batch tier"). The default 0.0
+    leaves the original generator byte-identical (the extra coefficients
+    draw from a SEPARATE rng stream, only when enabled)."""
     rng = np.random.default_rng(seed)
     user_f = rng.normal(size=(n_users, d)).astype(np.float32)
     item_f = rng.normal(size=(n_items, d)).astype(np.float32)
@@ -46,6 +54,14 @@ def make_ml1m_like(
     user_occ = rng.integers(0, len(OCCUPATIONS), n_users)
     # demographic effects feed the logits too (so feat models gain from them)
     sex_genre = rng.normal(scale=0.5, size=(2, len(GENRES))).astype(np.float32)
+    if demo_effect:
+        rng_demo = np.random.default_rng(seed + 1000)
+        rate_sex_genre = rng_demo.normal(
+            scale=1.0, size=(2, len(GENRES))
+        ).astype(np.float32)
+        rate_age_genre = rng_demo.normal(
+            scale=1.0, size=len(GENRES)
+        ).astype(np.float32)
 
     rows_u, rows_i, rows_r, rows_t = [], [], [], []
     for u in range(n_users):
@@ -79,6 +95,12 @@ def make_ml1m_like(
         aff = item_f[consumed] @ user_f[u] + genre_weight * user_genre_aff[
             u, item_genre[consumed]
         ]
+        if demo_effect:
+            g_c = item_genre[consumed]
+            age_n = (user_age[u] - 38.0) / 22.0
+            aff = aff + demo_effect * (
+                rate_sex_genre[user_sex[u], g_c] + age_n * rate_age_genre[g_c]
+            )
         q = np.argsort(np.argsort(aff)) / max(1, len(aff) - 1)
         ratings = np.clip(np.round(1 + 4 * q + rng.normal(scale=0.4, size=len(aff))), 1, 5)
         rows_u.append(np.full(len(consumed), u))
