@@ -93,7 +93,14 @@ class GraphEmbedBase(EmbedBase):
         key = "user_embed" if which == "user" else "item_embed"
         base = params[key]
         if getattr(self, "feats", None) is None:
-            return base
+            # a LOADED model skips _init_params: rebuild the feature
+            # tables when the saved params carry the projection weights
+            if "item_feat_proj" in params:
+                from ..ops.features import FeatureTables
+
+                self.feats = FeatureTables(self.data_info)
+            else:
+                return base
         f = self.feats
         n = self.n_users if which == "user" else self.n_items
         parts = []

@@ -25,6 +25,14 @@ if mode == "synth":
     df = make_ml1m_like(demo_effect=1.0, seed=7)
     df["rating"] = df["label"].astype(int)
     df["movie"] = "movie " + df["item"].astype(str) + " " + df["genre"]
+    # the generator consumes high-affinity items FIRST, so consumption
+    # order correlates with rating and a chrono split would put mostly
+    # low-rated rows in test (train->test label shift that no estimator
+    # can beat). Shuffle timestamps within each user so the supervised
+    # split is distribution-neutral; the planted demographic signal is
+    # what the estimators must find.
+    rng = np.random.default_rng(11)
+    df["time"] = rng.permutation(df["time"].to_numpy())
     print(f"synthetic 1M frame: {len(df)} rows [{time.time()-t0:.0f}s]")
 else:
     df = pd.read_csv(
