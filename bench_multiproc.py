@@ -65,6 +65,8 @@ train_data, data_info = DatasetPure.build_trainset(frame)
 mesh = build_mesh(n_devices=2 * nproc, model_parallel=2)
 m = BPR("ranking", data_info, embed_size=64, n_epochs=4,
         batch_size=BASE_BATCH * nproc)
+if os.environ.get("BENCH_MULTIPROC_DENSE") == "1":
+    m.grad_compaction = False  # counterfactual: dense all-reduce at big vocab
 if big:
     # grad_compaction='auto' (the default) engages here: touched ids per
     # data shard (B_local user ids + 2*B_local item ids) are far fewer
