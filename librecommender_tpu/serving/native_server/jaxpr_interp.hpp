@@ -220,16 +220,25 @@ struct Tensor {
   double get(int64_t k) const { return isf() ? f[k] : double(i[k]); }
 };
 
-// Per-thread output-buffer pool (round 5, the /online p99 lever): a
-// fixed-shape tile program allocates the same multi-MB intermediates on
-// every execution; run_sub donates dead register buffers here on exit and
-// make_out reuses them, so steady-state tile execution performs ZERO heap
-// allocation (reuse = one memset, no malloc, no first-touch page faults —
-// the long-tail latency source). thread_local: each worker owns its pool.
+// Per-thread output-buffer pool — built as the round-5 /online p99
+// lever and MEASURED OFF by default: the hypothesis was that per-op
+// malloc churn drives the long tail, but the A/B (JXI_POOL toggled,
+// parity/bench_model_serving.py, full ML-1M) showed the OPPOSITE —
+// /online p99 36.7/41.3 ms with the pool vs 28.4 without (p50/req_s
+// unchanged). With the raised M_MMAP_THRESHOLD glibc already recycles
+// these buffers LIFO, handing back cache-HOT memory; the pool's
+// best-fit scan returns colder buffers and grows per-thread RSS.
+// JXI_POOL=1 re-enables it for allocators/hosts where malloc is the
+// bottleneck.
 struct BufferPool {
   static constexpr size_t kMaxBuffers = 64;
   static constexpr size_t kMinBytes = 4096;        // don't pool tiny ones
   static constexpr size_t kMaxPoolBytes = 256u << 20;
+
+  static bool disabled() {
+    static const bool on = std::getenv("JXI_POOL") != nullptr;
+    return !on;
+  }
   std::vector<std::vector<float>> f;
   std::vector<std::vector<int64_t>> i;
   size_t bytes = 0;
@@ -270,6 +279,7 @@ struct BufferPool {
 };
 
 inline void BufferPool::donate(Tensor&& t) {
+  if (disabled()) return;
   if (!t.f.empty() || t.f.capacity()) donate_one(f, std::move(t.f));
   if (!t.i.empty() || t.i.capacity()) donate_one(i, std::move(t.i));
   t.shape.clear();

@@ -612,7 +612,13 @@ struct ModelRuntime {
       }
     } release{batcher_.get(), nullptr};
     run_tower_group({}, &me.args, &scores);  // leader: solo, no wait
-    constexpr int kMaxLeaderBatches = 4;     // then hand leadership off
+    // cap 4, then hand leadership off. A round-5 A/B also tried cap 1
+    // (leader tail = 2 executions): the measured /online p99/p50 ratio
+    // did NOT improve (1.29 -> 1.40 normalized against the py tier in
+    // the same runs) — the tail is 4-deep queueing variance on the
+    // shared 4-core host, not leader batching; 4 keeps fewer leadership
+    // transitions per stream
+    constexpr int kMaxLeaderBatches = 4;
     for (int b = 0; b < kMaxLeaderBatches; ++b) {
       l.lock();
       if (batcher_->q.empty()) {
