@@ -6,6 +6,7 @@ LeakyReLU, message dropout, L2-normalized per-layer outputs concatenated.
 """
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..bases.graph_base import GraphEmbedBase
 from ..graph.adjacency import build_edges
@@ -63,24 +64,28 @@ class NGCF(GraphEmbedBase):
         self.adj = None
 
     def _build_graph(self):
-        from ..graph.adjacency import build_dense_adjacency
         from ..parallel.mesh import aligned_rows
 
         u_rows, i_rows = aligned_rows(self.n_users), aligned_rows(self.n_items)
+        eu, ei, _ = build_edges(
+            self.data_info.user_consumed, self.n_users, self.n_items
+        )
+        # reference Laplacian: ROW-normalized (A + I), ngcf_module.py:61-86
+        # — side = L @ E decomposes into (R @ other + self) / (deg + 1)
+        deg_u = np.zeros(u_rows, np.float32)
+        deg_i = np.zeros(i_rows, np.float32)
+        np.add.at(deg_u, eu, 1.0)
+        np.add.at(deg_i, ei, 1.0)
+        self.inv_du = jnp.asarray(1.0 / (deg_u + 1.0))
+        self.inv_di = jnp.asarray(1.0 / (deg_i + 1.0))
         if u_rows * i_rows <= self.dense_adj_limit:
-            self.adj = jnp.asarray(
-                build_dense_adjacency(
-                    self.data_info.user_consumed, self.n_users, self.n_items,
-                    u_rows, i_rows,
-                )
-            )
+            R = np.zeros((u_rows, i_rows), np.float32)
+            R[eu, ei] = 1.0
+            self.adj = jnp.asarray(R)  # RAW binary interactions
         else:
-            eu, ei, ew = build_edges(
-                self.data_info.user_consumed, self.n_users, self.n_items
-            )
             self.edge_u = jnp.asarray(eu)
             self.edge_i = jnp.asarray(ei)
-            self.edge_w = jnp.asarray(ew)
+            self.edge_w = jnp.ones(len(eu), jnp.float32)
 
     def build_model(self):
         self._build_graph()
@@ -98,6 +103,7 @@ class NGCF(GraphEmbedBase):
             ),
             "w1": [], "w2": [],
         }
+        params["b1"], params["b2"] = [], []
         for li in range(len(self.hidden_units)):
             scale = dims[li] ** -0.5
             params["w1"].append(
@@ -106,9 +112,17 @@ class NGCF(GraphEmbedBase):
             params["w2"].append(
                 truncated_normal(r[3 + 2 * li], (dims[li], dims[li + 1]), scale=scale)
             )
+            params["b1"].append(jnp.zeros(dims[li + 1]))
+            params["b2"].append(jnp.zeros(dims[li + 1]))
         return params
 
     def _propagate(self, params, rng, train):
+        """Reference-exact recipe (ngcf_module.py:88-129): per layer
+        side = L @ prev with L = row-normalized (A + I); message =
+        LeakyReLU(side @ W_self + b_self + (side ⊙ prev) @ W_pair +
+        b_pair); message dropout; L2-normalize; the NORMALIZED output is
+        the next layer's input; all layer outputs (incl. the raw
+        embeddings) concatenate."""
         u_rows = params["user_embed"].shape[0]
         i_rows = params["item_embed"].shape[0]
         r1, r2 = jax.random.split(rng)
@@ -128,28 +142,31 @@ class NGCF(GraphEmbedBase):
                 mask = jax.random.bernoulli(r1, keep, w.shape)
                 w = jnp.where(mask, w / keep, 0.0)
             eu, ei = self.edge_u, self.edge_i
-        for li, (w1, w2) in enumerate(zip(params["w1"], params["w2"])):
+        inv_du, inv_di = self.inv_du[:, None], self.inv_di[:, None]
+        for li, (w1, b1, w2, b2) in enumerate(zip(
+            params["w1"], params["b1"], params["w2"], params["b2"]
+        )):
             if dense:
-                # the per-edge interaction term factors through the dense
-                # matmul: sum_i w_ui (h_i ⊙ h_u) = (A @ h_i) ⊙ h_u
-                agg_i = A @ item_h                            # (u_rows, d)
-                u_agg = agg_i @ w1 + (agg_i * user_h) @ w2
-                agg_u = A.T @ user_h
-                i_agg = agg_u @ w1 + (agg_u * item_h) @ w2
+                side_u = inv_du * (A @ item_h + user_h)
+                side_i = inv_di * (A.T @ user_h + item_h)
             else:
-                i_msg = item_h[ei] @ w1 + (item_h[ei] * user_h[eu]) @ w2
-                u_agg = jax.ops.segment_sum(
-                    i_msg * w[:, None], eu, num_segments=u_rows,
+                agg_u = jax.ops.segment_sum(
+                    item_h[ei] * w[:, None], eu, num_segments=u_rows,
                     indices_are_sorted=True,
                 )
-                u_msg = user_h[eu] @ w1 + (user_h[eu] * item_h[ei]) @ w2
-                i_agg = jax.ops.segment_sum(
-                    u_msg * w[:, None], ei, num_segments=i_rows
+                agg_i = jax.ops.segment_sum(
+                    user_h[eu] * w[:, None], ei, num_segments=i_rows
                 )
-            u_self = user_h @ w1
-            u_new = jax.nn.leaky_relu(u_self + u_agg, negative_slope=0.2)
-            i_self = item_h @ w1
-            i_new = jax.nn.leaky_relu(i_self + i_agg, negative_slope=0.2)
+                side_u = inv_du * (agg_u + user_h)
+                side_i = inv_di * (agg_i + item_h)
+            u_new = jax.nn.leaky_relu(
+                side_u @ w1 + b1 + (side_u * user_h) @ w2 + b2,
+                negative_slope=0.2,
+            )
+            i_new = jax.nn.leaky_relu(
+                side_i @ w1 + b1 + (side_i * item_h) @ w2 + b2,
+                negative_slope=0.2,
+            )
             if train and self.message_dropout > 0.0:
                 keep = 1.0 - self.message_dropout
                 r2, k1, k2 = jax.random.split(r2, 3)
@@ -159,9 +176,10 @@ class NGCF(GraphEmbedBase):
                 i_new = jnp.where(
                     jax.random.bernoulli(k2, keep, i_new.shape), i_new / keep, 0.0
                 )
-            user_h, item_h = u_new, i_new
-            user_layers.append(l2_normalize(user_h))
-            item_layers.append(l2_normalize(item_h))
+            # normalized outputs feed the next layer (ngcf_module.py:124)
+            user_h, item_h = l2_normalize(u_new), l2_normalize(i_new)
+            user_layers.append(user_h)
+            item_layers.append(item_h)
         return (
             jnp.concatenate(user_layers, axis=1),
             jnp.concatenate(item_layers, axis=1),
