@@ -184,6 +184,18 @@ class EmbedBase(Base):
         return out
 
     # ----------------------------------------------------------- embeddings
+    def get_user_id(self, user):
+        """Raw user -> inner id; unknown raises (reference
+        embed_base.py:333)."""
+        if user not in self.data_info.user2id:
+            raise ValueError(f"unknown user: {user}")
+        return self.data_info.user2id[user]
+
+    def get_item_id(self, item):
+        if item not in self.data_info.item2id:
+            raise ValueError(f"unknown item: {item}")
+        return self.data_info.item2id[item]
+
     def get_user_embedding(self, user=None, include_bias=False):
         embeds = self.user_embeds_np[:-1] if user is None else self.user_embeds_np[
             self.convert_ids(user, user, False)[0]
