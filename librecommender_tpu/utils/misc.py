@@ -19,11 +19,32 @@ _ANSI = {
 }
 
 
-def colorize(string, color, bold=False):
-    """Wrap ``string`` in ANSI color codes."""
+def colorize(string, color, bold=False, highlight=False):
+    """Wrap ``string`` in ANSI color codes (reference utils/misc.py
+    colorize contract, incl. the background-highlight variant)."""
     code = _ANSI.get(color, 37)
+    if highlight:
+        code += 10  # ANSI background color offset
     prefix = f"\033[{'1;' if bold else ''}{code}m"
     return f"{prefix}{string}\033[0m"
+
+
+def time_func(func):
+    """Decorator printing a function's elapsed wall-clock time
+    (reference utils/misc.py ``time_func``)."""
+    import functools
+
+    @functools.wraps(func)
+    def wrapper(*args, **kwargs):
+        start = time.perf_counter()
+        try:
+            return func(*args, **kwargs)
+        finally:
+            elapsed = time.perf_counter() - start
+            print(colorize(f"{func.__name__} elapsed: {elapsed:.3f}s",
+                           "green"))
+
+    return wrapper
 
 
 @contextmanager

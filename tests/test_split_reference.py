@@ -110,3 +110,26 @@ def test_split_by_num_chrono():
     train_data, eval_data = split_by_num_chrono(pd_data, test_size=1)
     assert len(train_data) == 11
     assert len(eval_data) == 1
+
+
+def test_misc_utils():
+    """Ported reference tests/test_misc.py: time_func decorator,
+    time_block context (incl. exception passthrough), colorize."""
+    import time as _time
+
+    import pytest as _pytest
+
+    from librecommender_tpu.utils.misc import colorize, time_block, time_func
+
+    @time_func
+    def long_work():
+        _time.sleep(0.01)
+        return colorize("done!", color="red", bold=True, highlight=True)
+
+    out = long_work()
+    assert "done!" in out and out.startswith("\033[")
+    with time_block("long work2", verbose=0):
+        _time.sleep(0.01)
+    with _pytest.raises(RuntimeError):
+        with time_block("long work2", verbose=0):
+            raise RuntimeError
