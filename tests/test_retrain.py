@@ -308,3 +308,31 @@ def test_retrain_grafting_under_mesh(tmp_path):
     u = int(new.user.iloc[0])
     recs = m2.recommend_user(user=u, n_rec=5)
     assert len(recs[u]) == 5
+
+
+@pytest.mark.parametrize("cls_name", ["ALS", "Item2Vec", "DeepWalk"])
+def test_embed_family_retrain_flow(cls_name, tmp_path):
+    """Reference retrain coverage for the ALS / gensim families
+    (tests/retrain/test_als_retrain.py, test_gensim_model_retrain.py):
+    save -> merge_trainset (vocab growth) -> rebuild_model -> refit ->
+    recommendations for both old and new users."""
+    from librecommender_tpu.models import ALS, DeepWalk, Item2Vec
+
+    cls = {"ALS": ALS, "Item2Vec": Item2Vec, "DeepWalk": DeepWalk}[cls_name]
+    kw = dict(embed_size=8, n_epochs=1)
+    frame = make_interactions()
+    train_data, data_info = DatasetPure.build_trainset(frame)
+    model = cls("ranking", data_info, **kw)
+    model.fit(train_data, neg_sampling=True, verbose=0)
+    path = str(tmp_path / "retrain_embed")
+    model.save(path, cls_name)
+
+    new_frame = _new_data(frame)
+    new_train, new_info = DatasetPure.merge_trainset(new_frame, data_info)
+    model2 = cls("ranking", new_info, **kw)
+    model2.rebuild_model(path, cls_name)
+    model2.fit(new_train, neg_sampling=True, verbose=0)
+    old_user = frame.user.iloc[0]
+    new_user = new_frame.user.iloc[0]
+    recs = model2.recommend_user(user=[old_user, new_user], n_rec=5)
+    assert len(recs[old_user]) == 5 and len(recs[new_user]) == 5
