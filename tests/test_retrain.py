@@ -310,16 +310,17 @@ def test_retrain_grafting_under_mesh(tmp_path):
     assert len(recs[u]) == 5
 
 
-@pytest.mark.parametrize("cls_name", ["ALS", "Item2Vec", "DeepWalk"])
+@pytest.mark.parametrize("cls_name", ["ALS", "Item2Vec", "DeepWalk", "Swing"])
 def test_embed_family_retrain_flow(cls_name, tmp_path):
     """Reference retrain coverage for the ALS / gensim families
     (tests/retrain/test_als_retrain.py, test_gensim_model_retrain.py):
     save -> merge_trainset (vocab growth) -> rebuild_model -> refit ->
     recommendations for both old and new users."""
-    from librecommender_tpu.models import ALS, DeepWalk, Item2Vec
+    from librecommender_tpu.models import ALS, DeepWalk, Item2Vec, Swing
 
-    cls = {"ALS": ALS, "Item2Vec": Item2Vec, "DeepWalk": DeepWalk}[cls_name]
-    kw = dict(embed_size=8, n_epochs=1)
+    cls = {"ALS": ALS, "Item2Vec": Item2Vec, "DeepWalk": DeepWalk,
+           "Swing": Swing}[cls_name]
+    kw = dict(top_k=10) if cls_name == "Swing" else dict(embed_size=8, n_epochs=1)
     frame = make_interactions()
     train_data, data_info = DatasetPure.build_trainset(frame)
     model = cls("ranking", data_info, **kw)
