@@ -68,9 +68,29 @@ def main():
         for u in rng.choice(feat_users, 256)
     ]
 
+    # BENCH_SERVING_ISOLATE=1 pins both servers to cores 0..n-2 and the
+    # load-generating bench process to the last core — the minimal
+    # approximation of an off-host load generator on one VM (the round-5
+    # campaign measured the native p99 tail to be client/server core
+    # collisions, not scoring)
+    import os as _os
+
+    isolate = _os.environ.get("BENCH_SERVING_ISOLATE") == "1"
+    ncpu = _os.cpu_count() or 4
+    if isolate and ncpu >= 2:
+        server_cpus = set(range(ncpu - 1))
+        _os.sched_setaffinity(0, {ncpu - 1})  # client core
+        _os.environ.setdefault("NATIVE_TILE_THREADS", str(max(1, ncpu - 2)))
+        _os.environ.setdefault("NATIVE_SCORING_PERMITS",
+                               str(max(1, ncpu - 2)))
     with tempfile.TemporaryDirectory() as td:
         art = export_native(Path(td) / "m", din)
         nproc, nport = start_native_server(art, n_threads=args.threads)
+        if isolate and ncpu >= 2:
+            try:
+                _os.sched_setaffinity(nproc.pid, server_cpus)
+            except Exception:
+                pass
 
         # python tier in its OWN process (launch.py, the container entry
         # point) — an in-process aiohttp app would share the GIL with the
@@ -92,6 +112,11 @@ def main():
             [sys.executable, "-m", "librecommender_tpu.serving.launch"],
             env=env, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
         )
+        if isolate and ncpu >= 2:
+            try:
+                os.sched_setaffinity(pproc.pid, server_cpus)
+            except Exception:
+                pass
         for _ in range(600):  # model load + first jit can take a while
             try:
                 _post(pport, "/online/recommend", online_payloads[0])
