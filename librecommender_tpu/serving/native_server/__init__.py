@@ -60,7 +60,8 @@ def build_benchmark():
 
 
 def export_native(path, model, ivf=False, n_ivf_clusters=None, n_probe=8,
-                  programs=True, tile_size=None):
+                  programs=True, tile_size=None,
+                  topk_via_interpreter=False):
     """Write flat binary artifacts the C++ server mmap-loads.
 
     Item ids must be integers (MovieLens-style); other id types serve
@@ -75,6 +76,13 @@ def export_native(path, model, ivf=False, n_ivf_clusters=None, n_probe=8,
     (serving/native_program.py) for feat/seq and dyn-embed models, so the
     server answers /model/recommend and /online/recommend by executing the
     program IN-PROCESS — the TF-Serving-runtime analog with no backend hop.
+
+    ``topk_via_interpreter=True`` rebuilds the precomputed /model static
+    top-K table THROUGH the C++ interpreter after export (server
+    --build-topk), making the table bit-consistent with the live tiled
+    fallback (the XLA-built default can flip near-ties against the
+    interpreter's float-sum order — docs/serving_guide.md §4). Costs one
+    full-catalog scoring pass per user at export time.
     """
     path = Path(path)
     path.mkdir(parents=True, exist_ok=True)
@@ -134,6 +142,14 @@ def export_native(path, model, ivf=False, n_ivf_clusters=None, n_probe=8,
         np.asarray(inter.data, np.float32).tofile(path / "inter_data.bin")
     with open(path / "native_meta.json", "w") as f:
         json.dump(meta, f)
+    if topk_via_interpreter and programs:
+        import subprocess
+
+        binary = build_server()
+        subprocess.run(
+            [str(binary), str(path), "--build-topk"],
+            check=True, capture_output=True,
+        )
     return path
 
 

@@ -805,10 +805,55 @@ void run_loop(int listen_fd, const Artifacts& a, const Backend& be) {
 
 int main(int argc, char** argv) {
   if (argc < 3) {
-    std::cerr << "usage: server <artifact_dir> <port> [n_threads]\n";
+    std::cerr << "usage: server <artifact_dir> <port> [n_threads]\n"
+              << "       server <artifact_dir> --build-topk [K]\n";
     return 1;
   }
   const std::string dir = argv[1];
+  if (std::string(argv[2]) == "--build-topk") {
+    // Rebuild static_topk.bin THROUGH the serving interpreter so the
+    // precomputed /model table and the live tiled fallback are
+    // bit-consistent (the XLA-built table can disagree on near-ties —
+    // docs/serving_guide.md §4). Ranking: score desc, id asc — identical
+    // to the live partial_sort comparator on non-tied scores and
+    // deterministic on ties.
+    const Artifacts artifacts = load_artifacts(dir);
+    const jxi::ModelRuntime& rt = artifacts.runtime;
+    if (rt.static_k == 0) {
+      std::cerr << "artifact has no static_topk to rebuild\n";
+      return 1;
+    }
+    const int64_t K =
+        argc > 3 ? std::atoll(argv[3]) : int64_t(rt.static_k);
+    const int64_t rows = rt.n_users + 1;  // + OOV/cold row
+    std::vector<int32_t> table(size_t(rows * K));
+    std::vector<int32_t> ids(size_t(rt.n_items));
+    for (int64_t row = 0; row < rows; ++row) {
+      const std::vector<float> scores = rt.scores_static(row);
+      for (size_t i = 0; i < ids.size(); ++i) ids[i] = int32_t(i);
+      const int64_t take = std::min<int64_t>(K, int64_t(ids.size()));
+      std::partial_sort(
+          ids.begin(), ids.begin() + take, ids.end(),
+          [&](int32_t x, int32_t y) {
+            return scores[x] != scores[y] ? scores[x] > scores[y] : x < y;
+          });
+      std::copy(ids.begin(), ids.begin() + take,
+                table.begin() + row * K);
+    }
+    const int64_t shape[2] = {rows, K};
+    {
+      std::ofstream f(dir + "/static_topk_shape.bin", std::ios::binary);
+      f.write(reinterpret_cast<const char*>(shape), sizeof(shape));
+    }
+    {
+      std::ofstream f(dir + "/static_topk.bin", std::ios::binary);
+      f.write(reinterpret_cast<const char*>(table.data()),
+              std::streamsize(table.size() * sizeof(int32_t)));
+    }
+    std::cout << "rebuilt static_topk via interpreter: " << rows << " x "
+              << K << std::endl;
+    return 0;
+  }
   const int port = std::atoi(argv[2]);
   const int n_threads = argc > 3 ? std::atoi(argv[3]) : 4;
   Backend backend;

@@ -231,3 +231,29 @@ def test_native_din_overrides(tiny_feat, tmp_path):
         )
 
     run_native(tmp_path, "din_dyn", fn, users, seq, u_sp, u_ds)
+
+
+def test_topk_via_interpreter_matches_xla_table(tiny_feat, tmp_path):
+    """export_native(topk_via_interpreter=True) rebuilds the /model
+    static table through the C++ interpreter (server --build-topk). On
+    CPU the interpreter is exact f32 == the XLA scorer, so the two
+    builders must agree bit-for-bit; on TPU-exported artifacts the
+    interpreter build is the one bit-consistent with the live fallback
+    (docs/serving_guide.md §4)."""
+    from librecommender_tpu.models import DIN
+    from librecommender_tpu.serving.native_server import export_native
+
+    train, di = tiny_feat
+    m = DIN("ranking", di, embed_size=8, n_epochs=1, batch_size=128,
+            recent_num=5, hidden_units=(16,))
+    m.fit(train, neg_sampling=True, verbose=0)
+    p_xla = export_native(tmp_path / "xla", m)
+    p_int = export_native(tmp_path / "interp", m,
+                          topk_via_interpreter=True)
+    s1 = np.fromfile(p_xla / "static_topk_shape.bin", np.int64)
+    s2 = np.fromfile(p_int / "static_topk_shape.bin", np.int64)
+    np.testing.assert_array_equal(s1, s2)
+    np.testing.assert_array_equal(
+        np.fromfile(p_xla / "static_topk.bin", np.int32),
+        np.fromfile(p_int / "static_topk.bin", np.int32),
+    )
