@@ -163,9 +163,16 @@ class GraphSage(GraphEmbedBase):
         params = {
             "user_embed": truncated_normal(r[0], (aligned_rows(self.n_users), D)),
             "item_embed": truncated_normal(r[1], (aligned_rows(self.n_items), D)),
-            "user_w": [init_dense(r[2 + 2 * l], 2 * D, D) for l in range(self.num_layers)],
             "item_w": [init_dense(r[3 + 2 * l], 2 * D, D) for l in range(self.num_layers)],
         }
+        if self.graph_paradigm != "u2i":
+            # u2i leaves the user side un-conv'd (reference structure:
+            # raw projected features only) — no user conv weights to
+            # train there
+            params["user_w"] = [
+                init_dense(r[2 + 2 * l], 2 * D, D)
+                for l in range(self.num_layers)
+            ]
         # reference get_raw_features: node level-0 = proj(field embeds +
         # id embed) when the dataset carries features
         return self._init_node_feats(r[2 + 2 * self.num_layers], params)
