@@ -204,6 +204,10 @@ def main():
             }
             train, evals, data_info = builders[kind]()
             model = ctor(data_info)
+            if os.environ.get("PARITY_SEED"):
+                # seed-robustness sweeps (PARITY round-5 noise bound);
+                # consumed at build_model inside fit
+                model.seed = int(os.environ["PARITY_SEED"])
             neg = name not in ("YouTubeRetrieval", "TwoTower")
             if not neg:
                 train.labels[:] = (
